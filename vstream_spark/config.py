@@ -1,0 +1,87 @@
+"""Engine configuration objects.
+
+Mirrors the configuration surface of the reference's ``util/Parameters.java``
+(456 lines of YAML-backed fields) and the C++ ``VectorColumnFamilyOptions`` /
+``VectorSearchOptions`` (``plugin/vectorbackend/options/vector_options.h:24-95``)
+— but only the fields that are meaningful for a Spark-first engine. Dimension
+and metric are explicit config, never inferred (reference ``Parameters.java:40``,
+``vector_options.h:25``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+SUPPORTED_METRICS = ("l2", "ip", "cosine")
+
+
+@dataclass(frozen=True)
+class VectorIndexConf:
+    """Per-collection vector index configuration.
+
+    Reference mapping (SURVEY §2.6 C10): dim/metric from
+    ``VectorColumnFamilyOptions`` (``vector_options.h:24-53``); ``k`` and
+    termination knobs from ``VectorSearchOptions`` (``vector_options.h:79-95``);
+    HNSW shape (M/efConstruction/efSearch) from ``params.yaml:54-56`` —
+    retained for config parity although the round-1 per-partition worker is a
+    vectorized brute-force/IVF scan rather than a graph index.
+    ``max_elements_per_segment`` is the reference's 250k vectors-per-HNSW-table
+    (``params.yaml:58``).
+    """
+
+    dim: int = 128
+    metric: str = "l2"  # 'l2' (squared L2), 'ip', 'cosine' — hnswlib.h:252
+    k: int = 10
+    m: int = 16
+    ef_construction: int = 128
+    ef_search: int = 16
+    max_elements_per_segment: int = 250_000
+    # Adaptive early termination across segments (db/version_set.cc:2643-2697).
+    termination_weight: float = 0.01
+    termination_factor: float = 0.8
+    termination_threshold: float = 0.0
+    termination_lower_bound: float = 0.0
+
+    def __post_init__(self) -> None:
+        if self.metric not in SUPPORTED_METRICS:
+            raise ValueError(f"metric must be one of {SUPPORTED_METRICS}, got {self.metric!r}")
+        if self.dim <= 0:
+            raise ValueError("dim must be positive")
+
+
+@dataclass(frozen=True)
+class PartitionerConf:
+    """Exchange-operator configuration (SURVEY §2.3).
+
+    ``kind`` ∈ {'simple','lsh','lsh+random','lsh+proximity','lsh+hilbert',
+    'lsh+zorder','lsh+gray','lsh+peano','kmeans','hilbert'} — the dispatch
+    names of ``PartitionFunction.getPartitionFunction``
+    (``partitioner/PartitionFunction.java:82-218``).
+
+    LSH params mirror ``params.yaml:48-53``: ``num_families`` = k1 (replication
+    families), ``num_hashes`` = k2 (hashes per family), ``bucket_width`` = r in
+    ``h = floor((a.v + b)/r)`` (``L2Hash.java:35-38``), ``sfc_bits`` = curve
+    resolution, ``update_interval``/``max_retained`` = dynamic-quantile epoch
+    re-learning (``LSHashSpaceFillingPartitioner.java:118-145``).
+    """
+
+    kind: str = "lsh"
+    num_partitions: int = 8
+    seed: int = 42
+    num_families: int = 1  # k1: replication factor for data
+    num_hashes: int = 4  # k2: hashes per family
+    bucket_width: float = 5.0  # r
+    sfc_bits: int = 7
+    num_probes: int = 0  # multiprobe fan-out (lsh+proximity)
+    replication_factor: int = 1  # kmeans/hilbert nearest-R routing
+    update_interval: int = 7_200_000  # epoch re-learn period (ms)
+    max_retained: int = 1_000_000  # history window for quantile learning
+
+
+@dataclass(frozen=True)
+class EngineConf:
+    """Top-level engine config: index + partitioner + freshness defaults."""
+
+    index: VectorIndexConf = field(default_factory=VectorIndexConf)
+    partitioner: PartitionerConf = field(default_factory=PartitionerConf)
+    max_ttl_ms: int = 2_400_000  # params.yaml:35 freshness window

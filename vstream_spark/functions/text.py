@@ -1,0 +1,133 @@
+"""Text-analysis expression library (LLM-pipeline operators, SURVEY §2.7
+design consequence: these generalize the reference's machinery to documents).
+
+Every function has two forms kept in lockstep: a SQL fragment (the portable
+subset shared by Spark SQL and DuckDB — length/replace/lower/trim/md5/CASE
+arithmetic only) and a Column wrapper (``F.expr`` of that same fragment). The
+fragment IS the implementation, so engine and oracle cannot diverge.
+
+All expressions are pure Catalyst — whole-stage codegen'd, no Python in the
+hot path, safe at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- SQL fragments ----------------------------------------------------------
+
+
+def token_count_sql(col: str) -> str:
+    """Whitespace token count (single-space tokenized corpora)."""
+    return (
+        f"(CASE WHEN length(trim({col})) = 0 THEN 0 "
+        f"ELSE length(trim({col})) - length(replace(trim({col}), ' ', '')) + 1 END)"
+    )
+
+
+def substr_count_sql(col: str, needle: str) -> str:
+    """Occurrences of a literal substring (portable length/replace trick)."""
+    esc = needle.replace("'", "''")
+    return (
+        f"CAST((length({col}) - length(replace({col}, '{esc}', ''))) / {len(needle)} AS BIGINT)"
+    )
+
+
+def word_count_sql(col: str, word: str) -> str:
+    """Occurrences of a whole word: pad with spaces and count ' word '."""
+    return substr_count_sql(f"(' ' || {col} || ' ')", f" {word} ")
+
+
+def fingerprint_sql(col: str) -> str:
+    """Document fingerprint: md5 of normalized text (S5-style canonical
+    encoding; md5 is bit-identical across Spark and DuckDB)."""
+    return f"md5(lower(trim({col})))"
+
+
+def avg_token_len_sql(col: str) -> str:
+    tc = token_count_sql(col)
+    return (
+        f"(CASE WHEN {tc} = 0 THEN 0.0 ELSE "
+        f"CAST(length(replace(trim({col}), ' ', '')) AS DOUBLE) / {tc} END)"
+    )
+
+
+_EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def stopword_count_sql(col: str, words: tuple[str, ...] = _EN_STOPWORDS) -> str:
+    return "(" + " + ".join(word_count_sql(col, w) for w in words) + ")"
+
+
+def stopword_ratio_sql(col: str) -> str:
+    tc = token_count_sql(col)
+    return (
+        f"(CASE WHEN {tc} = 0 THEN 0.0 ELSE "
+        f"CAST({stopword_count_sql(col)} AS DOUBLE) / {tc} END)"
+    )
+
+
+def quality_score_sql(col: str) -> str:
+    """Heuristic document quality in [0,1]: length band + stopword signal +
+    token-length sanity (the usual pretraining-filter trio)."""
+    tc = token_count_sql(col)
+    atl = avg_token_len_sql(col)
+    sr = stopword_ratio_sql(col)
+    length_ok = f"(CASE WHEN {tc} >= 10 AND {tc} <= 100000 THEN 1.0 ELSE 0.0 END)"
+    tok_ok = f"(CASE WHEN {atl} >= 2.0 AND {atl} <= 12.0 THEN 1.0 ELSE 0.0 END)"
+    stop_sig = f"(CASE WHEN {sr} > 0.30 THEN 1.0 ELSE {sr} / 0.30 END)"
+    return f"(0.4 * {length_ok} + 0.3 * {tok_ok} + 0.3 * {stop_sig})"
+
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "nicht"),
+    "fr": ("le", "la", "et", "est"),
+}
+
+
+def lang_id_sql(col: str) -> str:
+    """n-gram-free heuristic language ID: argmax of per-language whole-word
+    marker counts; 'und' (undetermined) when no marker fires."""
+    scores = {
+        lang: "(" + " + ".join(word_count_sql(col, w) for w in words) + ")"
+        for lang, words in _LANG_MARKERS.items()
+    }
+    langs = list(scores)
+    # argmax via CASE chain: first language >= all others (dict order breaks ties)
+    clauses = []
+    for lang in langs:
+        others = [scores[o] for o in langs if o != lang]
+        cond = " AND ".join(f"{scores[lang]} >= {o}" for o in others)
+        clauses.append(f"WHEN {scores[lang]} > 0 AND {cond} THEN '{lang}'")
+    return "(CASE " + " ".join(clauses) + " ELSE 'und' END)"
+
+
+# --- Column wrappers --------------------------------------------------------
+
+
+def token_count(col: str) -> Column:
+    return F.expr(token_count_sql(col))
+
+
+def char_stats(col: str) -> dict[str, Column]:
+    return {
+        "n_chars": F.length(F.col(col)),
+        "n_tokens": token_count(col),
+        "avg_token_len": F.expr(avg_token_len_sql(col)),
+        "stopword_ratio": F.expr(stopword_ratio_sql(col)),
+    }
+
+
+def quality_score(col: str) -> Column:
+    return F.expr(quality_score_sql(col))
+
+
+def doc_fingerprint(col: str) -> Column:
+    return F.expr(fingerprint_sql(col))
+
+
+def lang_id_expr(col: str) -> Column:
+    return F.expr(lang_id_sql(col))

@@ -1,0 +1,244 @@
+"""Deduplication operators over document corpora (LLM-pipeline surface).
+
+These generalize the reference's LSH machinery (P2) from vectors to text:
+exact dedup is a hash-groupBy; near-dup goes shingles -> MinHash -> LSH band
+bucketing -> candidate join -> exact Jaccard verify — the same
+route-to-bucket / search-locally / merge pattern as the vector pipeline.
+
+Scale notes: every op here is shuffle-by-key on a hash — no cross joins. The
+all-pairs paths exist only inside buckets (bounded by band collision rate).
+Token ids for MinHash derive from md5 (stable across engines/sessions, unlike
+Spark's murmur hash which we never persist).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vstream_spark.functions.text import fingerprint_sql
+
+_MERSENNE = (1 << 61) - 1
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint.
+
+    Returns (doc_id, fingerprint, group_size, is_canonical): canonical = the
+    smallest id in its duplicate group (deterministic survivor pick).
+    """
+    fp = F.expr(fingerprint_sql(text_col))
+    w = Window.partitionBy("fingerprint")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+        .withColumn("group_size", F.count("*").over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
+    )
+
+
+def dedup_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep-one-per-fingerprint projection (the filtered corpus)."""
+    return (
+        dedup_exact(docs, text_col, id_col)
+        .filter(F.col("is_canonical"))
+        .select("doc_id", "fingerprint", "group_size")
+    )
+
+
+def _shingles(text_col: str, n: int) -> F.Column:
+    """Distinct word n-gram shingles as an array column (pure Catalyst)."""
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Inverted-index join: explode distinct shingles, self-join on shingle to
+    count intersections (only docs sharing >=1 shingle ever pair — no cross
+    join), then |A∩B| / (|A|+|B|-|A∩B|) >= threshold. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), _shingles(text_col, n).alias("shingles")
+    ).withColumn("n_shingles", F.size("shingles"))
+    ex = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures over shingle sets: (doc_id, sig ARRAY<BIGINT>).
+
+    Shingle -> stable 61-bit int via md5 prefix (engine-independent), then
+    num_perm universal-hash permutations min-reduced — vectorized numpy over
+    Arrow batches.
+    """
+    a, b = _minhash_perm_params(num_perm, seed)
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), _shingles(text_col, n).alias("shingles")
+    )
+    # stable shingle ids: first 15 hex chars of md5 -> int (< 2^60)
+    ids = F.transform(
+        F.col("shingles"), lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+    with_ids = sh.select("doc_id", ids.alias("shingle_ids"))
+
+    @F.pandas_udf("array<bigint>")
+    def minhash(sids: pd.Series) -> pd.Series:
+        out = []
+        for arr in sids:
+            x = np.asarray(arr, dtype=np.int64)
+            if len(x) == 0:
+                out.append([int(_MERSENNE)] * num_perm)
+                continue
+            # (num_perm, n_shingles) universal hashes, min over shingles
+            hv = (a[:, None].astype(object) * x[None, :].astype(object) + b[:, None]) % _MERSENNE
+            out.append([int(v) for v in hv.min(axis=1)])
+        return pd.Series(out)
+
+    return with_ids.select("doc_id", minhash(F.col("shingle_ids")).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band the signature, bucket-join, verify.
+
+    bands*rows = num_perm; a pair collides in >=1 band with probability
+    ~1-(1-j^r)^b. Verified estimate = fraction of matching signature
+    positions (unbiased Jaccard estimator). Returns (doc_a, doc_b,
+    jaccard_est >= threshold).
+    """
+    if num_perm % bands != 0:
+        raise ValueError("bands must divide num_perm")
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs, n, num_perm, seed, text_col, id_col)
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.concat_ws(",", F.slice("sig", i * rows + 1, rows)),
+            )
+        ).alias("band", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        .cast("double")
+        / F.lit(float(num_perm))
+    )
+    return (
+        cand.withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("doc_a", "doc_b", "jaccard_est")
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    n: int = 1,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit SimHash fingerprints: (doc_id, simhash BIGINT).
+
+    Token -> stable md5-derived 64-bit hash; signature bit i = sign of the
+    sum over tokens of (+1/-1 per hash bit i). Near-dups have small Hamming
+    distance — pair finding via band-of-bits joins like minhash_lsh.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), _shingles(text_col, n).alias("shingles")
+    )
+    ids = F.transform(
+        F.col("shingles"), lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+    with_ids = sh.select("doc_id", ids.alias("token_ids"))
+
+    @F.pandas_udf("long")
+    def simhash(tids: pd.Series) -> pd.Series:
+        out = []
+        for arr in tids:
+            x = np.asarray(arr, dtype=np.uint64)
+            if len(x) == 0:
+                out.append(0)
+                continue
+            bits = ((x[:, None] >> np.arange(60, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int64
+            )
+            acc = (2 * bits - 1).sum(axis=0)
+            sig = int(((acc > 0).astype(np.uint64) << np.arange(60, dtype=np.uint64)).sum())
+            out.append(sig)
+        return pd.Series(out, dtype="int64")
+
+    return with_ids.select("doc_id", simhash(F.col("token_ids")).alias("simhash"))

@@ -1,0 +1,125 @@
+"""Exact top-k nearest-neighbor search as DataFrame composition.
+
+This is the engine's ground-truth search path (SURVEY §7 Stage 1): the Spark
+re-expression of the reference's end-to-end semantics —
+
+* W3 search (``RocksDBKeyedProcessFunction.search:81-141``): top-k by ascending
+  distance with a freshness filter ``vector.event_time >= query.event_time -
+  query.ttl`` (``FilterSeqTs``, ``hnswlib.h:135-146``; memtable skip
+  ``memtable.cc:1283-1288``).
+* W2 delete (``RocksDBKeyedProcessFunction.delete:69-79``): a delete marker
+  tombstones an id; last-writer-wins on ``(id, event_time)``
+  (``VectorKeyedDataProcessFunction.performLocalDeletes:86-96`` — delete wins
+  only if its event_time is later than the insert's).
+* M1/M2 result semantics (``SearchResult.combine``, ``SearchResult.java:
+  143-183``): ascending distance, ties broken by smaller id, duplicate ids
+  dropped, cut to k.
+
+Plan shape: broadcast the (small) query side into a Nested-Loop-Join —
+distance evaluation stays inside whole-stage codegen — then a window top-k per
+query. At 100 TB the scan side is the big vector table; the only shuffle is
+the final per-qid top-k, whose input is already reduced to candidates. For
+huge query sets use knn_partitioned (LSH pruning) instead of this operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vstream_spark.functions.distance import distance_expr
+
+
+def apply_deletes(vectors: DataFrame, as_of: int | None = None) -> DataFrame:
+    """Resolve insert/delete markers to the live set (last-writer-wins).
+
+    ``vectors`` schema: id, emb, event_time, ttl, op ('I'/'D'). A row is live
+    iff the latest marker for its id (by event_time, as of ``as_of`` if given)
+    is an insert. Ties at equal event_time resolve to the insert surviving
+    (delete wins only with strictly greater event_time — reference
+    ``performLocalDeletes:86-96``).
+    """
+    df = vectors
+    if as_of is not None:
+        df = df.filter(F.col("event_time") <= F.lit(as_of))
+    w = Window.partitionBy("id").orderBy(
+        F.col("event_time").desc(),
+        # insert outranks delete at equal event_time
+        F.when(F.col("op") == "I", F.lit(0)).otherwise(F.lit(1)).asc(),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("op") == "I"))
+        .drop("_rn")
+    )
+
+
+def ttl_filter(vectors: DataFrame, query_event_time, query_ttl) -> DataFrame:
+    """Freshness predicate: event_time in [q.event_time - q.ttl, q.event_time]."""
+    return vectors.filter(
+        (F.col("event_time") >= query_event_time - query_ttl)
+        & (F.col("event_time") <= query_event_time)
+    )
+
+
+def topk(
+    scored: DataFrame,
+    k,
+    qid_col: str = "qid",
+    dist_col: str = "distance",
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """Window top-k with the reference's merge semantics (M1/M2):
+    ascending distance, id tiebreak, dedup by id, rank 1..k."""
+    dedup_w = Window.partitionBy(qid_col, id_col).orderBy(F.col(dist_col).asc())
+    rank_w = Window.partitionBy(qid_col).orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+    out = (
+        scored.withColumn("_dup", F.row_number().over(dedup_w))
+        .filter(F.col("_dup") == 1)
+        .drop("_dup")
+        .withColumn("rank", F.row_number().over(rank_w))
+    )
+    if isinstance(k, int):
+        return out.filter(F.col("rank") <= F.lit(k))
+    return out.filter(F.col("rank") <= k)
+
+
+def knn_exact(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int | None = None,
+    metric: str = "l2",
+    honor_ttl: bool = False,
+    honor_deletes: bool = False,
+) -> DataFrame:
+    """Brute-force exact kNN: queries x vectors -> (qid, neighbor_id, distance, rank).
+
+    ``vectors``: id, emb [, event_time, ttl, op]; ``queries``: qid, emb
+    [, event_time, ttl, k]. If ``k`` is None each query's own ``k`` column is
+    used (per-query k, reference ``VectorSearchOptions.k``).
+
+    The query side is broadcast (queries are the small side by construction —
+    reference fan-out is query-replicated too, P1-P5), so the big vector table
+    never shuffles for the join; the only exchange is the top-k window over
+    candidate rows.
+    """
+    live = apply_deletes(vectors) if honor_deletes else vectors
+    q = queries
+    sel_v = [F.col("v.id").alias("neighbor_id"), F.col("v.emb").alias("_vemb")]
+    sel_q = [F.col("q.qid"), F.col("q.emb").alias("_qemb")]
+    join_cond = F.lit(True)
+    if honor_ttl:
+        join_cond = (F.col("v.event_time") >= F.col("q.event_time") - F.col("q.ttl")) & (
+            F.col("v.event_time") <= F.col("q.event_time")
+        )
+    pairs = live.alias("v").join(F.broadcast(q.alias("q")), join_cond, "inner")
+    if k is None:
+        sel_q.append(F.col("q.k").alias("_k"))
+        scored = pairs.select(*sel_q, *sel_v).withColumn(
+            "distance", distance_expr(F.col("_qemb"), F.col("_vemb"), metric)
+        )
+        return topk(scored, F.col("_k")).select("qid", "neighbor_id", "distance", "rank")
+    scored = pairs.select(*sel_q, *sel_v).withColumn(
+        "distance", distance_expr(F.col("_qemb"), F.col("_vemb"), metric)
+    )
+    return topk(scored, k).select("qid", "neighbor_id", "distance", "rank")

@@ -1,0 +1,192 @@
+"""Partitioned kNN pipeline: exchange -> per-partition search -> global merge.
+
+This is the Spark re-expression of the reference's core dataflow
+(``VStreamSearchJob.java:21-49``; SURVEY §3.1): vectors and queries are routed
+by a partitioner (§2.3), each partition searches its local shard (§2.4 W1-W5),
+and per-partition top-k results are merged into global top-k per query (§2.5
+M1, completeness via ``num_partitions_sent``, ``PartitionedQuery.java:7-28``).
+
+Two search paths:
+
+* **exact JVM path** (``knn_partitioned``): after co-partitioning, the
+  vector×query pairing is a co-located shuffle hash join on ``partition_id``
+  and distance evaluation stays in whole-stage codegen — bit-identical to
+  ``knn_exact`` when the partitioner fans queries out to all data-bearing
+  partitions (the ``simple`` partitioner, P1). With an LSH partitioner the
+  same plan performs *partition-pruned approximate* search: each query visits
+  only its LSH partitions (O1).
+
+* **numpy worker path** (``knn_partitioned_worker``): cogrouped
+  ``applyInPandas`` — one Arrow batch per partition holding its vector shard
+  and routed queries; vectorized brute-force (or IVF) top-k inside. This is
+  the seam where a real graph index (HNSW) plugs in per-partition; at 100 TB
+  the shard is index-backed and only (qid, id, dist) rows leave the executor.
+
+The merge is the window top-k of operators.knn.topk — ascending distance, id
+tiebreak, dedup by id (replicated data under k1>1 families produces duplicate
+candidates; M1 dedups them, ``SearchResult.combine:143-183``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vstream_spark.config import PartitionerConf
+from vstream_spark.functions.distance import distance_expr
+from vstream_spark.operators.knn import apply_deletes, topk
+from vstream_spark.partitioners.dispatch import fit_partitioner
+
+
+def knn_partitioned(
+    vectors: DataFrame,
+    queries: DataFrame,
+    conf: PartitionerConf,
+    k: int = 10,
+    metric: str = "l2",
+    honor_deletes: bool = False,
+    honor_ttl: bool = False,
+) -> DataFrame:
+    """Exchange + co-located join + merge, all JVM-side.
+
+    Returns (qid, neighbor_id, distance, rank). Exact iff the partitioner
+    routes every query to every partition holding candidate data ('simple');
+    approximate (partition-pruned) for LSH partitioners.
+    """
+    live = apply_deletes(vectors) if honor_deletes else vectors
+    part = fit_partitioner(conf, live)
+    pv = part.partition_data(live)  # adds partition_id (maybe replicated rows)
+    pq = part.partition_queries(queries)  # adds partition_id fan-out
+    # Co-located pairing: shuffle both sides once on partition_id. The
+    # partition_id equi-key makes this a hash join, not a cross join.
+    cond = F.col("v.partition_id") == F.col("q.partition_id")
+    if honor_ttl:
+        cond = cond & (
+            (F.col("v.event_time") >= F.col("q.event_time") - F.col("q.ttl"))
+            & (F.col("v.event_time") <= F.col("q.event_time"))
+        )
+    pairs = pv.alias("v").join(pq.alias("q"), cond, "inner")
+    scored = pairs.select(
+        F.col("q.qid").alias("qid"),
+        F.col("v.id").alias("neighbor_id"),
+        distance_expr(F.col("q.emb"), F.col("v.emb"), metric).alias("distance"),
+    )
+    return topk(scored, k).select("qid", "neighbor_id", "distance", "rank")
+
+
+def knn_partitioned_worker(
+    vectors: DataFrame,
+    queries: DataFrame,
+    conf: PartitionerConf,
+    k: int = 10,
+    metric: str = "l2",
+    honor_deletes: bool = False,
+    nprobe_centroids: int | None = None,
+) -> DataFrame:
+    """Cogrouped-pandas per-partition worker (the W1-W5 analog).
+
+    Each group = one partition's vector shard + the queries routed to it;
+    the worker builds a local structure and emits per-partition top-k.
+    ``nprobe_centroids``: if set, an IVF coarse quantizer is built per
+    partition (kmeans-lite) and only the nearest ``nprobe_centroids`` cells
+    are scanned — the scale path for big shards.
+    """
+    live = apply_deletes(vectors) if honor_deletes else vectors
+    part = fit_partitioner(conf, live)
+    pv = part.partition_data(live).select("partition_id", "id", "emb")
+    pq = part.partition_queries(queries).select("partition_id", "qid", "emb")
+
+    def search(vdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if len(vdf) == 0 or len(qdf) == 0:
+            return pd.DataFrame({"qid": [], "neighbor_id": [], "distance": []}).astype(
+                {"qid": "int64", "neighbor_id": "int64", "distance": "float64"}
+            )
+        vmat = np.stack(vdf["emb"].to_numpy()).astype(np.float64)
+        qmat = np.stack(qdf["emb"].to_numpy()).astype(np.float64)
+        vids = vdf["id"].to_numpy()
+        qids = qdf["qid"].to_numpy()
+        out_qid, out_id, out_dist = _local_topk(
+            vmat, qmat, vids, qids, k, metric, nprobe_centroids
+        )
+        return pd.DataFrame({"qid": out_qid, "neighbor_id": out_id, "distance": out_dist})
+
+    results = (
+        pv.groupBy("partition_id")
+        .cogroup(pq.groupBy("partition_id"))
+        .applyInPandas(search, schema="qid BIGINT, neighbor_id BIGINT, distance DOUBLE")
+    )
+    return topk(results, k).select("qid", "neighbor_id", "distance", "rank")
+
+
+def _pairwise_dist(vmat: np.ndarray, qmat: np.ndarray, metric: str) -> np.ndarray:
+    """(Q, N) distance matrix, vectorized."""
+    if metric == "l2":
+        # ||q||^2 - 2 q.v + ||v||^2
+        d = (
+            (qmat * qmat).sum(axis=1)[:, None]
+            - 2.0 * (qmat @ vmat.T)
+            + (vmat * vmat).sum(axis=1)[None, :]
+        )
+        return np.maximum(d, 0.0)
+    if metric == "ip":
+        return 1.0 - qmat @ vmat.T
+    if metric == "cosine":
+        qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+        vn = np.linalg.norm(vmat, axis=1, keepdims=True)
+        return 1.0 - (qmat @ vmat.T) / (qn * vn.T)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def _topk_rows(dist_row: np.ndarray, vids: np.ndarray, k: int):
+    """Indices of the k smallest distances, ties by smaller id (M1 tiebreak)."""
+    kk = min(k, len(dist_row))
+    idx = np.lexsort((vids, dist_row))[:kk]
+    return idx
+
+
+def _local_topk(vmat, qmat, vids, qids, k, metric, nprobe):
+    out_qid: list[int] = []
+    out_id: list[int] = []
+    out_dist: list[float] = []
+    if nprobe and len(vmat) > 4 * nprobe:
+        cells, centroids = _ivf_assign(vmat, nprobe)
+        qc = _pairwise_dist(centroids, qmat, "l2")  # (Q, C)
+        for qi in range(len(qmat)):
+            probe = np.argsort(qc[qi])[:nprobe]
+            cand = np.concatenate([cells[c] for c in probe])
+            d = _pairwise_dist(vmat[cand], qmat[qi : qi + 1], metric)[0]
+            sel = _topk_rows(d, vids[cand], k)
+            out_qid.extend([qids[qi]] * len(sel))
+            out_id.extend(vids[cand][sel])
+            out_dist.extend(d[sel])
+        return out_qid, out_id, out_dist
+    dmat = _pairwise_dist(vmat, qmat, metric)
+    for qi in range(len(qmat)):
+        sel = _topk_rows(dmat[qi], vids, k)
+        out_qid.extend([qids[qi]] * len(sel))
+        out_id.extend(vids[sel])
+        out_dist.extend(dmat[qi][sel])
+    return out_qid, out_id, out_dist
+
+
+def _ivf_assign(vmat: np.ndarray, nprobe: int, iters: int = 5, seed: int = 42):
+    """kmeans-lite coarse quantizer: ~sqrt(N) centroids, deterministic."""
+    n = len(vmat)
+    ncells = max(nprobe, int(np.sqrt(n)))
+    rng = np.random.RandomState(seed)
+    centroids = vmat[rng.choice(n, size=min(ncells, n), replace=False)]
+    for _ in range(iters):
+        assign = np.argmin(_pairwise_dist(centroids, vmat, "l2"), axis=1)
+        for c in range(len(centroids)):
+            members = vmat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    assign = np.argmin(_pairwise_dist(centroids, vmat, "l2"), axis=1)
+    cells = [np.where(assign == c)[0] for c in range(len(centroids))]
+    cells = [c for c in cells if len(c)]
+    centroids = np.stack([vmat[c].mean(axis=0) for c in cells])
+    return cells, centroids

@@ -1,0 +1,133 @@
+"""Space-filling curves (P6 of SURVEY §2.3, ``partitioner/curve/``).
+
+Standard public algorithms re-implemented for the engine (NOT ports): Hilbert
+via Skilling's transpose algorithm, Z-order via bit interleave (reference
+``ZOrderCurve.java:81-139`` does the same interleave), Gray = Z-order index
+Gray-coded, Peano via base-3 digit interleave with reflection. Each maps an
+n-dim point with ``bits`` of resolution per axis to a scalar index on a
+locality-preserving total order — that order is what the dynamic equi-depth
+partitioner quantiles over, so any consistent locality-preserving bijection
+is semantically sufficient.
+
+Inputs are integer coordinate arrays (N, ndim) in [0, 2^bits); outputs are
+Python-int object arrays (indices can exceed 63 bits for ndim*bits > 63,
+matching the reference's BigInteger, ``SpaceFillingCurve.java:6-23``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _as_coords(coords: np.ndarray) -> np.ndarray:
+    c = np.asarray(coords)
+    if c.ndim == 1:
+        c = c[None, :]
+    return c.astype(object)
+
+
+def zorder_index(coords: np.ndarray, bits: int) -> np.ndarray:
+    """Bit-interleaved Morton index. coords: (N, ndim) ints in [0, 2^bits)."""
+    c = _as_coords(coords)
+    n, ndim = c.shape
+    out = np.zeros(n, dtype=object)
+    for b in range(bits):
+        for d in range(ndim):
+            out |= ((c[:, d] >> b) & 1) << (b * ndim + d)
+    return out
+
+
+def gray_index(coords: np.ndarray, bits: int) -> np.ndarray:
+    """Morton index passed through a binary-reflected Gray code."""
+    z = zorder_index(coords, bits)
+    return np.array([int(v) ^ (int(v) >> 1) for v in z], dtype=object)
+
+
+def hilbert_index(coords: np.ndarray, bits: int) -> np.ndarray:
+    """Hilbert curve index (Skilling 2004 transpose algorithm), n-dim."""
+    c = _as_coords(coords)
+    n, ndim = c.shape
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        out[i] = _hilbert_one([int(x) for x in c[i]], bits)
+    return out
+
+
+def _hilbert_one(point: list[int], bits: int) -> int:
+    x = list(point)
+    ndim = len(x)
+    # Inverse undo excess work (Skilling's AxestoTranspose)
+    m = 1 << (bits - 1)
+    q = m
+    while q > 1:
+        p = q - 1
+        for i in range(ndim):
+            if x[i] & q:
+                x[0] ^= p
+            else:
+                t = (x[0] ^ x[i]) & p
+                x[0] ^= t
+                x[i] ^= t
+        q >>= 1
+    for i in range(1, ndim):
+        x[i] ^= x[i - 1]
+    t = 0
+    q = m
+    while q > 1:
+        if x[ndim - 1] & q:
+            t ^= q - 1
+        q >>= 1
+    for i in range(ndim):
+        x[i] ^= t
+    # Interleave transposed bits into a single index (MSB first across dims)
+    h = 0
+    for b in range(bits - 1, -1, -1):
+        for i in range(ndim):
+            h = (h << 1) | ((x[i] >> b) & 1)
+    return h
+
+
+def peano_index(coords: np.ndarray, bits: int) -> np.ndarray:
+    """Peano curve: base-3 digit interleave with parity reflection.
+
+    Resolution: coordinates are first rescaled from [0, 2^bits) onto
+    [0, 3^levels) with levels = ceil(bits * log3(2)) so the ternary grid at
+    least matches the binary resolution.
+    """
+    c = _as_coords(coords)
+    n, ndim = c.shape
+    levels = max(1, int(np.ceil(bits * np.log(2) / np.log(3))))
+    side2 = 1 << bits
+    side3 = 3**levels
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        pt = [int(c[i, d]) * side3 // side2 for d in range(ndim)]
+        out[i] = _peano_one(pt, ndim, levels)
+    return out
+
+
+def _peano_one(pt: list[int], ndim: int, levels: int) -> int:
+    # ternary digits, most significant first
+    digits = [[(p // (3 ** (levels - 1 - l))) % 3 for l in range(levels)] for p in pt]
+    idx = 0
+    flip = [0] * ndim  # reflection parity per axis
+    for l in range(levels):
+        for d in range(ndim):
+            dig = digits[d][l]
+            if flip[d] % 2 == 1:
+                dig = 2 - dig
+            idx = idx * 3 + dig
+            # digits 0/2 keep orientation, digit 1 reflects subsequent axes
+            if dig == 1:
+                for d2 in range(ndim):
+                    if d2 != d:
+                        flip[d2] += 1
+    return idx
+
+
+CURVES = {
+    "hilbert": hilbert_index,
+    "zorder": zorder_index,
+    "gray": gray_index,
+    "peano": peano_index,
+}

@@ -1,0 +1,333 @@
+"""Partitioner dispatch: conf.kind -> fitted exchange operator.
+
+Mirrors the reference's factory ``PartitionFunction.getPartitionFunction``
+(``partitioner/PartitionFunction.java:82-218``). Kinds:
+
+  simple         P1  hash(id) mod P; queries broadcast to ALL partitions
+  lsh            P2  p-stable LSH, k1 families x k2 hashes
+  lsh+random     P3  lsh + ~P/3 extra random partitions on the query side
+  lsh+proximity  P4  lsh + multiprobe perturbation fan-out
+  lsh+hilbert / lsh+zorder / lsh+gray / lsh+peano
+                 P5  LSH sketch -> space-filling-curve value -> equi-depth
+                     quantile partition boundaries re-learned per event-time
+                     epoch; queries fan out to every fresh epoch's partition
+  hilbert        P9  curve on the raw vector (no LSH), ring replication
+  kmeans         P7  pyspark.ml KMeans; route to replication_factor nearest
+                     centroids
+
+Contract: ``fit_partitioner(conf, vectors)`` returns a ``FittedPartitioner``
+with ``partition_data(df)`` (adds ``partition_id``, possibly replicating rows)
+and ``partition_queries(df)`` (adds ``partition_id`` fan-out +
+``num_partitions_sent`` for merge completeness, ``PartitionedQuery.java:7-28``).
+
+Learned state (quantile boundaries, centroids) is always a SMALL broadcastable
+object collected once on the driver — O(P) floats per epoch / O(C*dim)
+centroids — never the data itself (100 TB posture, SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import bisect
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+from vstream_spark.config import PartitionerConf
+from vstream_spark.partitioners.curves import CURVES
+from vstream_spark.partitioners.lsh import LSHFamilies
+
+_FAMILY_CACHE: dict[tuple, LSHFamilies] = {}
+
+
+def _families(dim: int, conf: PartitionerConf) -> LSHFamilies:
+    key = (dim, conf)
+    if key not in _FAMILY_CACHE:
+        _FAMILY_CACHE[key] = LSHFamilies(dim, conf)
+    return _FAMILY_CACHE[key]
+
+
+def _explode_pids(df: DataFrame, pids_col, with_fanout: bool) -> DataFrame:
+    out = df.withColumn("_pids", pids_col)
+    if with_fanout:
+        out = out.withColumn("num_partitions_sent", F.size("_pids"))
+    return out.withColumn("partition_id", F.explode("_pids")).drop("_pids")
+
+
+class FittedPartitioner:
+    def __init__(self, conf: PartitionerConf):
+        self.conf = conf
+
+    def partition_data(self, df: DataFrame, emb_col: str = "emb") -> DataFrame:
+        raise NotImplementedError
+
+    def partition_queries(self, df: DataFrame, emb_col: str = "emb") -> DataFrame:
+        raise NotImplementedError
+
+
+class SimplePartitioner(FittedPartitioner):
+    """P1 (SimplePartitionFunction.java:217-271): id-hash routing, full query
+    broadcast — the exact-search exchange (no pruning, recall 1.0)."""
+
+    def partition_data(self, df: DataFrame, emb_col: str = "emb") -> DataFrame:
+        p = self.conf.num_partitions
+        return df.withColumn("partition_id", F.pmod(F.hash("id"), F.lit(p)).cast("int"))
+
+    def partition_queries(self, df: DataFrame, emb_col: str = "emb") -> DataFrame:
+        p = self.conf.num_partitions
+        return _explode_pids(
+            df, F.sequence(F.lit(0), F.lit(p - 1)), with_fanout=True
+        )
+
+
+class LSHPartitioner(FittedPartitioner):
+    """P2/P3/P4: stateless seeded LSH routing (same families both sides)."""
+
+    def __init__(self, conf: PartitionerConf, query_probes: int = 0, random_extra: bool = False):
+        super().__init__(conf)
+        self.query_probes = query_probes
+        self.random_extra = random_extra
+
+    def _pids_udf(self, probes: int):
+        conf = self.conf
+
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def pids(emb: pd.Series) -> pd.Series:
+            if len(emb) == 0:
+                return pd.Series([], dtype=object)
+            mat = np.stack(emb.to_numpy()).astype(np.float64)
+            fams = _families(mat.shape[1], conf)
+            sets = fams.partitions(mat, probes)
+            return pd.Series([sorted(s) for s in sets])
+
+        return pids
+
+    def partition_data(self, df: DataFrame, emb_col: str = "emb") -> DataFrame:
+        return _explode_pids(df, self._pids_udf(0)(F.col(emb_col)), with_fanout=False)
+
+    def partition_queries(self, df: DataFrame, emb_col: str = "emb") -> DataFrame:
+        pids = self._pids_udf(self.query_probes)(F.col(emb_col))
+        if self.random_extra:
+            # P3: +floor(P/3) pseudo-random extra partitions, seeded by qid
+            # (LSHAndRandomPartitionFunction.java:253-350)
+            extra = F.array(
+                *[
+                    F.pmod(F.hash(F.col("qid") + F.lit(i * 7919)), F.lit(self.conf.num_partitions)).cast("int")
+                    for i in range(max(1, self.conf.num_partitions // 3))
+                ]
+            )
+            pids = F.array_distinct(F.concat(pids, extra))
+        return _explode_pids(df, pids, with_fanout=True)
+
+
+class CurvePartitioner(FittedPartitioner):
+    """P5/P9: (optional LSH sketch ->) space-filling curve -> equi-depth
+    quantile boundaries, re-learned per event-time epoch.
+
+    Batch analog of ``LSHashSpaceFillingPartitioner.java:12-356``: boundaries
+    are learned with ``percentile_approx`` per epoch (``summarizeHistory``,
+    :118-145 — equi-depth quantiles over a bounded history); data is routed by
+    its own epoch's boundaries (``getDataPartition``:266-312); queries fan out
+    to their partition in EVERY epoch (``getQueryPartition``:314-351 — all
+    epochs of a batch table are "fresh" unless an event-time filter already
+    pruned them).
+    """
+
+    def __init__(self, conf: PartitionerConf, curve: str, use_lsh: bool):
+        super().__init__(conf)
+        if conf.num_hashes * conf.sfc_bits > 62:
+            raise ValueError("num_hashes * sfc_bits must be <= 62 (int64 curve index)")
+        self.curve = CURVES[curve]
+        self.use_lsh = use_lsh
+        self.boundaries: dict[int, list[float]] = {}  # epoch -> P-1 boundaries
+        self.lo: np.ndarray | None = None  # sketch-space normalization
+        self.hi: np.ndarray | None = None
+
+    def _curve_udf(self):
+        conf, curve, use_lsh = self.conf, self.curve, self.use_lsh
+        lo, hi = self.lo, self.hi
+
+        @F.pandas_udf("long")
+        def curve_value(emb: pd.Series) -> pd.Series:
+            if len(emb) == 0:
+                return pd.Series([], dtype="int64")
+            mat = np.stack(emb.to_numpy()).astype(np.float64)
+            sketch = _families(mat.shape[1], conf).hash_values(mat, 0) if use_lsh else mat
+            side = 1 << conf.sfc_bits
+            span = np.where((hi - lo) > 0, hi - lo, 1.0)
+            coords = np.clip(
+                ((sketch - lo) / span * side).astype(np.int64), 0, side - 1
+            )
+            vals = curve(coords, conf.sfc_bits)
+            return pd.Series([int(v) for v in vals], dtype="int64")
+
+        return curve_value
+
+    def fit(self, vectors: DataFrame, emb_col: str = "emb") -> "CurvePartitioner":
+        conf = self.conf
+        has_time = "event_time" in vectors.columns
+
+        # Pass 1: normalization range of the sketch space (driver gets 2 small
+        # arrays). Sample-based — bounded work regardless of table size.
+        sample = vectors.select(emb_col).limit(100_000)
+        pdf = sample.toPandas()
+        mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+        sketch = (
+            _families(mat.shape[1], conf).hash_values(mat, 0) if self.use_lsh else mat
+        )
+        self.lo = sketch.min(axis=0).astype(np.float64)
+        self.hi = sketch.max(axis=0).astype(np.float64)
+
+        # Pass 2: per-epoch equi-depth boundaries via percentile_approx
+        # (distributed sketch; driver receives O(epochs * P) floats).
+        qs = [i / conf.num_partitions for i in range(1, conf.num_partitions)]
+        cv = vectors.withColumn("_cv", self._curve_udf()(F.col(emb_col)))
+        epoch_col = (
+            (F.col("event_time") / F.lit(conf.update_interval)).cast("long")
+            if has_time
+            else F.lit(0)
+        )
+        rows = (
+            cv.withColumn("_epoch", epoch_col)
+            .groupBy("_epoch")
+            .agg(F.percentile_approx("_cv", qs, 10_000).alias("_bounds"))
+            .collect()
+        )
+        self.boundaries = {int(r["_epoch"]): [float(b) for b in r["_bounds"]] for r in rows}
+        return self
+
+    def _assign_udf(self, fan_all_epochs: bool, replicate: int):
+        boundaries = self.boundaries
+        conf = self.conf
+
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def assign(cv: pd.Series, epoch: pd.Series) -> pd.Series:
+            out = []
+            for v, e in zip(cv, epoch):
+                epochs = boundaries.keys() if fan_all_epochs else [int(e)]
+                pids: set[int] = set()
+                for ep in epochs:
+                    b = boundaries.get(int(ep))
+                    if b is None:
+                        pids.add(int(v) % conf.num_partitions)
+                        continue
+                    base = bisect.bisect_right(b, float(v))
+                    for r in range(replicate):
+                        pids.add((base + r) % conf.num_partitions)
+                        pids.add((base - r) % conf.num_partitions)
+                out.append(sorted(pids))
+            return pd.Series(out)
+
+        return assign
+
+    def _with_epoch(self, df: DataFrame) -> DataFrame:
+        if "event_time" in df.columns:
+            ep = (F.col("event_time") / F.lit(self.conf.update_interval)).cast("long")
+        else:
+            ep = F.lit(0).cast("long")
+        return df.withColumn("_epoch", ep)
+
+    def partition_data(self, df: DataFrame, emb_col: str = "emb") -> DataFrame:
+        cv = self._with_epoch(df.withColumn("_cv", self._curve_udf()(F.col(emb_col))))
+        out = _explode_pids(
+            cv,
+            self._assign_udf(False, max(1, self.conf.replication_factor))(
+                F.col("_cv"), F.col("_epoch")
+            ),
+            with_fanout=False,
+        )
+        return out.drop("_cv", "_epoch")
+
+    def partition_queries(self, df: DataFrame, emb_col: str = "emb") -> DataFrame:
+        cv = self._with_epoch(df.withColumn("_cv", self._curve_udf()(F.col(emb_col))))
+        out = _explode_pids(
+            cv,
+            self._assign_udf(True, max(1, self.conf.replication_factor))(
+                F.col("_cv"), F.col("_epoch")
+            ),
+            with_fanout=True,
+        )
+        return out.drop("_cv", "_epoch")
+
+
+class KMeansPartitioner(FittedPartitioner):
+    """P7 (KMeansPartitionFunction.java:21-125): route vector/query to the
+    replication_factor nearest centroids. Centroids fit with pyspark.ml on a
+    bounded sample (maxHistorySize analog), broadcast as a small numpy array."""
+
+    def __init__(self, conf: PartitionerConf):
+        super().__init__(conf)
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, vectors: DataFrame, emb_col: str = "emb") -> "KMeansPartitioner":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        sample = vectors.select(array_to_vector(F.col(emb_col)).alias("features")).limit(
+            100_000
+        )
+        model = KMeans(
+            k=self.conf.num_partitions, seed=self.conf.seed, maxIter=20
+        ).fit(sample)
+        self.centroids = np.stack([c.toArray() for c in model.clusterCenters()])
+        return self
+
+    def _assign_udf(self, topr: int):
+        centroids = self.centroids
+
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def assign(emb: pd.Series) -> pd.Series:
+            if len(emb) == 0:
+                return pd.Series([], dtype=object)
+            mat = np.stack(emb.to_numpy()).astype(np.float64)
+            d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d, axis=1)[:, :topr]
+            return pd.Series([sorted(int(p) for p in row) for row in order])
+
+        return assign
+
+    def partition_data(self, df: DataFrame, emb_col: str = "emb") -> DataFrame:
+        r = max(1, self.conf.replication_factor)
+        return _explode_pids(df, self._assign_udf(r)(F.col(emb_col)), with_fanout=False)
+
+    def partition_queries(self, df: DataFrame, emb_col: str = "emb") -> DataFrame:
+        r = max(1, self.conf.replication_factor)
+        return _explode_pids(df, self._assign_udf(r)(F.col(emb_col)), with_fanout=True)
+
+
+def fit_partitioner(conf: PartitionerConf, vectors: DataFrame | None = None) -> FittedPartitioner:
+    kind = conf.kind
+    if kind == "simple":
+        return SimplePartitioner(conf)
+    if kind == "lsh":
+        return LSHPartitioner(conf)
+    if kind == "lsh+random":
+        return LSHPartitioner(conf, random_extra=True)
+    if kind == "lsh+proximity":
+        return LSHPartitioner(conf, query_probes=max(1, conf.num_probes))
+    if kind.startswith("lsh+") and kind.split("+", 1)[1] in CURVES:
+        part = CurvePartitioner(conf, kind.split("+", 1)[1], use_lsh=True)
+        if vectors is None:
+            raise ValueError(f"{kind} requires vectors to fit quantile boundaries")
+        return part.fit(vectors)
+    if kind == "hilbert":
+        part = CurvePartitioner(conf, "hilbert", use_lsh=False)
+        if vectors is None:
+            raise ValueError("hilbert requires vectors to fit quantile boundaries")
+        return part.fit(vectors)
+    if kind == "kmeans":
+        if vectors is None:
+            raise ValueError("kmeans requires vectors to fit centroids")
+        return KMeansPartitioner(conf).fit(vectors)
+    raise ValueError(f"unknown partitioner kind {kind!r}")
+
+
+def partition_data(df: DataFrame, conf: PartitionerConf, emb_col: str = "emb") -> DataFrame:
+    """Stateless convenience for simple/lsh kinds (no fitting needed)."""
+    return fit_partitioner(conf, df).partition_data(df, emb_col)
+
+
+def partition_queries(df: DataFrame, conf: PartitionerConf, emb_col: str = "emb") -> DataFrame:
+    return fit_partitioner(conf).partition_queries(df, emb_col)
