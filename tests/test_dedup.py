@@ -1,0 +1,70 @@
+"""Dedup operator semantics on constructed corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vstream_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "The Quick Brown Fox jumps over the lazy dog "),  # case/space dup of 0
+    (3, "the quick brown fox leaps over the lazy dog"),  # near dup (1 word)
+    (4, "completely different text about spark engines and vectors"),
+    (5, "a b"),  # shorter than shingle width
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_dedup_exact_groups(docs):
+    got = {r.doc_id: r for r in dedup_exact(docs).collect()}
+    assert got[0].group_size == 3 and got[0].is_canonical
+    assert got[1].group_size == 3 and not got[1].is_canonical
+    assert got[2].group_size == 3 and not got[2].is_canonical
+    assert got[4].group_size == 1 and got[4].is_canonical
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs and 0.3 <= pairs[(0, 3)] < 1.0
+    assert (0, 4) not in pairs
+
+
+def test_minhash_estimates_jaccard(docs):
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(docs, n=3, num_perm=128).collect()}
+    est01 = sum(a == b for a, b in zip(sigs[0], sigs[1])) / 128
+    est03 = sum(a == b for a, b in zip(sigs[0], sigs[3])) / 128
+    est04 = sum(a == b for a, b in zip(sigs[0], sigs[4])) / 128
+    assert est01 == 1.0
+    assert 0.2 < est03 < 0.9  # true jaccard ~0.5 on 3-gram shingles
+    assert est04 < 0.2
+
+
+def test_minhash_lsh_recovers_pairs(docs):
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(docs, n=3, num_perm=64, bands=16, threshold=0.3).collect()
+    }
+    assert (0, 1) in got and (0, 2) not in got  # 2 normalizes only in exact dedup
+    assert (0, 3) in got
+
+
+def test_simhash_near_dups_close(docs):
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs, n=1).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert sigs[0] == sigs[1]
+    assert ham(sigs[0], sigs[3]) < ham(sigs[0], sigs[4])

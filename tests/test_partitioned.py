@@ -1,0 +1,81 @@
+"""Partitioned pipeline: exactness under full fan-out, ANN recall under
+pruning (mirrors StreamSearchAccuracyTest recall thresholds, SURVEY §5.2)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vstream_spark.config import PartitionerConf
+from vstream_spark.operators.knn import knn_exact
+from vstream_spark.operators.partitioned import knn_partitioned, knn_partitioned_worker
+
+N, Q, DIM, K = 500, 20, 16, 10
+
+
+@pytest.fixture(scope="module")
+def dfs(spark):
+    rng = np.random.RandomState(11)
+    # clustered data (10 gaussian blobs) so LSH pruning has structure to find
+    centers = rng.rand(10, DIM) * 4
+    base = (centers[rng.randint(0, 10, N)] + rng.randn(N, DIM) * 0.15).astype(np.float32)
+    vdf = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(N)], "id bigint, emb array<float>"
+    )
+    qidx = rng.choice(N, Q, replace=False)
+    qdf = spark.createDataFrame(
+        [(int(i), base[i].tolist()) for i in qidx], "qid bigint, emb array<float>"
+    )
+    return vdf, qdf
+
+
+def _result_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.qid, set()).add(r.neighbor_id)
+    return out
+
+
+def test_simple_partitioned_equals_exact(spark, dfs):
+    vdf, qdf = dfs
+    exact = knn_exact(vdf, qdf, k=K).collect()
+    part = knn_partitioned(
+        vdf, qdf, PartitionerConf(kind="simple", num_partitions=8), k=K
+    ).collect()
+    key = lambda rows: sorted((r.qid, r.rank, r.neighbor_id, round(r.distance, 9)) for r in rows)
+    assert key(exact) == key(part)
+
+
+@pytest.mark.parametrize(
+    "conf",
+    [
+        PartitionerConf(kind="lsh", num_partitions=8, num_families=4, num_hashes=4, bucket_width=8.0),
+        PartitionerConf(kind="lsh+proximity", num_partitions=8, num_families=2, num_hashes=4, bucket_width=8.0, num_probes=1),
+    ],
+)
+def test_lsh_pruned_recall(spark, dfs, conf):
+    vdf, qdf = dfs
+    exact = _result_sets(knn_exact(vdf, qdf, k=K))
+    ann = _result_sets(knn_partitioned(vdf, qdf, conf, k=K))
+    recalls = [len(ann.get(q, set()) & ids) / K for q, ids in exact.items()]
+    assert np.mean(recalls) >= 0.85, f"mean recall {np.mean(recalls):.3f}"
+
+
+def test_worker_path_matches_jvm_path(spark, dfs):
+    """Cogrouped numpy worker and JVM join path must find the same ids under
+    the same partitioner (distances may differ in last ulp)."""
+    vdf, qdf = dfs
+    conf = PartitionerConf(kind="simple", num_partitions=4)
+    jvm = _result_sets(knn_partitioned(vdf, qdf, conf, k=K))
+    worker = _result_sets(knn_partitioned_worker(vdf, qdf, conf, k=K))
+    assert jvm == worker
+
+
+def test_ivf_probe_recall(spark, dfs):
+    vdf, qdf = dfs
+    conf = PartitionerConf(kind="kmeans", num_partitions=4, replication_factor=1)
+    exact = _result_sets(knn_exact(vdf, qdf, k=K))
+    ann = _result_sets(
+        knn_partitioned_worker(vdf, qdf, conf, k=K, nprobe_centroids=3)
+    )
+    recalls = [len(ann.get(q, set()) & ids) / K for q, ids in exact.items()]
+    assert np.mean(recalls) >= 0.8, f"mean recall {np.mean(recalls):.3f}"

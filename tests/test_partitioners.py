@@ -1,0 +1,151 @@
+"""Partitioner unit tests (SURVEY §5.1 analog: curves, LSH, balance)."""
+
+import numpy as np
+import pytest
+
+from vstream_spark.config import PartitionerConf
+from vstream_spark.partitioners.curves import (
+    gray_index,
+    hilbert_index,
+    peano_index,
+    zorder_index,
+)
+from vstream_spark.partitioners.dispatch import fit_partitioner
+from vstream_spark.partitioners.lsh import LSHFamilies
+
+
+# --- curves ------------------------------------------------------------------
+
+
+def _grid(bits, ndim):
+    side = 1 << bits
+    pts = np.array(
+        [[(i >> (d * bits)) & (side - 1) for d in range(ndim)] for i in range(side**ndim)]
+    )
+    return pts
+
+
+@pytest.mark.parametrize("curve", [zorder_index, gray_index, hilbert_index])
+def test_curve_is_bijection(curve):
+    pts = _grid(3, 2)  # 8x8 grid
+    idx = curve(pts, 3)
+    assert len(set(int(v) for v in idx)) == 64
+    assert min(int(v) for v in idx) == 0
+    assert max(int(v) for v in idx) == 63
+
+
+def test_peano_is_bijection_on_ternary_grid():
+    # native ternary grid: 9x9 points, bits chosen so 3^levels == 2^bits scale
+    pts = np.array([[x, y] for x in range(8) for y in range(8)])
+    idx = peano_index(pts, 3)
+    # not a strict bijection after rescaling 2^3 -> 3^2 grid, but must be
+    # deterministic and well-spread
+    assert len(set(int(v) for v in idx)) >= 32
+
+
+def test_hilbert_adjacency():
+    """Consecutive Hilbert indices are adjacent grid cells (the locality
+    property the equi-depth partitioner relies on)."""
+    pts = _grid(3, 2)
+    idx = hilbert_index(pts, 3)
+    by_idx = {int(v): tuple(pts[i]) for i, v in enumerate(idx)}
+    for h in range(63):
+        (x1, y1), (x2, y2) = by_idx[h], by_idx[h + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, f"index {h} not adjacent"
+
+
+def test_zorder_known_values():
+    # interleave: (x=1,y=0) -> 1, (0,1) -> 2, (1,1) -> 3, (2,2) -> 12
+    pts = np.array([[1, 0], [0, 1], [1, 1], [2, 2]])
+    assert [int(v) for v in zorder_index(pts, 2)] == [1, 2, 3, 12]
+
+
+# --- LSH ---------------------------------------------------------------------
+
+
+def test_lsh_deterministic_and_query_aligned():
+    conf = PartitionerConf(kind="lsh", num_partitions=8, num_families=4, num_hashes=4)
+    fams1 = LSHFamilies(16, conf)
+    fams2 = LSHFamilies(16, conf)
+    rng = np.random.RandomState(0)
+    mat = rng.rand(50, 16)
+    p1 = fams1.partitions(mat)
+    p2 = fams2.partitions(mat)
+    assert p1 == p2  # seeded -> identical across instances (and executors)
+
+
+def test_lsh_close_vectors_share_partitions():
+    conf = PartitionerConf(
+        kind="lsh", num_partitions=8, num_families=4, num_hashes=4, bucket_width=4.0
+    )
+    fams = LSHFamilies(16, conf)
+    rng = np.random.RandomState(1)
+    v = rng.rand(1, 16)
+    near = v + rng.randn(1, 16) * 1e-4
+    far = rng.rand(1, 16) * 10
+    pv = fams.partitions(np.vstack([v, near, far]))
+    assert pv[0] & pv[1], "near-identical vectors must co-bucket"
+
+
+def test_multiprobe_superset():
+    conf = PartitionerConf(kind="lsh", num_partitions=8, num_families=2, num_hashes=4)
+    fams = LSHFamilies(8, conf)
+    mat = np.random.RandomState(2).rand(20, 8)
+    base = fams.partitions(mat, probes=0)
+    probed = fams.partitions(mat, probes=1)
+    for b, p in zip(base, probed):
+        assert b <= p
+
+
+# --- fitted partitioners over Spark ------------------------------------------
+
+
+def _vector_df(spark, n=400, dim=8, seed=3):
+    rng = np.random.RandomState(seed)
+    return spark.createDataFrame(
+        [(i, rng.rand(dim).astype(np.float32).tolist(), i * 1000) for i in range(n)],
+        "id bigint, emb array<float>, event_time bigint",
+    )
+
+
+def test_simple_partitioner_full_fanout(spark):
+    conf = PartitionerConf(kind="simple", num_partitions=4)
+    part = fit_partitioner(conf)
+    df = _vector_df(spark, 50)
+    pd_ = part.partition_data(df)
+    assert pd_.select("partition_id").distinct().count() == 4
+    q = df.selectExpr("id as qid", "emb")
+    pq = part.partition_queries(q)
+    assert pq.count() == 50 * 4
+    assert pq.select("num_partitions_sent").distinct().collect()[0][0] == 4
+
+
+@pytest.mark.parametrize("kind", ["lsh+hilbert", "lsh+zorder", "hilbert"])
+def test_curve_partitioner_balance_and_routing(spark, kind):
+    conf = PartitionerConf(
+        kind=kind, num_partitions=4, num_hashes=2, sfc_bits=7, bucket_width=0.5
+    )
+    df = _vector_df(spark, 400)
+    part = fit_partitioner(conf, df)
+    counts = {
+        r.partition_id: r["count"]
+        for r in part.partition_data(df).groupBy("partition_id").count().collect()
+    }
+    assert len(counts) == 4
+    # equi-depth: no partition more than 2.5x the ideal share
+    assert max(counts.values()) <= 2.5 * (400 / 4)
+    # query fan-out covers every epoch's partition; single epoch when no
+    # event_time on the query side -> at least 1 pid each
+    q = df.selectExpr("id as qid", "emb").limit(20)
+    pq = part.partition_queries(q)
+    assert pq.count() >= 20
+
+
+def test_kmeans_partitioner_clusters(spark):
+    conf = PartitionerConf(kind="kmeans", num_partitions=3, replication_factor=2)
+    df = _vector_df(spark, 200)
+    part = fit_partitioner(conf, df)
+    pdata = part.partition_data(df)
+    # replication_factor=2 -> every row lands in exactly 2 partitions
+    assert pdata.count() == 400
+    assert pdata.select("partition_id").distinct().count() == 3

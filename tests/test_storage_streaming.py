@@ -1,0 +1,116 @@
+"""SegmentStore (LSM analog) + Structured Streaming pipelines."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vstream_spark.operators.knn import knn_exact
+from vstream_spark.storage.segments import SegmentStore
+from vstream_spark.streaming.pipeline import (
+    StreamingVectorIngest,
+    read_event_stream,
+    run_stream_to_memory,
+    search_store,
+    streaming_event_rollup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _vec_rows(lo, hi, dim=4, seed=0):
+    rng = np.random.RandomState(seed)
+    return [
+        (i, rng.rand(dim).astype(np.float32).tolist(), i * 100, 10**12, "I")
+        for i in range(lo, hi)
+    ]
+
+
+SCHEMA = "id bigint, emb array<float>, event_time bigint, ttl bigint, op string"
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return SegmentStore(spark, str(tmp_path / "segments"))
+
+
+def test_segment_append_prune_read(spark, store):
+    store.append_segment(spark.createDataFrame(_vec_rows(0, 100), SCHEMA))
+    store.append_segment(spark.createDataFrame(_vec_rows(100, 200), SCHEMA))
+    store.append_segment(spark.createDataFrame(_vec_rows(200, 300), SCHEMA))
+    assert len(store.segments()) == 3
+    # window [event_time 15000, 25000] intersects only segments 2 and 3
+    assert len(store.prune(15000, 25000)) == 2
+    df = store.read(15000, 25000)
+    ids = sorted(r.id for r in df.select("id").collect())
+    assert ids[0] == 150 and ids[-1] == 250
+
+
+def test_segment_compact_and_evict(spark, store):
+    for lo in range(0, 300, 100):
+        store.append_segment(spark.createDataFrame(_vec_rows(lo, lo + 100), SCHEMA))
+    segs = store.compact(max_rows_per_segment=1000)
+    assert len(segs) == 1 and segs[0]["count"] == 300
+    assert store.read().count() == 300
+    # merged segment spans event_time 0..29900: horizon below its max keeps it
+    assert store.evict(10_000) == 0
+    store.append_segment(
+        spark.createDataFrame(_vec_rows(300, 310), SCHEMA)
+    )  # times 30000..30900
+    assert store.evict(100_000) == 2
+    assert store.segments() == []
+
+
+def test_search_store_matches_batch_knn(spark, store):
+    rows = _vec_rows(0, 200, dim=8, seed=3)
+    store.append_segment(spark.createDataFrame(rows[:100], SCHEMA))
+    store.append_segment(spark.createDataFrame(rows[100:], SCHEMA))
+    rng = np.random.RandomState(9)
+    qdf = spark.createDataFrame(
+        [(i, rng.rand(8).astype(np.float32).tolist(), 30_000, 10**9, 5) for i in range(5)],
+        "qid bigint, emb array<float>, event_time bigint, ttl bigint, k int",
+    )
+    got = search_store(store, qdf, k=None)
+    vdf = spark.createDataFrame(rows, SCHEMA)
+    exp = knn_exact(vdf, qdf, k=None, honor_ttl=True, honor_deletes=True)
+    key = lambda df: sorted(
+        (r.qid, r.rank, r.neighbor_id, round(r.distance, 9)) for r in df.collect()
+    )
+    assert key(got) == key(exp)
+
+
+def test_streaming_ingest_creates_segments(spark, store, tmp_path):
+    src = str(tmp_path / "drops")
+    import os
+
+    os.makedirs(src)
+    spark.createDataFrame(_vec_rows(0, 50), SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/b1")
+    schema = spark.read.parquet(src + "/b1").schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src + "/b1")
+    )
+    q = StreamingVectorIngest(store).start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert len(store.segments()) >= 1
+    assert store.read().count() == 50
+
+
+def test_streaming_event_rollup_matches_batch(spark):
+    events = read_event_stream(spark, SF)
+    roll = streaming_event_rollup(events)
+    run_stream_to_memory(roll, "rollup_test")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in spark.sql("select * from rollup_test").collect()
+    }
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    )
+    exp = {
+        (r.w.start, r.event_type): (r.n, round(r.s, 4)) for r in batch.collect()
+    }
+    assert got == exp and len(got) > 0

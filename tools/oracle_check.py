@@ -37,6 +37,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("int64")
         elif df[c].dtype.kind == "M":
             df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "__len__") and not isinstance(v, str) else v
+            )
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 

@@ -46,12 +46,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine_distance(a: Column, b: Column) -> Column:
-    """1 - cosine similarity."""
-    return F.lit(1.0) - dot(a, b) / (norm(a) * norm(b))
+    """1 - cosine similarity (zero-norm vectors treated as similarity 0)."""
+    return F.lit(1.0) - cosine_similarity(a, b)
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def distance_expr(a: Column, b: Column, metric: str) -> Column:
@@ -89,11 +90,13 @@ def ip_sql(a: str, b: str) -> str:
     return f"(1.0 - {dot_sql(a, b)})"
 
 
+def cosine_sim_sql(a: str, b: str) -> str:
+    denom = f"(sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)}))"
+    return f"(CASE WHEN {denom} <> 0.0 THEN {dot_sql(a, b)} / {denom} ELSE 0.0 END)"
+
+
 def cosine_sql(a: str, b: str) -> str:
-    return (
-        f"(1.0 - {dot_sql(a, b)} / "
-        f"(sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})))"
-    )
+    return f"(1.0 - {cosine_sim_sql(a, b)})"
 
 
 def distance_sql(a: str, b: str, metric: str) -> str:

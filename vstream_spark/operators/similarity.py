@@ -10,6 +10,10 @@ Generalizes the reference's query path (W3 top-k + M1 merge) to:
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -17,6 +21,27 @@ from vstream_spark.config import PartitionerConf
 from vstream_spark.functions.distance import cosine_similarity
 from vstream_spark.operators.partitioned import knn_partitioned_worker
 from vstream_spark.partitioners.dispatch import fit_partitioner
+
+
+def _fold_dot(amat: np.ndarray, bmat: np.ndarray) -> np.ndarray:
+    """(N, M) dot products with STRICT left-fold summation order per pair.
+
+    A plain matmul uses pairwise/blocked summation, which differs in the last
+    ulp from a sequential fold — and the DuckDB oracle (list_sum over
+    list_zip) and the JVM ``aggregate`` expression both fold left-to-right.
+    Looping over the dim axis with a float64 accumulator reproduces that order
+    exactly while staying vectorized across pairs."""
+    acc = np.zeros((amat.shape[0], bmat.shape[0]), dtype=np.float64)
+    for d in range(amat.shape[1]):
+        acc += amat[:, d : d + 1] * bmat[None, :, d]
+    return acc
+
+
+def _fold_sqnorm(mat: np.ndarray) -> np.ndarray:
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for d in range(mat.shape[1]):
+        acc += mat[:, d] * mat[:, d]
+    return acc
 
 
 def similarity_join_exact(
@@ -28,18 +53,40 @@ def similarity_join_exact(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """All-pairs cosine-similarity join: (id_a, id_b, cosine_sim >= threshold),
-    id_a < id_b. Exact — O(N*M) distance evaluations, JVM-side; use as oracle
-    and for small/broadcastable sides. The LSH-bucketed variant bounds the
-    candidate set for scale."""
-    a = left.select(F.col(left_id).alias("id_a"), F.col(emb_col).alias("emb_a"))
-    b = right.select(F.col(right_id).alias("id_b"), F.col(emb_col).alias("emb_b"))
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    sim = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
-    return (
-        pairs.withColumn("cosine_sim", sim)
-        .filter(F.col("cosine_sim") >= F.lit(threshold))
-        .select("id_a", "id_b", "cosine_sim")
+    id_a < id_b. Exact — O(N*M) distance evaluations.
+
+    Physical plan: the right side is collected ONCE into an Arrow-backed
+    numpy block and closed over by a mapInPandas over the (distributed) left
+    side — a broadcast nested-loop in vectorized numpy, with bitwise
+    fold-order parity against the SQL oracle. The right side must fit in
+    executor memory (same constraint as any broadcast join); for two big
+    sides use lsh_similarity_join."""
+    b_pdf = (
+        right.select(F.col(right_id).alias("id_b"), F.col(emb_col).alias("emb_b"))
+        .toPandas()
     )
+    b_ids = b_pdf["id_b"].to_numpy()
+    b_mat = np.stack(b_pdf["emb_b"].to_numpy()).astype(np.float64)
+    b_norm = np.sqrt(_fold_sqnorm(b_mat))
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf["id_a"].to_numpy()
+            a_mat = np.stack(pdf["emb_a"].to_numpy()).astype(np.float64)
+            a_norm = np.sqrt(_fold_sqnorm(a_mat))
+            denom = a_norm[:, None] * b_norm[None, :]
+            dots = _fold_dot(a_mat, b_mat)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(denom != 0.0, dots / denom, 0.0)
+            ai, bi = np.where((sim >= threshold) & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {"id_a": a_ids[ai], "id_b": b_ids[bi], "cosine_sim": sim[ai, bi]}
+            )
+
+    a = left.select(F.col(left_id).alias("id_a"), F.col(emb_col).alias("emb_a"))
+    return a.mapInPandas(block, schema="id_a bigint, id_b bigint, cosine_sim double")
 
 
 def lsh_similarity_join(

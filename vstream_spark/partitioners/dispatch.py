@@ -271,7 +271,7 @@ class KMeansPartitioner(FittedPartitioner):
         model = KMeans(
             k=self.conf.num_partitions, seed=self.conf.seed, maxIter=20
         ).fit(sample)
-        self.centroids = np.stack([c.toArray() for c in model.clusterCenters()])
+        self.centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
         return self
 
     def _assign_udf(self, topr: int):

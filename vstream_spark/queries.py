@@ -17,8 +17,24 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vstream_spark.config import PartitionerConf
 from vstream_spark.functions import distance as D
+from vstream_spark.functions import text as T
+from vstream_spark.operators.dedup import (
+    _minhash_perm_params,
+    dedup_exact,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
 from vstream_spark.operators.knn import knn_exact
+from vstream_spark.operators.partitioned import knn_partitioned, knn_partitioned_worker
+from vstream_spark.operators.similarity import (
+    ann_topk_ivf,
+    lsh_similarity_join,
+    similarity_join_exact,
+)
 from vstream_spark.sources.tables import (
     QUERIES_FIXTURE_SQL,
     VECTORS_FIXTURE_SQL,
@@ -205,3 +221,214 @@ def _make_relational(sql: str) -> QueryFn:
 
 for _name, _sql in _RELATIONAL.items():
     register(_name, _sql)(_make_relational(_sql))
+
+
+# --- Partitioned pipeline (P1 exchange + co-located search + M1 merge) ------
+# With the 'simple' partitioner every query fans out to all partitions, so the
+# partitioned dataflow is EXACT and hash-matches the same oracle as knn_exact
+# — this verifies the exchange + merge machinery end-to-end.
+
+
+@register("knn_partitioned_exact", _knn_oracle("l2"))
+def knn_partitioned_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors, queries = _emb_pair(spark, sf_dir)
+    conf = PartitionerConf(kind="simple", num_partitions=8)
+    return knn_partitioned(vectors, queries, conf, k=10, metric="l2")
+
+
+@register("knn_lsh_ann")  # rows-only: approximate by LSH partition pruning
+def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors, queries = _emb_pair(spark, sf_dir)
+    conf = PartitionerConf(
+        kind="lsh", num_partitions=8, num_families=4, num_hashes=4, bucket_width=2.0
+    )
+    return knn_partitioned_worker(vectors, queries, conf, k=10, metric="l2")
+
+
+@register("knn_ivf_ann")  # rows-only: kmeans coarse quantizer + probed scan
+def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
+    )
+    return ann_topk_ivf(vectors, queries, k=10, metric="l2", num_partitions=4, nprobe=2)
+
+
+# --- Text analysis (documents table) ----------------------------------------
+
+_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       {T.token_count_sql("text")} AS n_tokens,
+       CAST(round({T.avg_token_len_sql("text")}, 6) AS DOUBLE) AS avg_token_len,
+       CAST(round({T.stopword_ratio_sql("text")}, 6) AS DOUBLE) AS stopword_ratio
+FROM documents
+"""
+
+_TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+       CAST(round({T.quality_score_sql("text")}, 6) AS DOUBLE) AS quality,
+       CASE WHEN {T.quality_score_sql("text")} >= 0.5 THEN true ELSE false END AS is_kept
+FROM documents
+"""
+
+_LANG_ID_SQL = f"""
+SELECT doc_id, lang AS lang_declared, {T.lang_id_sql("text")} AS lang_pred
+FROM documents
+"""
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id, {T.fingerprint_sql("text")} AS fingerprint,
+       {T.token_count_sql("text")} AS n_tokens
+FROM documents
+"""
+
+for _name, _sql in {
+    "text_stats": _TEXT_STATS_SQL,
+    "text_quality": _TEXT_QUALITY_SQL,
+    "text_lang_id": _LANG_ID_SQL,
+    "text_fingerprint": _FINGERPRINT_SQL,
+}.items():
+    register(_name, _sql)(_make_relational(_sql))
+
+
+# --- Deduplication (documents table) ----------------------------------------
+
+_DEDUP_EXACT_ORACLE = """
+WITH fp AS (SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents)
+SELECT doc_id, fingerprint,
+       count(*) OVER (PARTITION BY fingerprint) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS is_canonical
+FROM fp
+"""
+
+
+@register("dedup_exact", _DEDUP_EXACT_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+_NGRAM_JACCARD_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+         ELSE [array_to_string(t, ' ')] END) AS shingles FROM toks),
+ex AS (SELECT doc_id, len(shingles) AS ns, unnest(shingles) AS shingle FROM sh),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ns AS na, b.ns AS nb, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) AS jaccard
+FROM common
+WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.8
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.8)
+
+
+def _minhash_oracle(num_perm: int = 64, seed: int = 42) -> str:
+    a, b = _minhash_perm_params(num_perm, seed)
+    pairs = ", ".join(f"[{int(x)},{int(y)}]" for x, y in zip(a, b))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+         ELSE [array_to_string(t, ' ')] END) AS shingles FROM toks),
+ids AS (SELECT doc_id,
+        list_transform(shingles, s -> ('0x' || substring(md5(s), 1, 15))::BIGINT) AS sids
+        FROM sh)
+SELECT doc_id,
+       list_transform([{pairs}], p ->
+         list_min(list_transform(sids, x ->
+           CAST((p[1]::HUGEINT * x + p[2]) % 2305843009213693951 AS BIGINT)))) AS sig
+FROM ids
+"""
+
+
+@register("dedup_minhash_sigs", _minhash_oracle())
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(load_table(spark, sf_dir, "documents"), n=3, num_perm=64)
+
+
+def _minhash_lsh_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+    rows = num_perm // bands
+    base = _minhash_oracle(num_perm)
+    return f"""
+WITH sigs AS ({base}),
+banded AS (
+  SELECT doc_id, sig, unnest(range(0, {bands})) AS band FROM sigs),
+keyed AS (
+  SELECT doc_id, sig, band,
+         array_to_string(sig[band * {rows} + 1 : band * {rows} + {rows}], ',') AS band_key
+  FROM banded),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(list_sum(list_transform(list_zip(sig_a, sig_b),
+            p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / {num_perm}.0 AS jaccard_est
+FROM cand
+WHERE CAST(list_sum(list_transform(list_zip(sig_a, sig_b),
+        p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / {num_perm}.0 >= {threshold}
+"""
+
+
+@register("dedup_minhash_lsh", _minhash_lsh_oracle())
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"), n=3, num_perm=64, bands=16, threshold=0.5
+    )
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 1
+         THEN t ELSE [array_to_string(t, ' ')] END) AS shingles FROM toks),
+ids AS (SELECT doc_id,
+        list_transform(shingles, s -> ('0x' || substring(md5(s), 1, 15))::BIGINT) AS sids
+        FROM sh)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, {bits}), b ->
+         CASE WHEN list_sum(list_transform(sids, x ->
+                CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+              THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+FROM ids
+"""
+
+
+@register("dedup_simhash", _simhash_oracle())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(load_table(spark, sf_dir, "documents"), n=1)
+
+
+# --- Similarity search / join (embeddings table) -----------------------------
+
+_SIMJOIN_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {D.cosine_sim_sql("a.embedding", "b.embedding")} AS cosine_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.4
+"""
+
+
+@register("similarity_join_exact", _SIMJOIN_ORACLE)
+def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity_join_exact(emb, emb, threshold=0.4)
+
+
+@register("similarity_join_lsh")  # rows-only: LSH-bucketed candidate pruning
+def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    conf = PartitionerConf(
+        kind="lsh", num_partitions=16, num_families=6, num_hashes=2, bucket_width=1.0
+    )
+    return lsh_similarity_join(emb, threshold=0.4, conf=conf)

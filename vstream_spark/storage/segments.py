@@ -1,0 +1,158 @@
+"""Segmented vector storage — the Spark-idiomatic analog of the reference's
+HNSW-LSM (SURVEY §2.6, §7 Stage 3).
+
+A *segment* is the unit the reference calls an HNSW memtable/SST (C2/C3:
+``hnsw_table_builder.cc``, 250k vectors per table, ``params.yaml:58``). Here a
+segment = one parquet directory of vector rows + a sidecar JSON with
+statistics (count, min/max event_time). Searches prune segments whose
+event-time range cannot satisfy the query's TTL window (C6 TTL file pruning,
+``version_set.cc:2591``) before Spark ever plans a scan — a coarse file-level
+skip on top of parquet row-group min/max pruning.
+
+Mapping to reference concepts:
+  append_segment   <- memtable flush (delayed flush = caller batches, C2)
+  prune/search     <- Version::Get SST loop with TTL skip (C6)
+  compact          <- manual compaction (auto-compaction disabled in the
+                      reference, vector_options.h:46; size-tiered rebuild)
+  evict            <- is_evict physical deletion of expired SSTs
+                      (version_set.cc:2700-2730)
+
+At cluster scale each segment is written with ``repartition`` sized to the
+configured rows-per-file so executors read whole segments locally; the JSON
+metadata is tiny driver state (O(segments), like the reference's manifest).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_META = "segments.json"
+
+
+class SegmentStore:
+    """Append-only segmented vector store with TTL pruning + compaction."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------------
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.base_dir, _META)
+
+    def segments(self) -> list[dict]:
+        if not os.path.exists(self._meta_path()):
+            return []
+        with open(self._meta_path()) as f:
+            return json.load(f)
+
+    def _write_manifest(self, segs: list[dict]) -> None:
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(segs, f, indent=1)
+        os.replace(tmp, self._meta_path())
+
+    # -- write path ----------------------------------------------------------
+
+    def append_segment(self, vectors: DataFrame) -> dict | None:
+        """Flush a batch of vector rows (id, emb, event_time, ttl, op) as one
+        immutable segment. Returns the segment metadata (None for empty)."""
+        stats = vectors.agg(
+            F.count("*").alias("n"),
+            F.min("event_time").alias("tmin"),
+            F.max("event_time").alias("tmax"),
+        ).collect()[0]
+        if stats["n"] == 0:
+            return None
+        seg_id = f"seg-{time.strftime('%Y%m%d%H%M%S')}-{uuid.uuid4().hex[:8]}"
+        path = os.path.join(self.base_dir, seg_id)
+        vectors.write.mode("errorifexists").parquet(path)
+        seg = {
+            "id": seg_id,
+            "path": path,
+            "count": int(stats["n"]),
+            "min_event_time": int(stats["tmin"]),
+            "max_event_time": int(stats["tmax"]),
+        }
+        segs = self.segments()
+        segs.append(seg)
+        self._write_manifest(segs)
+        return seg
+
+    # -- read path -----------------------------------------------------------
+
+    def prune(self, min_event_time: int | None = None, max_event_time: int | None = None) -> list[dict]:
+        """Segments whose [min,max] event-time range intersects the window
+        (C6: skip SSTs with latest_key_time < query freshness bound)."""
+        out = []
+        for seg in self.segments():
+            if min_event_time is not None and seg["max_event_time"] < min_event_time:
+                continue
+            if max_event_time is not None and seg["min_event_time"] > max_event_time:
+                continue
+            out.append(seg)
+        return out
+
+    def read(
+        self, min_event_time: int | None = None, max_event_time: int | None = None
+    ) -> DataFrame | None:
+        """Union of pruned segments as one DataFrame (None if nothing
+        survives pruning). The event-time predicate is re-applied so parquet
+        row-group pruning also kicks in below the segment skip."""
+        segs = self.prune(min_event_time, max_event_time)
+        if not segs:
+            return None
+        df = self.spark.read.parquet(*[s["path"] for s in segs])
+        if min_event_time is not None:
+            df = df.filter(F.col("event_time") >= min_event_time)
+        if max_event_time is not None:
+            df = df.filter(F.col("event_time") <= max_event_time)
+        return df
+
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(self, max_rows_per_segment: int = 250_000) -> list[dict]:
+        """Size-tiered compaction: merge all segments into balanced new ones
+        (the reference disables RocksDB auto-compaction and relies on
+        explicit maintenance). Last-writer-wins dedup happens at read time,
+        not here, to preserve delete markers across TTL windows."""
+        segs = self.segments()
+        if len(segs) <= 1:
+            return segs
+        df = self.spark.read.parquet(*[s["path"] for s in segs])
+        total = df.count()
+        n_out = max(1, -(-total // max_rows_per_segment))
+        merged = df.repartition(n_out)
+        old_paths = [s["path"] for s in segs]
+        self._write_manifest([])
+        new_seg = self.append_segment(merged)
+        # remove old segment data best-effort (local fs; on object stores this
+        # is the VACUUM step)
+        import shutil
+
+        for p in old_paths:
+            shutil.rmtree(p, ignore_errors=True)
+        return [new_seg] if new_seg else []
+
+    def evict(self, older_than_event_time: int) -> int:
+        """Physically drop segments entirely older than the horizon
+        (is_evict, version_set.cc:2700-2730). Returns #segments dropped."""
+        import shutil
+
+        keep, dropped = [], 0
+        for seg in self.segments():
+            if seg["max_event_time"] < older_than_event_time:
+                shutil.rmtree(seg["path"], ignore_errors=True)
+                dropped += 1
+            else:
+                keep.append(seg)
+        self._write_manifest(keep)
+        return dropped

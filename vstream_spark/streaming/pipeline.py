@@ -1,0 +1,127 @@
+"""Structured Streaming pipelines (SURVEY §7 Stage 4).
+
+The reference's dataflow is two unbounded streams (vector inserts/deletes and
+queries) flowing through partition -> per-partition index -> merge
+(``VStreamSearchJob.java:21-49``). The Spark-native re-expression:
+
+* sources: ``readStream`` over parquet drops (file-per-trigger replay of the
+  driver's events/vector fixtures — the analog of the throttled HDFS sources,
+  §2.2 R1-R5; rate control = ``maxFilesPerTrigger`` / rate source, not
+  per-record sleeps)
+* ingest: ``foreachBatch`` appending micro-batches to a SegmentStore (the
+  memtable-flush path W1/C2) — each micro-batch is one segment
+* search: per micro-batch of queries, run the batch kNN against the
+  TTL-pruned SegmentStore (snapshot isolation per micro-batch = the
+  reference's per-query sequence-number snapshot, O3)
+* windowed rollups: watermark + tumbling window aggregation — the general
+  streaming-agg surface the reference lacks but Spark provides (§2.7)
+* monotonic event-time guard (``search:90-93``) becomes the watermark: late
+  queries beyond the watermark are dropped by the engine
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vstream_spark.operators.knn import knn_exact
+from vstream_spark.storage.segments import SegmentStore
+
+
+def read_event_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Replay the events table as a file stream (R1 staged-rate analog:
+    throughput is governed per-trigger, not per-record)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # driver parquet stores ts as TIMESTAMP(NANOS) -> int64 under nanosAsLong
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+        )
+    return stream
+
+
+def streaming_event_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1h window counts with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drain a streaming DF with availableNow into an in-memory table; returns
+    the query handle after completion (test/debug sink)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+class StreamingVectorIngest:
+    """foreachBatch ingest: every micro-batch of vector inserts/deletes is
+    flushed as one immutable segment (W1 insert + C2 delayed flush; the
+    micro-batch IS the memtable)."""
+
+    def __init__(self, store: SegmentStore):
+        self.store = store
+
+    def start(self, vectors_stream: DataFrame, checkpoint_dir: str):
+        return (
+            vectors_stream.writeStream.foreachBatch(self._sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def _sink(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.store.append_segment(batch_df)
+
+
+def search_store(
+    store: SegmentStore,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+) -> DataFrame:
+    """Batch kNN over the TTL-pruned segment set (W3 + C6 + M1).
+
+    The coarse prune uses the widest query window (driver-side min/max of the
+    query batch — tiny); exact per-query TTL predicates are applied inside
+    knn_exact. Returns the usual (qid, neighbor_id, distance, rank).
+    """
+    bounds = queries.agg(
+        F.min(F.col("event_time") - F.col("ttl")).alias("lo"),
+        F.max("event_time").alias("hi"),
+    ).collect()[0]
+    vectors = store.read(min_event_time=bounds["lo"], max_event_time=bounds["hi"])
+    if vectors is None:
+        empty = "qid bigint, neighbor_id bigint, distance double, rank int"
+        return store.spark.createDataFrame([], empty)
+    return knn_exact(
+        vectors, queries, k=k, metric=metric, honor_ttl=True, honor_deletes=True
+    )
