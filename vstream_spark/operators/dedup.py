@@ -99,9 +99,12 @@ def ngram_jaccard_pairs(
 
 
 def _minhash_perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Multiply-shift universal hash family over uint64: h(x) = ((a*x + b)
+    mod 2^64) >> 4, with odd a. Overflow IS the mod — native uint64 wraparound
+    in numpy, HUGEINT % 2^64 in the DuckDB oracle; bitwise identical."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    a = rng.randint(0, 2**63, size=num_perm, dtype=np.uint64) * 2 + 1
+    b = rng.randint(0, 2**62, size=num_perm, dtype=np.uint64)
     return a, b
 
 
@@ -131,15 +134,19 @@ def minhash_signatures(
 
     @F.pandas_udf("array<bigint>")
     def minhash(sids: pd.Series) -> pd.Series:
+        empty = [int((1 << 60) - 1)] * num_perm
         out = []
-        for arr in sids:
-            x = np.asarray(arr, dtype=np.int64)
-            if len(x) == 0:
-                out.append([int(_MERSENNE)] * num_perm)
-                continue
-            # (num_perm, n_shingles) universal hashes, min over shingles
-            hv = (a[:, None].astype(object) * x[None, :].astype(object) + b[:, None]) % _MERSENNE
-            out.append([int(v) for v in hv.min(axis=1)])
+        with np.errstate(over="ignore"):
+            for arr in sids:
+                x = np.asarray(arr, dtype=np.uint64)
+                if len(x) == 0:
+                    out.append(empty)
+                    continue
+                # (num_perm, n_shingles) multiply-shift hashes, min over
+                # shingles; uint64 wraparound == mod 2^64, then >> 4 keeps
+                # values < 2^60 (BIGINT-safe for the oracle)
+                hv = (a[:, None] * x[None, :] + b[:, None]) >> np.uint64(4)
+                out.append(hv.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
     return with_ids.select("doc_id", minhash(F.col("shingle_ids")).alias("sig"))

@@ -103,28 +103,29 @@ def lsh_similarity_join(
     conf = conf or PartitionerConf(kind="lsh", num_partitions=16, num_families=4)
     part = fit_partitioner(conf)
     df = vectors.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
-    bucketed = part.partition_data(df)
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.partition_id") == F.col("b.partition_id"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.emb").alias("emb_a"),
-            F.col("b.emb").alias("emb_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    bucketed = part.partition_data(df).select("partition_id", "id", "emb")
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
+            )
+        ids = pdf["id"].to_numpy()
+        mat = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt(_fold_sqnorm(mat))
+        denom = nrm[:, None] * nrm[None, :]
+        dots = _fold_dot(mat, mat)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.where(denom != 0.0, dots / denom, 0.0)
+        ai, bi = np.where((sim >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi], "cosine_sim": sim[ai, bi]})
+
+    pairs = bucketed.groupBy("partition_id").applyInPandas(
+        bucket_pairs, schema="id_a bigint, id_b bigint, cosine_sim double"
     )
-    sim = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
-    return (
-        cand.withColumn("cosine_sim", sim)
-        .filter(F.col("cosine_sim") >= F.lit(threshold))
-        .select("id_a", "id_b", "cosine_sim")
-    )
+    # replicated rows (k1 families / multiprobe) can emit the same pair from
+    # several buckets — dedup is the M1-merge analog
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def ann_topk_ivf(

@@ -332,8 +332,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(num_perm: int = 64, seed: int = 42) -> str:
+    # multiply-shift family: ((a*x + b) mod 2^64) >> 4 — HUGEINT arithmetic
+    # reproduces numpy uint64 wraparound bitwise (see _minhash_perm_params)
     a, b = _minhash_perm_params(num_perm, seed)
-    pairs = ", ".join(f"[{int(x)},{int(y)}]" for x, y in zip(a, b))
+    pairs = ", ".join(f"[{int(x)}::HUGEINT,{int(y)}::HUGEINT]" for x, y in zip(a, b))
     return f"""
 WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
 sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
@@ -345,7 +347,7 @@ ids AS (SELECT doc_id,
 SELECT doc_id,
        list_transform([{pairs}], p ->
          list_min(list_transform(sids, x ->
-           CAST((p[1]::HUGEINT * x + p[2]) % 2305843009213693951 AS BIGINT)))) AS sig
+           CAST(((p[1] * x::HUGEINT + p[2]) % 18446744073709551616) // 16 AS BIGINT)))) AS sig
 FROM ids
 """
 
