@@ -149,3 +149,61 @@ def test_kmeans_partitioner_clusters(spark):
     # replication_factor=2 -> every row lands in exactly 2 partitions
     assert pdata.count() == 400
     assert pdata.select("partition_id").distinct().count() == 3
+
+
+# --- SAX / Odyssey (P8) -------------------------------------------------------
+
+
+def test_sax_words_deterministic_and_locality():
+    from vstream_spark.partitioners.sax import sax_words
+
+    rng = np.random.RandomState(7)
+    mat = rng.rand(100, 16)
+    w1 = sax_words(mat, 8, 4)
+    w2 = sax_words(mat, 8, 4)
+    assert (w1 == w2).all()
+    # scale/offset invariance from z-normalization (SAX property)
+    w3 = sax_words(mat * 5.0 + 3.0, 8, 4)
+    assert (w1 == w3).all()
+    # a vector equals itself's word; a tiny perturbation usually keeps the word
+    near = mat + rng.randn(100, 16) * 1e-9
+    assert (sax_words(near, 8, 4) == w1).all()
+
+
+def test_sierpinski_bijection_and_determinism():
+    from vstream_spark.partitioners.curves import sierpinski_index
+
+    pts = _grid(3, 2)
+    idx = sierpinski_index(pts, 3)
+    # distinct index per cell (the curve resolves the full 8x8 grid)
+    assert len(set(int(v) for v in idx)) == 64
+
+
+def test_odyssey_partitioner_group_replication(spark):
+    conf = PartitionerConf(kind="odyssey", num_partitions=6, replication_factor=2)
+    df = _vector_df(spark, 120)
+    part = fit_partitioner(conf, df)
+    pdata = part.partition_data(df)
+    # every record replicated to exactly its group's 2 members
+    assert pdata.count() == 240
+    per_id = pdata.groupBy("id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_id] == [2]
+    # queries visit exactly one member per group (3 groups)
+    q = df.selectExpr("id as qid", "emb").limit(10)
+    pq = part.partition_queries(q)
+    assert pq.groupBy("qid").count().select("count").distinct().collect()[0][0] == 3
+    assert pq.select("num_partitions_sent").distinct().collect()[0][0] == 3
+
+
+def test_odyssey_pipeline_is_exact(spark):
+    from vstream_spark.operators.knn import knn_exact
+    from vstream_spark.operators.partitioned import knn_partitioned
+
+    df = _vector_df(spark, 150)
+    q = df.selectExpr("id as qid", "emb").filter("qid % 10 = 0")
+    conf = PartitionerConf(kind="odyssey", num_partitions=4, replication_factor=2)
+    got = knn_partitioned(df, q, conf, k=5, metric="l2").orderBy("qid", "rank")
+    want = knn_exact(df, q, k=5, metric="l2").orderBy("qid", "rank")
+    g = [(r.qid, r.neighbor_id, r.rank) for r in got.collect()]
+    w = [(r.qid, r.neighbor_id, r.rank) for r in want.collect()]
+    assert g == w

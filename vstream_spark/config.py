@@ -76,6 +76,10 @@ class PartitionerConf:
     replication_factor: int = 1  # kmeans/hilbert nearest-R routing
     update_interval: int = 7_200_000  # epoch re-learn period (ms)
     max_retained: int = 1_000_000  # history window for quantile learning
+    # SAX / Odyssey (P8: OdysseyPartitionFunction.java:160-329, sax/SAX.java)
+    sax_word_len: int = 8  # PAA segments per word
+    sax_alphabet: int = 4  # symbols per segment (Gaussian breakpoints)
+    hot_tracker_size: int = 8  # top-λ hot words spread across groups
 
 
 @dataclass(frozen=True)

@@ -125,9 +125,50 @@ def _peano_one(pt: list[int], ndim: int, levels: int) -> int:
     return idx
 
 
+def sierpinski_index(coords: np.ndarray, bits: int) -> np.ndarray:
+    """Sierpinski curve index by recursive triangle bisection (2-D).
+
+    The unit square is split along the main diagonal into two right isoceles
+    triangles; each triangle (entry E, exit X, right-angle R) bisects at the
+    hypotenuse midpoint M into (E -> R, right angle M) then (R -> X, right
+    angle M), appending one bit per level. 2*bits levels resolve the 2^bits
+    grid. Like the reference's ``SierpinskiCurve`` this is a 2-D curve; for
+    higher-dimensional sketches only the first two coordinates participate.
+    """
+    c = _as_coords(coords)
+    n = c.shape[0]
+    side = 1 << bits
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        px = (int(c[i, 0]) + 0.5) / side
+        py = (int(c[i, 1]) + 0.5) / side if c.shape[1] > 1 else px
+        out[i] = _sierpinski_one(px, py, 2 * bits)
+    return out
+
+
+def _sierpinski_one(px: float, py: float, levels: int) -> int:
+    # first bit: which side of the main diagonal (lower triangle runs
+    # (0,0)->(1,1) with right angle (1,0); upper runs (1,1)->(0,0), r.a. (0,1))
+    if py <= px:
+        idx, (ex, ey), (xx, xy), (rx, ry) = 0, (0.0, 0.0), (1.0, 1.0), (1.0, 0.0)
+    else:
+        idx, (ex, ey), (xx, xy), (rx, ry) = 1, (1.0, 1.0), (0.0, 0.0), (0.0, 1.0)
+    for _ in range(levels):
+        mx, my = (ex + xx) / 2.0, (ey + xy) / 2.0
+        # side of the split line R-M: compare sign against the entry vertex
+        sp = (mx - rx) * (py - ry) - (my - ry) * (px - rx)
+        se = (mx - rx) * (ey - ry) - (my - ry) * (ex - rx)
+        if sp * se >= 0:  # same side as E -> first sub-triangle E -> R
+            idx, (xx, xy), (rx, ry) = idx * 2, (rx, ry), (mx, my)
+        else:  # second sub-triangle R -> X
+            idx, (ex, ey), (rx, ry) = idx * 2 + 1, (rx, ry), (mx, my)
+    return idx
+
+
 CURVES = {
     "hilbert": hilbert_index,
     "zorder": zorder_index,
     "gray": gray_index,
     "peano": peano_index,
+    "sierpinski": sierpinski_index,
 }

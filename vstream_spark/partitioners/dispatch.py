@@ -7,13 +7,15 @@ Mirrors the reference's factory ``PartitionFunction.getPartitionFunction``
   lsh            P2  p-stable LSH, k1 families x k2 hashes
   lsh+random     P3  lsh + ~P/3 extra random partitions on the query side
   lsh+proximity  P4  lsh + multiprobe perturbation fan-out
-  lsh+hilbert / lsh+zorder / lsh+gray / lsh+peano
+  lsh+hilbert / lsh+zorder / lsh+gray / lsh+peano / lsh+sierpinski
                  P5  LSH sketch -> space-filling-curve value -> equi-depth
                      quantile partition boundaries re-learned per event-time
                      epoch; queries fan out to every fresh epoch's partition
   hilbert        P9  curve on the raw vector (no LSH), ring replication
   kmeans         P7  pyspark.ml KMeans; route to replication_factor nearest
                      centroids
+  odyssey        P8  SAX-word replication groups; hot-word skew relief;
+                     queries visit one member per group (exact)
 
 Contract: ``fit_partitioner(conf, vectors)`` returns a ``FittedPartitioner``
 with ``partition_data(df)`` (adds ``partition_id``, possibly replicating rows)
@@ -297,6 +299,101 @@ class KMeansPartitioner(FittedPartitioner):
         return _explode_pids(df, self._assign_udf(r)(F.col(emb_col)), with_fanout=True)
 
 
+class OdysseyPartitioner(FittedPartitioner):
+    """P8 (OdysseyPartitionFunction.java:160-329): SAX-word replication
+    groups. Data goes to its word's group, replicated to every member; hot
+    words (HotTracer top-λ) spread across groups by record id; queries visit
+    one deterministic member per group — complete coverage, EXACT results,
+    query load spread over replicas."""
+
+    def __init__(self, conf: PartitionerConf):
+        super().__init__(conf)
+        if conf.num_partitions % max(1, conf.replication_factor):
+            raise ValueError("num_partitions must be divisible by replication_factor")
+        self.num_groups = conf.num_partitions // max(1, conf.replication_factor)
+        self.hot_words: frozenset[int] = frozenset()
+
+    def fit(self, vectors: DataFrame, emb_col: str = "emb") -> "OdysseyPartitioner":
+        """Batch analog of HotTracer's sliding window: top-λ words by count,
+        collected as a tiny broadcastable set (O(λ) driver state)."""
+        from vstream_spark.partitioners.sax import sax_words
+
+        conf = self.conf
+
+        @F.pandas_udf("long")
+        def word_udf(emb: pd.Series) -> pd.Series:
+            if len(emb) == 0:
+                return pd.Series([], dtype="int64")
+            mat = np.stack(emb.to_numpy()).astype(np.float64)
+            return pd.Series(sax_words(mat, conf.sax_word_len, conf.sax_alphabet))
+
+        self._word_udf = word_udf
+        rows = (
+            vectors.select(word_udf(F.col(emb_col)).alias("_w"))
+            .groupBy("_w")
+            .count()
+            .orderBy(F.col("count").desc(), F.col("_w").asc())
+            .limit(conf.hot_tracker_size)
+            .collect()
+        )
+        self.hot_words = frozenset(int(r["_w"]) for r in rows)
+        return self
+
+    def _data_pids_udf(self):
+        from vstream_spark.partitioners.sax import group_of_word, sax_words
+
+        conf, ngroups, rf = self.conf, self.num_groups, max(1, self.conf.replication_factor)
+        hot = self.hot_words
+
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def pids(ids: pd.Series, emb: pd.Series) -> pd.Series:
+            if len(emb) == 0:
+                return pd.Series([], dtype=object)
+            mat = np.stack(emb.to_numpy()).astype(np.float64)
+            words = sax_words(mat, conf.sax_word_len, conf.sax_alphabet)
+            groups = group_of_word(words, ngroups, conf.seed)
+            if hot:
+                is_hot = np.isin(words, np.fromiter(hot, dtype=np.int64))
+                # hot words: per-record pseudo-random group (skew relief);
+                # still replicated to the whole group => queries stay complete
+                rec = group_of_word(ids.to_numpy().astype(np.int64), ngroups, conf.seed + 1)
+                groups = np.where(is_hot, rec, groups)
+            return pd.Series([[int(g * rf + r) for r in range(rf)] for g in groups])
+
+        return pids
+
+    def _query_pids_udf(self):
+        from vstream_spark.partitioners.sax import group_of_word
+
+        conf, ngroups, rf = self.conf, self.num_groups, max(1, self.conf.replication_factor)
+
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def pids(qids: pd.Series) -> pd.Series:
+            if len(qids) == 0:
+                return pd.Series([], dtype=object)
+            q = qids.to_numpy().astype(np.int64)
+            out = []
+            for qid in q:
+                # one deterministic member per group (round-robin analog)
+                members = group_of_word(
+                    np.full(ngroups, qid, dtype=np.int64) + np.arange(ngroups),
+                    rf,
+                    conf.seed + 2,
+                )
+                out.append(sorted(int(g * rf + m) for g, m in enumerate(members)))
+            return pd.Series(out)
+
+        return pids
+
+    def partition_data(self, df: DataFrame, emb_col: str = "emb") -> DataFrame:
+        return _explode_pids(
+            df, self._data_pids_udf()(F.col("id"), F.col(emb_col)), with_fanout=False
+        )
+
+    def partition_queries(self, df: DataFrame, emb_col: str = "emb") -> DataFrame:
+        return _explode_pids(df, self._query_pids_udf()(F.col("qid")), with_fanout=True)
+
+
 def fit_partitioner(conf: PartitionerConf, vectors: DataFrame | None = None) -> FittedPartitioner:
     kind = conf.kind
     if kind == "simple":
@@ -321,6 +418,9 @@ def fit_partitioner(conf: PartitionerConf, vectors: DataFrame | None = None) -> 
         if vectors is None:
             raise ValueError("kmeans requires vectors to fit centroids")
         return KMeansPartitioner(conf).fit(vectors)
+    if kind == "odyssey":
+        part = OdysseyPartitioner(conf)
+        return part.fit(vectors) if vectors is not None else part
     raise ValueError(f"unknown partitioner kind {kind!r}")
 
 
