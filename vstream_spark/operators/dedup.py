@@ -249,3 +249,37 @@ def simhash_signatures(
         return pd.Series(out, dtype="int64")
 
     return with_ids.select("doc_id", simhash(F.col("token_ids")).alias("simhash"))
+
+
+def dedup_embedding(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate marking (semantic dedup).
+
+    A vector is a duplicate iff some smaller-id vector has cosine similarity
+    >= threshold; ``dup_of`` = the smallest such id (deterministic survivor,
+    same min-id rule as dedup_exact). Returns (vec_id, is_duplicate, dup_of).
+
+    Built on similarity_join_exact; swap in lsh_similarity_join for the
+    approximate scale path (two big sides, no broadcast).
+    """
+    from vstream_spark.operators.similarity import similarity_join_exact
+
+    pairs = similarity_join_exact(
+        vectors, vectors, threshold, left_id=id_col, right_id=id_col, emb_col=emb_col
+    )
+    dup_of = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    return (
+        vectors.select(F.col(id_col).alias("vec_id"))
+        .join(dup_of, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("dup_of").isNotNull().alias("is_duplicate"),
+            "dup_of",
+        )
+    )

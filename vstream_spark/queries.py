@@ -434,3 +434,73 @@ def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         kind="lsh", num_partitions=16, num_families=6, num_hashes=2, bucket_width=1.0
     )
     return lsh_similarity_join(emb, threshold=0.4, conf=conf)
+
+
+# --- Embedding-cosine near-dup (semantic dedup) ------------------------------
+
+_DEDUP_EMB_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {D.cosine_sim_sql("a.embedding", "b.embedding")} AS cosine_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+dup AS (
+  SELECT id_b AS vec_id, min(id_a) AS dup_of FROM pairs
+  WHERE cosine_sim >= 0.4 GROUP BY id_b)
+SELECT e.vec_id, d.dup_of IS NOT NULL AS is_duplicate, d.dup_of
+FROM embeddings e LEFT JOIN dup d ON e.vec_id = d.vec_id
+"""
+
+
+@register("dedup_embedding", _DEDUP_EMB_ORACLE)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vstream_spark.operators.dedup import dedup_embedding
+
+    return dedup_embedding(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# --- Multimodal binary columns (media fixture over documents) ----------------
+
+from vstream_spark.operators.multimodal import (  # noqa: E402
+    MEDIA_FIXTURE_SQL,
+    frame_sample,
+    media_features,
+    media_fixture,
+    media_stats,
+)
+
+_MEDIA_STATS_ORACLE = f"""
+WITH {MEDIA_FIXTURE_SQL}
+SELECT doc_id, octet_length(content) AS n_bytes,
+       CASE substring(hex(content), 1, 8)
+            WHEN '89504E47' THEN 'png' WHEN 'FFD8FFE0' THEN 'jpeg'
+            WHEN '52494646' THEN 'wav' ELSE 'unknown' END AS format,
+       md5(body) AS body_md5
+FROM media
+"""
+
+
+@register("media_stats", _MEDIA_STATS_ORACLE)
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_stats(media_fixture(load_table(spark, sf_dir, "documents")))
+
+
+_FRAME_SAMPLE_ORACLE = f"""
+WITH {MEDIA_FIXTURE_SQL},
+frames AS (
+  SELECT doc_id, body,
+         unnest(range(0, CAST(ceil(length(body) / 64.0) AS BIGINT), 4)) AS fi
+  FROM media)
+SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+       md5(substring(body, CAST(fi * 64 + 1 AS INTEGER), 64)) AS frame_md5
+FROM frames
+"""
+
+
+@register("media_frame_sample", _FRAME_SAMPLE_ORACLE)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample(media_fixture(load_table(spark, sf_dir, "documents")))
+
+
+@register("media_features")  # rows-only: stub decode -> pooled feature vector
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_features(media_fixture(load_table(spark, sf_dir, "documents")), dim=16)
