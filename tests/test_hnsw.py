@@ -1,0 +1,118 @@
+"""Numpy HNSW index: recall, tombstones, freshness filter, persistence."""
+
+import numpy as np
+import pytest
+
+from vstream_spark.index.hnsw import HnswIndex, build_index
+
+
+def _data(n=400, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    vecs = rng.rand(n, dim).astype(np.float32)
+    labels = np.arange(n, dtype=np.int64)
+    return vecs, labels
+
+
+def _exact_topk(vecs, labels, q, k, min_ts=None, ts=None, deleted=()):
+    d = ((vecs.astype(np.float64) - q) ** 2).sum(axis=1)
+    ok = np.ones(len(vecs), dtype=bool)
+    if min_ts is not None:
+        ok &= ts >= min_ts
+    for lb in deleted:
+        ok[labels == lb] = False
+    order = np.lexsort((labels[ok], d[ok]))[:k]
+    return labels[ok][order]
+
+
+def test_recall_at_10_high():
+    vecs, labels = _data()
+    idx = build_index(vecs, labels, M=16, ef_construction=128)
+    rng = np.random.RandomState(9)
+    hits = total = 0
+    for q in rng.rand(50, vecs.shape[1]):
+        got, dists = idx.search(q, 10, ef_search=64)
+        want = _exact_topk(vecs, labels, q, 10)
+        hits += len(set(got) & set(want))
+        total += 10
+        assert list(dists) == sorted(dists)
+    assert hits / total >= 0.95
+
+
+def test_deterministic_build_and_search():
+    vecs, labels = _data(200)
+    a = build_index(vecs, labels)
+    b = build_index(vecs, labels)
+    q = vecs[17].astype(np.float64)
+    assert a.search(q, 5)[0].tolist() == b.search(q, 5)[0].tolist()
+    # self is its own nearest neighbor, exact distance 0
+    lbs, ds = a.search(q, 1, ef_search=32)
+    assert lbs[0] == 17 and ds[0] == 0.0
+
+
+def test_mark_delete_tombstone():
+    vecs, labels = _data(100)
+    idx = build_index(vecs, labels)
+    q = vecs[5].astype(np.float64)
+    assert idx.search(q, 1)[0][0] == 5
+    assert idx.mark_delete(5)
+    assert 5 not in idx.search(q, 10)[0]
+    assert not idx.mark_delete(99999)
+    # re-adding undeletes (upsert, W2 then W1 on the same label)
+    idx.add_point(vecs[5], 5, ts=7)
+    assert idx.search(q, 1)[0][0] == 5
+
+
+def test_freshness_filter_min_ts():
+    vecs, labels = _data(100)
+    ts = np.arange(100, dtype=np.int64)  # label i inserted at time i
+    idx = build_index(vecs, labels, ts=ts)
+    q = vecs[10].astype(np.float64)
+    got, _ = idx.search(q, 10, ef_search=200, min_ts=50)
+    assert all(lb >= 50 for lb in got)
+    want = _exact_topk(vecs, labels, q, 10, min_ts=50, ts=ts)
+    assert set(got) & set(want)  # approximate but overlapping
+
+
+def test_save_load_roundtrip():
+    vecs, labels = _data(150)
+    idx = build_index(vecs, labels)
+    idx.mark_delete(3)
+    clone = HnswIndex.loads(idx.dumps())
+    q = vecs[42].astype(np.float64)
+    assert clone.search(q, 5)[0].tolist() == idx.search(q, 5)[0].tolist()
+    assert 3 not in clone.search(vecs[3].astype(np.float64), 10)[0]
+
+
+def test_bad_metric():
+    with pytest.raises(ValueError):
+        HnswIndex(8, metric="hamming")
+
+
+def test_ip_and_cosine_metrics():
+    vecs, labels = _data(120)
+    for metric in ("ip", "cosine"):
+        idx = build_index(vecs, labels, metric=metric)
+        got, ds = idx.search(vecs[7].astype(np.float64), 5, ef_search=64)
+        assert len(got) == 5
+        assert list(ds) == sorted(ds)
+
+
+def test_worker_integration_recall(spark):
+    """knn_partitioned_worker with index_conf builds per-partition HNSW."""
+    from vstream_spark.config import PartitionerConf, VectorIndexConf
+    from vstream_spark.operators.knn import knn_exact
+    from vstream_spark.operators.partitioned import knn_partitioned_worker
+
+    rng = np.random.RandomState(11)
+    rows = [(int(i), rng.rand(16).astype(float).tolist()) for i in range(300)]
+    vectors = spark.createDataFrame(rows, "id long, emb array<float>")
+    queries = vectors.filter("id % 30 = 0").selectExpr("id as qid", "emb")
+    conf = PartitionerConf(kind="simple", num_partitions=4)
+    iconf = VectorIndexConf(dim=16, m=16, ef_construction=128, ef_search=64)
+    got = knn_partitioned_worker(
+        vectors, queries, conf, k=5, metric="l2", index_conf=iconf
+    )
+    want = knn_exact(vectors, queries, k=5, metric="l2")
+    g = {(r.qid, r.neighbor_id) for r in got.collect()}
+    w = {(r.qid, r.neighbor_id) for r in want.collect()}
+    assert len(g & w) / len(w) >= 0.9

@@ -1,0 +1,102 @@
+"""SegmentSearcher: C4 per-segment HNSW, C6 pruning, C7 temperature,
+C8 early termination, O7 executor index cache."""
+
+import numpy as np
+import pytest
+
+from vstream_spark.config import VectorIndexConf
+from vstream_spark.storage.search import _INDEX_CACHE, SegmentSearcher
+from vstream_spark.storage.segments import SegmentStore
+
+SCHEMA = "id bigint, emb array<float>, event_time bigint, ttl bigint, op string"
+
+
+def _vec_rows(lo, hi, dim=8, seed=0):
+    rng = np.random.RandomState(seed + lo)
+    return [
+        (i, rng.rand(dim).astype(np.float32).tolist(), i * 100, 10**12, "I")
+        for i in range(lo, hi)
+    ]
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    st = SegmentStore(spark, str(tmp_path / "segments"))
+    for lo in (0, 100, 200):
+        st.append_segment(spark.createDataFrame(_vec_rows(lo, lo + 100), SCHEMA))
+    return st
+
+
+def _queries(spark, store, n=5):
+    df = store.read().filter("id % 50 = 0").selectExpr("id as qid", "emb").limit(n)
+    return df
+
+
+def test_search_matches_exact_across_segments(spark, store):
+    from vstream_spark.operators.knn import knn_exact
+
+    conf = VectorIndexConf(dim=8, ef_search=256, termination_lower_bound=1.0)
+    searcher = SegmentSearcher(store, conf)
+    q = _queries(spark, store, n=6)
+    got = searcher.search(q, k=5, metric="l2", ef_search=256)
+    vectors = store.read().select("id", "emb")
+    want = knn_exact(vectors, q, k=5, metric="l2").toPandas()
+    g = set(zip(got["qid"], got["neighbor_id"]))
+    w = set(zip(want["qid"], want["neighbor_id"]))
+    assert len(g & w) / len(w) >= 0.9
+    # rank is 1..k ascending by distance per qid
+    for _, grp in got.groupby("qid"):
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert list(grp["distance"]) == sorted(grp["distance"])
+
+
+def test_ttl_pruning_filters_results(spark, store):
+    conf = VectorIndexConf(dim=8)
+    searcher = SegmentSearcher(store, conf)
+    q = _queries(spark, store)
+    got = searcher.search(q, k=10, metric="l2", min_event_time=15_000)
+    # freshness bound 15000 = ids >= 150 only
+    assert (got["neighbor_id"] >= 150).all()
+
+
+def test_temperature_updates_and_ordering(spark, store):
+    searcher = SegmentSearcher(store, VectorIndexConf(dim=8))
+    q = _queries(spark, store)
+    searcher.search(q, k=3)
+    assert len(searcher.temperature) == 3
+    segs = searcher._order_segments(store.segments())
+    temps = [searcher.temperature.get(s["id"], 0.0) for s in segs]
+    assert temps == sorted(temps, reverse=True)
+
+
+def test_early_termination_skips_cold_segments(spark, store):
+    # lower_bound 0 + tiny factor-threshold: after the first segment has k
+    # results per query, termination triggers if kth dist <= factor * EMA.
+    conf = VectorIndexConf(
+        dim=8,
+        termination_lower_bound=0.0,
+        termination_factor=1e9,  # always under threshold once EMA is seeded
+        termination_threshold=1.0,
+    )
+    searcher = SegmentSearcher(store, conf)
+    q = _queries(spark, store, n=3)
+    searcher.search(q, k=2)
+    # only the first visited segment got a temperature update
+    assert len(searcher.temperature) == 1
+    # EMA threshold was updated from the batch
+    assert searcher.termination_threshold != 1.0
+
+
+def test_index_cache_reused(spark, store):
+    # the cache lives in each Python worker process; exercise the build-or-
+    # fetch path directly (same code the mapInPandas closure runs)
+    from vstream_spark.storage.search import _segment_index
+
+    seg = store.segments()[0]
+    conf = VectorIndexConf(dim=8)
+    a = _segment_index(seg, conf, "l2")
+    b = _segment_index(seg, conf, "l2")
+    assert a is b  # second call is a cache hit
+    assert f"{seg['id']}:l2" in _INDEX_CACHE
+    c = _segment_index(seg, conf, "cosine")
+    assert c is not a  # metric participates in the key

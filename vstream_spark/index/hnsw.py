@@ -1,0 +1,324 @@
+"""Pure-numpy HNSW index — the per-partition ANN worker structure.
+
+Re-expresses the reference's core index capability (HNSW memtables with
+versioned tombstone deletes and timestamp filtering — W1/W2/W5/C1:
+``plugin/vectorbackend/memtable/hnsw_memtablerep.cc:45-89``,
+``plugin/vectorbackend/vectorindex/hnswlib/hnswlib.h:135-204``,
+``HnswLibKeyedProcessFunction.java:19-101``) from public knowledge: the HNSW
+algorithm (Malkov & Yashunin 2016) and the hnswlib API surface. No C++
+dependency — hnswlib/faiss are not in this container — so the graph walk is
+numpy-vectorized Python, deterministic and picklable.
+
+Determinism contract (needed for Spark task retries): a node's level is
+derived from ``hash(label, seed)``, not from insertion-order RNG, so the same
+(label, vector) set builds the same graph regardless of batch boundaries
+as long as insertion order is fixed (we sort by label in the worker).
+
+Search supports the reference's filter semantics: ``min_ts`` (freshness,
+``FilterSeqTs``: ts >= query.event_time - TTL) and tombstones
+(``mark_delete`` = markDelete by label). Deleted/stale nodes still conduct
+graph walks (like hnswlib's filter functor) but never appear in results.
+"""
+
+from __future__ import annotations
+
+import heapq
+import io
+import pickle
+
+import numpy as np
+
+
+def _l2(vecs: np.ndarray, q: np.ndarray) -> np.ndarray:
+    d = vecs - q
+    return np.einsum("ij,ij->i", d, d)
+
+
+def _ip(vecs: np.ndarray, q: np.ndarray) -> np.ndarray:
+    return -vecs @ q
+
+
+def _cos(vecs: np.ndarray, q: np.ndarray) -> np.ndarray:
+    qn = np.linalg.norm(q)
+    vn = np.linalg.norm(vecs, axis=1)
+    denom = np.where(vn * qn > 0, vn * qn, 1.0)
+    return 1.0 - (vecs @ q) / denom
+
+_DISTS = {"l2": _l2, "ip": _ip, "cosine": _cos}
+
+
+def _level_of(label: int, seed: int, m_l: float) -> int:
+    """Deterministic exponential level draw from a label hash (splitmix64)."""
+    mask = 0xFFFFFFFFFFFFFFFF
+    x = ((label ^ seed) * 0x9E3779B97F4A7C15) & mask
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & mask
+    x ^= x >> 31
+    u = (x + 1) / 2.0**64  # (0, 1]
+    return int(-np.log(u) * m_l)
+
+
+class HnswIndex:
+    """Hierarchical navigable small-world graph over float32 vectors."""
+
+    def __init__(
+        self,
+        dim: int,
+        metric: str = "l2",
+        M: int = 16,
+        ef_construction: int = 128,
+        seed: int = 42,
+        capacity: int = 1024,
+    ):
+        if metric not in _DISTS:
+            raise ValueError(f"metric must be one of {sorted(_DISTS)}")
+        self.dim = dim
+        self.metric = metric
+        self.M = M
+        self.M0 = 2 * M
+        self.ef_construction = ef_construction
+        self.seed = seed
+        self.m_l = 1.0 / np.log(M)
+        self._dist = _DISTS[metric]
+        self.vecs = np.empty((capacity, dim), dtype=np.float32)
+        self.labels = np.empty(capacity, dtype=np.int64)
+        self.ts = np.empty(capacity, dtype=np.int64)
+        self.deleted = np.zeros(capacity, dtype=bool)
+        self.n = 0
+        self.links: list[list[list[int]]] = []  # node -> level -> neighbor ids
+        self.entry: int = -1
+        self.max_level: int = -1
+        self._by_label: dict[int, int] = {}
+
+    # -- build ----------------------------------------------------------------
+
+    def _grow(self, need: int) -> None:
+        cap = len(self.labels)
+        if self.n + need <= cap:
+            return
+        new = max(cap * 2, self.n + need)
+        for name in ("vecs", "labels", "ts", "deleted"):
+            arr = getattr(self, name)
+            grown = np.zeros((new,) + arr.shape[1:], dtype=arr.dtype)
+            grown[: self.n] = arr[: self.n]
+            setattr(self, name, grown)
+
+    def add_batch(self, vecs: np.ndarray, labels: np.ndarray, ts: np.ndarray | None = None) -> None:
+        vecs = np.ascontiguousarray(vecs, dtype=np.float32)
+        if ts is None:
+            ts = np.zeros(len(labels), dtype=np.int64)
+        for v, lb, t in zip(vecs, labels, ts):
+            self.add_point(v, int(lb), int(t))
+
+    def add_point(self, vec: np.ndarray, label: int, ts: int = 0) -> None:
+        """Insert (or upsert: re-adding a label undeletes + overwrites it)."""
+        if label in self._by_label:
+            i = self._by_label[label]
+            self.vecs[i] = vec
+            self.ts[i] = ts
+            self.deleted[i] = False
+            return
+        self._grow(1)
+        i = self.n
+        self.vecs[i] = vec
+        self.labels[i] = label
+        self.ts[i] = ts
+        self.deleted[i] = False
+        self.n += 1
+        self._by_label[label] = i
+
+        level = _level_of(label, self.seed, self.m_l)
+        self.links.append([[] for _ in range(level + 1)])
+        if self.entry < 0:
+            self.entry, self.max_level = i, level
+            return
+
+        q = self.vecs[i].astype(np.float64)
+        ep = self.entry
+        # greedy descent through the upper layers
+        for lv in range(self.max_level, level, -1):
+            ep = self._greedy(q, ep, lv)
+        # insert with ef-search at each layer from min(level, max_level) down
+        for lv in range(min(level, self.max_level), -1, -1):
+            cands = self._search_layer(q, [ep], self.ef_construction, lv)
+            m = self.M0 if lv == 0 else self.M
+            chosen = [c for _, c in heapq.nsmallest(m, cands)]
+            self.links[i][lv] = list(chosen)
+            for c in chosen:
+                nl = self.links[c][lv]
+                nl.append(i)
+                if len(nl) > m:  # shrink: keep the m nearest to c
+                    base = self.vecs[c].astype(np.float64)
+                    ds = self._dist(self.vecs[nl].astype(np.float64), base)
+                    order = np.argsort(ds, kind="stable")[:m]
+                    self.links[c][lv] = [nl[j] for j in order]
+            ep = chosen[0] if chosen else ep
+        if level > self.max_level:
+            self.entry, self.max_level = i, level
+
+    def mark_delete(self, label: int) -> bool:
+        """Tombstone a label (hnswlib markDelete analog). The node keeps
+        routing traffic; it is filtered from results."""
+        i = self._by_label.get(label)
+        if i is None:
+            return False
+        self.deleted[i] = True
+        return True
+
+    # -- search ---------------------------------------------------------------
+
+    def _greedy(self, q: np.ndarray, ep: int, level: int) -> int:
+        cur = ep
+        cur_d = float(self._dist(self.vecs[cur : cur + 1].astype(np.float64), q)[0])
+        improved = True
+        while improved:
+            improved = False
+            nbrs = self.links[cur][level] if level < len(self.links[cur]) else []
+            if not nbrs:
+                break
+            ds = self._dist(self.vecs[nbrs].astype(np.float64), q)
+            j = int(np.argmin(ds))
+            if float(ds[j]) < cur_d:
+                cur, cur_d, improved = nbrs[j], float(ds[j]), True
+        return cur
+
+    def _search_layer(self, q: np.ndarray, eps: list[int], ef: int, level: int):
+        """Best-first search; returns a list of (dist, node) — ef nearest."""
+        visited = set(eps)
+        d0 = self._dist(self.vecs[eps].astype(np.float64), q)
+        cand = [(float(d), e) for d, e in zip(d0, eps)]  # min-heap
+        heapq.heapify(cand)
+        best = [(-float(d), e) for d, e in zip(d0, eps)]  # max-heap (neg)
+        heapq.heapify(best)
+        while cand:
+            d, c = heapq.heappop(cand)
+            if best and d > -best[0][0] and len(best) >= ef:
+                break
+            nbrs = [
+                nb
+                for nb in (self.links[c][level] if level < len(self.links[c]) else [])
+                if nb not in visited
+            ]
+            if not nbrs:
+                continue
+            visited.update(nbrs)
+            ds = self._dist(self.vecs[nbrs].astype(np.float64), q)
+            for nd, nb in zip(ds, nbrs):
+                nd = float(nd)
+                if len(best) < ef or nd < -best[0][0]:
+                    heapq.heappush(cand, (nd, nb))
+                    heapq.heappush(best, (-nd, nb))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+        return sorted((-nd, nb) for nd, nb in best)
+
+    def search(
+        self,
+        q: np.ndarray,
+        k: int,
+        ef_search: int | None = None,
+        min_ts: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k (labels, distances), ascending by (distance, label).
+
+        min_ts replicates the reference's freshness filter: only nodes with
+        ts >= min_ts qualify (query.event_time - TTL). Tombstoned nodes never
+        qualify. Matches the exact-path tiebreak (dist asc, id asc).
+        """
+        if self.n == 0 or self.entry < 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        ef = max(ef_search or self.ef_construction, k)
+        q = np.asarray(q, dtype=np.float64)
+        ep = self.entry
+        for lv in range(self.max_level, 0, -1):
+            ep = self._greedy(q, ep, lv)
+        found = self._search_layer(q, [ep], ef, 0)
+        ok = []
+        for d, i in found:
+            if self.deleted[i]:
+                continue
+            if min_ts is not None and self.ts[i] < min_ts:
+                continue
+            ok.append((float(d), int(self.labels[i])))
+        ok.sort()
+        ok = ok[:k]
+        return (
+            np.asarray([lb for _, lb in ok], dtype=np.int64),
+            np.asarray([d for d, _ in ok], dtype=np.float64),
+        )
+
+    def search_batch(
+        self, qmat: np.ndarray, k: int, ef_search: int | None = None, min_ts=None
+    ):
+        """Batched search: (qids-aligned) lists of label/distance arrays.
+        min_ts may be a scalar or a per-query array (per-query TTL)."""
+        out = []
+        for j in range(qmat.shape[0]):
+            mt = None
+            if min_ts is not None:
+                mt = int(min_ts) if np.isscalar(min_ts) else int(min_ts[j])
+            out.append(self.search(qmat[j], k, ef_search, mt))
+        return out
+
+    # -- persistence (C3/C4 analog: segment index artifact) -------------------
+
+    def dumps(self) -> bytes:
+        buf = io.BytesIO()
+        pickle.dump(
+            {
+                "dim": self.dim,
+                "metric": self.metric,
+                "M": self.M,
+                "ef_construction": self.ef_construction,
+                "seed": self.seed,
+                "vecs": self.vecs[: self.n].copy(),
+                "labels": self.labels[: self.n].copy(),
+                "ts": self.ts[: self.n].copy(),
+                "deleted": self.deleted[: self.n].copy(),
+                "links": self.links,
+                "entry": self.entry,
+                "max_level": self.max_level,
+            },
+            buf,
+            protocol=4,
+        )
+        return buf.getvalue()
+
+    @classmethod
+    def loads(cls, data: bytes) -> "HnswIndex":
+        d = pickle.loads(data)
+        idx = cls(
+            d["dim"], d["metric"], d["M"], d["ef_construction"], d["seed"],
+            capacity=max(1, len(d["labels"])),
+        )
+        n = len(d["labels"])
+        idx.vecs[:n] = d["vecs"]
+        idx.labels[:n] = d["labels"]
+        idx.ts[:n] = d["ts"]
+        idx.deleted[:n] = d["deleted"]
+        idx.n = n
+        idx.links = d["links"]
+        idx.entry = d["entry"]
+        idx.max_level = d["max_level"]
+        idx._by_label = {int(lb): i for i, lb in enumerate(d["labels"])}
+        return idx
+
+
+def build_index(
+    vecs: np.ndarray,
+    labels: np.ndarray,
+    ts: np.ndarray | None = None,
+    metric: str = "l2",
+    M: int = 16,
+    ef_construction: int = 128,
+    seed: int = 42,
+) -> HnswIndex:
+    """Build an index over a shard, sorted by label for retry determinism."""
+    order = np.argsort(labels, kind="stable")
+    idx = HnswIndex(
+        vecs.shape[1], metric, M, ef_construction, seed, capacity=len(labels)
+    )
+    idx.add_batch(
+        vecs[order], labels[order], ts[order] if ts is not None else None
+    )
+    return idx

@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vstream_spark.config import PartitionerConf
+from vstream_spark.config import PartitionerConf, VectorIndexConf
 from vstream_spark.functions.distance import distance_expr
 from vstream_spark.operators.knn import apply_deletes, topk
 from vstream_spark.partitioners.dispatch import fit_partitioner
@@ -86,6 +86,7 @@ def knn_partitioned_worker(
     metric: str = "l2",
     honor_deletes: bool = False,
     nprobe_centroids: int | None = None,
+    index_conf: "VectorIndexConf | None" = None,
 ) -> DataFrame:
     """Cogrouped-pandas per-partition worker (the W1-W5 analog).
 
@@ -93,7 +94,10 @@ def knn_partitioned_worker(
     the worker builds a local structure and emits per-partition top-k.
     ``nprobe_centroids``: if set, an IVF coarse quantizer is built per
     partition (kmeans-lite) and only the nearest ``nprobe_centroids`` cells
-    are scanned — the scale path for big shards.
+    are scanned — the scale path for big shards. ``index_conf``: if set, a
+    per-partition HNSW graph (numpy, vstream_spark.index.hnsw) is built with
+    (M, ef_construction) and searched with ef_search — the reference's W1/W5
+    worker structure (HnswLibKeyedProcessFunction.java:19-101).
     """
     live = apply_deletes(vectors) if honor_deletes else vectors
     part = fit_partitioner(conf, live)
@@ -109,9 +113,25 @@ def knn_partitioned_worker(
         qmat = np.stack(qdf["emb"].to_numpy()).astype(np.float64)
         vids = vdf["id"].to_numpy()
         qids = qdf["qid"].to_numpy()
-        out_qid, out_id, out_dist = _local_topk(
-            vmat, qmat, vids, qids, k, metric, nprobe_centroids
-        )
+        if index_conf is not None:
+            from vstream_spark.index.hnsw import build_index
+
+            idx = build_index(
+                vmat.astype(np.float32), vids.astype(np.int64),
+                metric=metric, M=index_conf.m,
+                ef_construction=index_conf.ef_construction,
+            )
+            out_qid, out_id, out_dist = [], [], []
+            for qi, (lbs, ds) in enumerate(
+                idx.search_batch(qmat, k, max(index_conf.ef_search, k))
+            ):
+                out_qid.extend([qids[qi]] * len(lbs))
+                out_id.extend(lbs)
+                out_dist.extend(ds)
+        else:
+            out_qid, out_id, out_dist = _local_topk(
+                vmat, qmat, vids, qids, k, metric, nprobe_centroids
+            )
         return pd.DataFrame({"qid": out_qid, "neighbor_id": out_id, "distance": out_dist})
 
     results = (

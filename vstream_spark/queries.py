@@ -504,3 +504,18 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("media_features")  # rows-only: stub decode -> pooled feature vector
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(media_fixture(load_table(spark, sf_dir, "documents")), dim=16)
+
+
+# --- HNSW per-partition graph index (W1/W5 worker, rows-only ANN) ------------
+
+
+@register("knn_hnsw_ann")  # rows-only: numpy HNSW graph per partition
+def q_knn_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vstream_spark.config import VectorIndexConf
+
+    vectors, queries = _emb_pair(spark, sf_dir)
+    conf = PartitionerConf(kind="simple", num_partitions=4)
+    iconf = VectorIndexConf(dim=64, m=16, ef_construction=128, ef_search=64)
+    return knn_partitioned_worker(
+        vectors, queries, conf, k=10, metric="l2", index_conf=iconf
+    )

@@ -1,0 +1,202 @@
+"""Segment-at-a-time vector search over a SegmentStore.
+
+Reproduces the reference's SST search loop (``db/version_set.cc:2501-2740``)
+in Spark terms:
+
+  C6  TTL pruning        — skip segments whose event-time range can't satisfy
+                           the freshness bound (store.prune)
+  C7  hot-cold ordering  — segments visited hottest-first by a decayed
+                           temperature score updated from contributed hits
+                           (``util/metrics.h:77-109``)
+  C4  per-segment search — a numpy HNSW built from the segment's rows,
+                           cached per executor process keyed by segment id
+                           (O7 block-cache analog; ``hnsw_table_reader.cc``)
+  C8  early termination  — stop visiting more segments once enough have been
+                           searched and the running kth distance is below an
+                           EMA threshold (``version_set.cc:2643-2697``)
+  M1  merge              — running top-k merge with (dist, id) tiebreak
+
+The driver loop is sequential over segments by design — that IS the
+reference's semantics (one SST at a time, terminate early). Each per-segment
+search is a distributed Spark job over the query batch; executors read the
+segment parquet directly (pyarrow) and keep the built index in a
+process-global cache, so the vector data never flows through the driver.
+Driver-side state is O(queries x k) partial results — the same reduce the
+reference runs at parallelism 1 (``params.yaml:34``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from vstream_spark.config import VectorIndexConf
+from vstream_spark.storage.segments import SegmentStore
+
+# executor-process-global index cache: segment id -> HnswIndex (O7)
+_INDEX_CACHE: dict[str, object] = {}
+_INDEX_CACHE_MAX = 64
+
+
+def _segment_index(seg: dict, conf: VectorIndexConf, metric: str):
+    """Build-or-fetch the segment's index on this executor."""
+    from vstream_spark.index.hnsw import build_index
+
+    key = f"{seg['id']}:{metric}"
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(seg["path"], columns=["id", "emb", "event_time"])
+        pdf = tbl.to_pandas()
+        vecs = np.stack(pdf["emb"].to_numpy()).astype(np.float32)
+        idx = build_index(
+            vecs,
+            pdf["id"].to_numpy().astype(np.int64),
+            ts=pdf["event_time"].to_numpy().astype(np.int64),
+            metric=metric,
+            M=conf.m,
+            ef_construction=conf.ef_construction,
+        )
+        if len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
+            _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
+        _INDEX_CACHE[key] = idx
+    return idx
+
+
+class SegmentSearcher:
+    """Top-k search across segments with pruning, temperature ordering and
+    adaptive early termination."""
+
+    def __init__(self, store: SegmentStore, conf: VectorIndexConf | None = None):
+        self.store = store
+        self.conf = conf or VectorIndexConf()
+        # per-store EMA of the kth-distance termination threshold (C8)
+        self.termination_threshold = self.conf.termination_threshold
+        # segment id -> temperature (C7); decayed on every search
+        self.temperature: dict[str, float] = {}
+
+    # -- C7 ------------------------------------------------------------------
+
+    def _order_segments(self, segs: list[dict]) -> list[dict]:
+        return sorted(
+            segs,
+            key=lambda s: (-self.temperature.get(s["id"], 0.0), s["id"]),
+        )
+
+    def _update_temperature(self, seg_id: str, hits: int, decay: float = 0.8) -> None:
+        old = self.temperature.get(seg_id, 0.0)
+        self.temperature[seg_id] = decay * old + (1.0 - decay) * float(hits)
+
+    # -- search --------------------------------------------------------------
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        metric: str = "l2",
+        min_event_time: int | None = None,
+        max_event_time: int | None = None,
+        ef_search: int | None = None,
+    ) -> pd.DataFrame:
+        """Returns a pandas frame (qid, neighbor_id, distance, rank).
+
+        ``min_event_time`` is the freshness bound (query event_time - TTL);
+        it prunes whole segments (C6) AND filters inside surviving indexes
+        (the FilterSeqTs analog).
+        """
+        conf = self.conf
+        segs = self._order_segments(self.store.prune(min_event_time, max_event_time))
+        if not segs:
+            return pd.DataFrame(
+                {"qid": [], "neighbor_id": [], "distance": [], "rank": []}
+            ).astype({"qid": "int64", "neighbor_id": "int64", "distance": "float64", "rank": "int32"})
+
+        ef = max(ef_search or conf.ef_search, k)
+        merged: pd.DataFrame | None = None
+        searched = 0
+        for seg in segs:
+            part = self._search_one(seg, queries, k, metric, min_event_time, ef)
+            searched += 1
+            self._update_temperature(seg["id"], hits=len(part))
+            merged = part if merged is None else pd.concat([merged, part])
+            # M1 running merge: keep k best per qid, (dist, id) tiebreak, id-dedup
+            merged = (
+                merged.drop_duplicates(["qid", "neighbor_id"])
+                .sort_values(["qid", "distance", "neighbor_id"], kind="stable")
+                .groupby("qid", sort=False)
+                .head(k)
+                .reset_index(drop=True)
+            )
+            if self._should_terminate(merged, k, searched, len(segs)):
+                break
+
+        # C8 EMA threshold update from this batch's kth distances
+        kth = merged.groupby("qid")["distance"].max() if len(merged) else pd.Series([], dtype=float)
+        if len(kth):
+            w = conf.termination_weight
+            self.termination_threshold = (
+                (1.0 - w) * self.termination_threshold + w * float(kth.mean())
+                if self.termination_threshold > 0.0
+                else float(kth.mean())
+            )
+        merged["rank"] = merged.groupby("qid").cumcount().astype("int32") + 1
+        return merged
+
+    def _should_terminate(
+        self, merged: pd.DataFrame, k: int, searched: int, total: int
+    ) -> bool:
+        """version_set.cc:2643-2649: enough files searched AND the current
+        kth distance is under factor x EMA threshold for every query."""
+        if searched >= total:
+            return False
+        if searched <= self.conf.termination_lower_bound * total:
+            return False
+        if self.termination_threshold <= 0.0:
+            return False
+        counts = merged.groupby("qid").size()
+        if len(counts) == 0 or counts.min() < k:
+            return False
+        kth = merged.groupby("qid")["distance"].max()
+        return bool(
+            (kth <= self.conf.termination_factor * self.termination_threshold).all()
+        )
+
+    def _search_one(
+        self,
+        seg: dict,
+        queries: DataFrame,
+        k: int,
+        metric: str,
+        min_ts: int | None,
+        ef: int,
+    ) -> pd.DataFrame:
+        conf = self.conf
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            idx = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if idx is None:
+                    idx = _segment_index(seg, conf, metric)
+                qmat = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+                qids, nids, dists = [], [], []
+                for j, (lbs, ds) in enumerate(
+                    idx.search_batch(qmat, k, ef, min_ts)
+                ):
+                    qids.extend([int(pdf["qid"].iloc[j])] * len(lbs))
+                    nids.extend(lbs)
+                    dists.extend(ds)
+                yield pd.DataFrame(
+                    {"qid": qids, "neighbor_id": nids, "distance": dists}
+                )
+
+        return (
+            queries.select("qid", "emb")
+            .mapInPandas(run, "qid long, neighbor_id long, distance double")
+            .toPandas()
+        )
