@@ -519,3 +519,24 @@ def q_knn_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_partitioned_worker(
         vectors, queries, conf, k=10, metric="l2", index_conf=iconf
     )
+
+
+# --- Recall metric (M3: SearchResult.getAccuracy) ----------------------------
+
+_RECALL_ORACLE = """
+SELECT vec_id AS qid, CAST(1.0 AS DOUBLE) AS recall
+FROM embeddings WHERE vec_id % 25 = 0
+"""
+
+
+@register("knn_recall_partitioned", _RECALL_ORACLE)
+def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the partitioned dataflow vs the exact oracle — exactly 1.0
+    per query in exact mode (the M1-merge determinism gate)."""
+    from vstream_spark.functions.metrics import recall_at_k
+
+    vectors, queries = _emb_pair(spark, sf_dir)
+    conf = PartitionerConf(kind="simple", num_partitions=8)
+    ann = knn_partitioned(vectors, queries, conf, k=10, metric="l2")
+    gt = knn_exact(vectors, queries, k=10, metric="l2")
+    return recall_at_k(ann, gt, k=10)
