@@ -1,0 +1,101 @@
+"""S2 txt source, S3 replay, S1 delete synthesis, W6 buffered upsert,
+feature-hashing embedding."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vstream_spark.sources.txt import read_txt_vectors, replay, with_delete_markers
+from vstream_spark.storage.segments import SegmentStore
+
+SCHEMA = "id bigint, emb array<float>, event_time bigint, ttl bigint, op string"
+
+
+def test_read_txt_vectors(spark, tmp_path):
+    p = tmp_path / "vecs.txt"
+    p.write_text("0,1.0,2.0,3.0\n1,4.5,5.5,6.5\n\n2,0.0,0.0,1.0\n")
+    df = read_txt_vectors(spark, str(p))
+    rows = {r.id: r.emb for r in df.collect()}
+    assert len(rows) == 3
+    assert rows[1] == [4.5, 5.5, 6.5]
+    assert dict(df.dtypes) == {"id": "bigint", "emb": "array<float>"}
+
+
+def test_replay_advances_event_time(spark):
+    df = spark.createDataFrame([(1, 100), (2, 200)], "id long, event_time long")
+    out = replay(df, loops=3, event_time_col="event_time", advance=1000)
+    assert out.count() == 6
+    times = sorted(r.event_time for r in out.filter("id = 1").collect())
+    assert times == [100, 1100, 2100]
+    with pytest.raises(ValueError):
+        replay(df, 0)
+
+
+def test_with_delete_markers_deterministic(spark):
+    rows = [(i, [float(i)], i * 10, 10**9) for i in range(300)]
+    vec = spark.createDataFrame(rows, "id bigint, emb array<float>, event_time bigint, ttl bigint")
+    mixed = with_delete_markers(vec, delete_ratio=0.1, lookback=100)
+    dels = mixed.filter("op = 'D'")
+    # ids 100,110,...,290 trigger deletes of ids 0,10,...,190
+    got = sorted(r.id for r in dels.collect())
+    assert got == list(range(0, 200, 10))
+    # delete is stamped 1ms after the trigger row -> wins last-writer-wins
+    d0 = dels.filter("id = 0").collect()[0]
+    assert d0.event_time == 100 * 10 + 1
+    from vstream_spark.operators.knn import apply_deletes
+
+    live = apply_deletes(mixed)
+    assert live.count() == 300 - 20
+
+
+def test_upsert_batch_annihilation(spark, tmp_path):
+    store = SegmentStore(spark, str(tmp_path / "seg"))
+    batch = spark.createDataFrame(
+        [
+            (1, [1.0], 100, 10**9, "I"),  # plain insert -> survives
+            (2, [2.0], 100, 10**9, "I"),  # insert + later delete -> only D row
+            (2, None, 200, 10**9, "D"),
+            (3, [3.0], 300, 10**9, "I"),  # delete then LATER insert -> insert
+            (3, None, 250, 10**9, "D"),
+            (4, [4.0], 100, 10**9, "I"),  # tie: insert outranks delete
+            (4, None, 100, 10**9, "D"),
+            (5, None, 500, 10**9, "D"),  # bare delete marker -> kept (tombstone)
+        ],
+        SCHEMA,
+    )
+    seg = store.upsert_batch(batch)
+    assert seg["count"] == 5  # one surviving row per id
+    rows = {r.id: r.op for r in store.read().collect()}
+    assert rows == {1: "I", 2: "D", 3: "I", 4: "I", 5: "D"}
+
+
+def test_upsert_tombstones_older_segments(spark, tmp_path):
+    store = SegmentStore(spark, str(tmp_path / "seg"))
+    store.upsert_batch(
+        spark.createDataFrame([(1, [1.0], 100, 10**9, "I"), (2, [2.0], 100, 10**9, "I")], SCHEMA)
+    )
+    store.upsert_batch(spark.createDataFrame([(1, None, 200, 10**9, "D")], SCHEMA))
+    from vstream_spark.operators.knn import apply_deletes
+
+    live = apply_deletes(store.read())
+    assert [r.id for r in live.collect()] == [2]
+
+
+def test_embed_text_composes_and_matches_tf(spark):
+    from vstream_spark.operators.embed import embed_text, hashed_tf
+
+    docs = spark.createDataFrame(
+        [(0, "a b a c"), (1, "b b b"), (2, "z")], "doc_id long, text string"
+    )
+    tf = {(r.doc_id, r.bucket): r.tf for r in hashed_tf(docs, dim=8).collect()}
+    emb = {r.doc_id: np.asarray(r.emb, dtype=np.float64) for r in embed_text(docs, dim=8).collect()}
+    # dense vector IS the L2-normalized sparse histogram (same md5 buckets)
+    for d in (0, 1, 2):
+        hist = np.zeros(8)
+        for (dd, b), c in tf.items():
+            if dd == d:
+                hist[b] = c
+        want = hist / np.linalg.norm(hist)
+        assert np.allclose(emb[d], want, atol=1e-6)
+    # doc 1 is a one-hot: its norm concentrates in one bucket
+    assert (emb[1] > 0).sum() == 1

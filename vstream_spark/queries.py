@@ -540,3 +540,44 @@ def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = knn_partitioned(vectors, queries, conf, k=10, metric="l2")
     gt = knn_exact(vectors, queries, k=10, metric="l2")
     return recall_at_k(ann, gt, k=10)
+
+
+# --- Token counting (whitespace + BPE-ish regex) -----------------------------
+
+_BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+_TOKENIZE_ORACLE = f"""
+SELECT doc_id,
+       {T.token_count_sql("text")} AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+@register("text_tokenize", _TOKENIZE_ORACLE)
+def q_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(T.token_count_sql("text")).alias("n_ws_tokens"),
+        F.expr(f"CAST(regexp_count(text, '{_BPE_RE}') AS BIGINT)").alias("n_bpe_tokens"),
+    )
+
+
+# --- Feature-hashing text embedding ------------------------------------------
+
+from vstream_spark.operators.embed import embed_text, hashed_tf, hashed_tf_sql  # noqa: E402
+
+
+@register("text_hashed_tf", hashed_tf_sql(64))
+def q_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hashed_tf(load_table(spark, sf_dir, "documents"), dim=64)
+
+
+@register("text_embed_knn")  # rows-only: embed -> self kNN (pipeline compose)
+def q_text_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = embed_text(docs, dim=64)
+    vectors = emb.selectExpr("doc_id as id", "emb")
+    qs = emb.filter(F.col("doc_id") % 50 == 0).selectExpr("doc_id as qid", "emb")
+    return knn_exact(vectors, qs, k=5, metric="cosine")

@@ -29,7 +29,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _META = "segments.json"
@@ -74,7 +74,11 @@ class SegmentStore:
             return None
         seg_id = f"seg-{time.strftime('%Y%m%d%H%M%S')}-{uuid.uuid4().hex[:8]}"
         path = os.path.join(self.base_dir, seg_id)
-        vectors.write.mode("errorifexists").parquet(path)
+        # C5 analog: the reference Gorilla-compresses vector blocks
+        # (compression/compression.cc); Parquet's encodings + zstd are the
+        # Spark-native equivalent (BYTE_STREAM_SPLIT isn't exposed by this
+        # parquet-mr build — zstd alone recovers most of the win on floats)
+        vectors.write.mode("errorifexists").option("compression", "zstd").parquet(path)
         seg = {
             "id": seg_id,
             "path": path,
@@ -86,6 +90,25 @@ class SegmentStore:
         segs.append(seg)
         self._write_manifest(segs)
         return seg
+
+    def upsert_batch(self, batch: DataFrame) -> dict | None:
+        """W6 buffered upsert (``VectorKeyedDataProcessFunction.java:16-100``):
+        annihilate insert+later-delete pairs *within the batch* before
+        flushing (``performLocalDeletes:86-96`` — a delete cancels a buffered
+        insert only when its event_time is strictly later; ties keep the
+        insert). Surviving delete markers are flushed too — they tombstone
+        matching ids in OLDER segments at read time (last-writer-wins).
+        """
+        w = Window.partitionBy("id").orderBy(
+            F.col("event_time").desc(),
+            F.when(F.col("op") == "I", F.lit(0)).otherwise(F.lit(1)).asc(),
+        )
+        last = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        return self.append_segment(last)
 
     # -- read path -----------------------------------------------------------
 
