@@ -100,3 +100,26 @@ def test_index_cache_reused(spark, store):
     assert f"{seg['id']}:l2" in _INDEX_CACHE
     c = _segment_index(seg, conf, "cosine")
     assert c is not a  # metric participates in the key
+
+
+def test_segment_index_sidecar_and_dump(spark, store):
+    import os
+
+    from vstream_spark.storage.search import _INDEX_CACHE, _segment_index
+
+    seg = store.segments()[1]
+    seg2 = store.build_segment_index(seg, metric="l2")
+    assert os.path.exists(seg2["index_file"])
+    assert os.path.basename(seg2["index_file"]).startswith("_hnsw")
+    # manifest records the artifact
+    assert store.segments()[1].get("index_file") == seg2["index_file"]
+    # parquet readers still see only the data files
+    assert store.read().count() == 300
+    # loader prefers the sidecar (fresh cache key -> load path)
+    _INDEX_CACHE.clear()
+    idx = _segment_index(seg2, VectorIndexConf(dim=8), "l2")
+    assert idx.n == seg2["count"]
+    # M4 dump lists every id with its segment
+    d = store.dump()
+    assert d.count() == 300
+    assert d.select("segment_id").distinct().count() == 3

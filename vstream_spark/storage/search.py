@@ -48,19 +48,31 @@ def _segment_index(seg: dict, conf: VectorIndexConf, metric: str):
     key = f"{seg['id']}:{metric}"
     idx = _INDEX_CACHE.get(key)
     if idx is None:
-        import pyarrow.parquet as pq
+        import os
 
-        tbl = pq.read_table(seg["path"], columns=["id", "emb", "event_time"])
-        pdf = tbl.to_pandas()
-        vecs = np.stack(pdf["emb"].to_numpy()).astype(np.float32)
-        idx = build_index(
-            vecs,
-            pdf["id"].to_numpy().astype(np.int64),
-            ts=pdf["event_time"].to_numpy().astype(np.int64),
-            metric=metric,
-            M=conf.m,
-            ef_construction=conf.ef_construction,
+        from vstream_spark.index.hnsw import HnswIndex
+
+        sidecar = seg.get("index_file") or os.path.join(
+            seg["path"], f"_hnsw-{metric}.idx"
         )
+        if os.path.exists(sidecar):
+            # C4: load the persisted artifact instead of rebuilding
+            with open(sidecar, "rb") as f:
+                idx = HnswIndex.loads(f.read())
+        else:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(seg["path"], columns=["id", "emb", "event_time"])
+            pdf = tbl.to_pandas()
+            vecs = np.stack(pdf["emb"].to_numpy()).astype(np.float32)
+            idx = build_index(
+                vecs,
+                pdf["id"].to_numpy().astype(np.int64),
+                ts=pdf["event_time"].to_numpy().astype(np.int64),
+                metric=metric,
+                M=conf.m,
+                ef_construction=conf.ef_construction,
+            )
         if len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
             _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
         _INDEX_CACHE[key] = idx

@@ -91,6 +91,67 @@ class SegmentStore:
         self._write_manifest(segs)
         return seg
 
+    def build_segment_index(
+        self, seg: dict, metric: str = "l2", m: int = 16, ef_construction: int = 128
+    ) -> dict:
+        """C3 analog (hnsw_table_builder.cc): persist an HNSW artifact next
+        to the segment's parquet so readers load instead of rebuild (C4).
+
+        The build runs in ONE executor task (the reference also builds each
+        SST's graph single-node at flush); the artifact lands beside the data
+        (``<segment>/_hnsw-<metric>.idx`` (underscore prefix keeps it invisible to parquet dataset discovery)). Rebuild-on-retry is safe: the
+        build is deterministic (label-sorted insertion).
+        """
+        import pandas as pd
+
+        path = seg["path"]
+        out = os.path.join(path, f"_hnsw-{metric}.idx")
+
+        def build(batches):
+            import numpy as np
+
+            from vstream_spark.index.hnsw import build_index
+
+            chunks = [pdf for pdf in batches if len(pdf)]
+            if chunks:
+                pdf = pd.concat(chunks)
+                idx = build_index(
+                    np.stack(pdf["emb"].to_numpy()).astype(np.float32),
+                    pdf["id"].to_numpy().astype(np.int64),
+                    ts=pdf["event_time"].to_numpy().astype(np.int64),
+                    metric=metric, M=m, ef_construction=ef_construction,
+                )
+                tmp = out + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(idx.dumps())
+                os.replace(tmp, out)
+            yield pd.DataFrame({"n": [len(c) for c in chunks]})
+
+        df = self.spark.read.parquet(path).select("id", "emb", "event_time")
+        df.repartition(1).mapInPandas(build, "n long").collect()
+        seg = dict(seg, index_file=out)
+        segs = [dict(s, **({"index_file": out} if s["id"] == seg["id"] else {})) for s in self.segments()]
+        self._write_manifest(segs)
+        return seg
+
+    def dump(self) -> DataFrame | None:
+        """M4 debug op (RocksDBKeyedProcessFunction.dump:143-147): all ids
+        currently stored, with their segment of origin."""
+        segs = self.segments()
+        if not segs:
+            return None
+        parts = []
+        for s in segs:
+            parts.append(
+                self.spark.read.parquet(s["path"]).select("id").withColumn(
+                    "segment_id", F.lit(s["id"])
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def upsert_batch(self, batch: DataFrame) -> dict | None:
         """W6 buffered upsert (``VectorKeyedDataProcessFunction.java:16-100``):
         annihilate insert+later-delete pairs *within the batch* before
