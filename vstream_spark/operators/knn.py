@@ -68,17 +68,25 @@ def topk(
     qid_col: str = "qid",
     dist_col: str = "distance",
     id_col: str = "neighbor_id",
+    dedup: bool = True,
 ) -> DataFrame:
     """Window top-k with the reference's merge semantics (M1/M2):
-    ascending distance, id tiebreak, dedup by id, rank 1..k."""
-    dedup_w = Window.partitionBy(qid_col, id_col).orderBy(F.col(dist_col).asc())
+    ascending distance, id tiebreak, dedup by id, rank 1..k.
+
+    ``dedup=False`` skips the duplicate-id window (one whole sort+exchange)
+    when the caller guarantees unique (qid, id) pairs — true for any
+    non-replicated path (exact search, single-family partitioning).
+    """
     rank_w = Window.partitionBy(qid_col).orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
-    out = (
-        scored.withColumn("_dup", F.row_number().over(dedup_w))
-        .filter(F.col("_dup") == 1)
-        .drop("_dup")
-        .withColumn("rank", F.row_number().over(rank_w))
-    )
+    out = scored
+    if dedup:
+        dedup_w = Window.partitionBy(qid_col, id_col).orderBy(F.col(dist_col).asc())
+        out = (
+            out.withColumn("_dup", F.row_number().over(dedup_w))
+            .filter(F.col("_dup") == 1)
+            .drop("_dup")
+        )
+    out = out.withColumn("rank", F.row_number().over(rank_w))
     if isinstance(k, int):
         return out.filter(F.col("rank") <= F.lit(k))
     return out.filter(F.col("rank") <= k)
@@ -142,4 +150,6 @@ def knn_exact(
             "distance", distance_expr(F.col("_qemb"), F.col("_vemb"), metric)
         )
     kk = F.col("_k") if k is None else k
-    return topk(scored, kk).select("qid", "neighbor_id", "distance", "rank")
+    # vectors carry unique ids post-dedup -> (qid, id) pairs are unique; skip
+    # the duplicate-elimination window (saves a sort+exchange on Q x N rows)
+    return topk(scored, kk, dedup=False).select("qid", "neighbor_id", "distance", "rank")
