@@ -207,3 +207,21 @@ def test_odyssey_pipeline_is_exact(spark):
     g = [(r.qid, r.neighbor_id, r.rank) for r in got.collect()]
     w = [(r.qid, r.neighbor_id, r.rank) for r in want.collect()]
     assert g == w
+
+
+# --- balance diagnostics ------------------------------------------------------
+
+
+def test_partition_balance_stats(spark):
+    from vstream_spark.partitioners.dispatch import balance_factor, partition_balance
+
+    conf = PartitionerConf(kind="simple", num_partitions=4)
+    df = _vector_df(spark, 400)
+    part = fit_partitioner(conf)
+    pdata = part.partition_data(df)
+    stats = partition_balance(pdata)
+    assert stats.count() == 4
+    total = sum(r.n for r in stats.collect())
+    assert total == 400
+    bf = balance_factor(pdata)
+    assert 1.0 <= bf < 2.0  # hash routing is near-uniform

@@ -431,3 +431,25 @@ def partition_data(df: DataFrame, conf: PartitionerConf, emb_col: str = "emb") -
 
 def partition_queries(df: DataFrame, conf: PartitionerConf, emb_col: str = "emb") -> DataFrame:
     return fit_partitioner(conf).partition_queries(df, emb_col)
+
+
+def partition_balance(pdata: DataFrame) -> DataFrame:
+    """Balance diagnostics for a partitioned stream (the reference logs the
+    same stats per epoch, LSHWithSpaceFillingPartitionFunction.java:366-374):
+    per-partition row count and its ratio to the mean."""
+    counts = pdata.groupBy("partition_id").count()
+    total = counts.agg(
+        F.sum("count").alias("_t"), F.count("*").alias("_p")
+    ).collect()[0]
+    mean = total["_t"] / max(1, total["_p"])
+    return counts.select(
+        "partition_id",
+        F.col("count").alias("n"),
+        (F.col("count") / F.lit(float(mean))).alias("ratio_to_mean"),
+    )
+
+
+def balance_factor(pdata: DataFrame) -> float:
+    """max/mean partition size — 1.0 is perfectly balanced."""
+    row = partition_balance(pdata).agg(F.max("ratio_to_mean")).collect()[0]
+    return float(row[0]) if row[0] is not None else 0.0

@@ -581,3 +581,48 @@ def q_text_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = emb.selectExpr("doc_id as id", "emb")
     qs = emb.filter(F.col("doc_id") % 50 == 0).selectExpr("doc_id as qid", "emb")
     return knn_exact(vectors, qs, k=5, metric="cosine")
+
+
+# --- P5 dynamic partitioner in the dataflow (rows-only ANN) ------------------
+
+
+@register("knn_lsh_hilbert_ann")  # rows-only: the paper's headline partitioner
+def q_knn_lsh_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors, queries = _emb_pair(spark, sf_dir)
+    conf = PartitionerConf(
+        kind="lsh+hilbert", num_partitions=8, num_hashes=4, bucket_width=2.0,
+        sfc_bits=7, replication_factor=2,
+    )
+    return knn_partitioned_worker(vectors, queries, conf, k=10, metric="l2")
+
+
+# --- Structured Streaming rollup (same oracle as the batch rollup) -----------
+
+_STREAM_ROLLUP_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+@register("streaming_event_rollup", _STREAM_ROLLUP_ORACLE)
+def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window rollup executed as a real streaming query
+    (availableNow over the events parquet), drained to memory and returned —
+    the streaming result hash-matches the batch oracle."""
+    from vstream_spark.streaming.pipeline import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_event_rollup,
+    )
+
+    roll = streaming_event_rollup(read_event_stream(spark, sf_dir)).select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value"), 4).cast("double").alias("sum_value"),
+    )
+    run_stream_to_memory(roll, "_streaming_rollup_result")
+    return spark.table("_streaming_rollup_result")
