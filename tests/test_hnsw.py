@@ -116,3 +116,31 @@ def test_worker_integration_recall(spark):
     g = {(r.qid, r.neighbor_id) for r in got.collect()}
     w = {(r.qid, r.neighbor_id) for r in want.collect()}
     assert len(g & w) / len(w) >= 0.9
+
+
+def test_reference_config_recall_harness(spark):
+    """BASELINE.md recall constants: M=16, efConstruction=128, efSearch=16,
+    k=10 — the reference's own accuracy-harness configuration. Exact mode is
+    the ground truth; ANN recall must be usable at efS=16 and improve
+    monotonically with efSearch (the reference's tuning axis)."""
+    from vstream_spark.config import PartitionerConf, VectorIndexConf
+    from vstream_spark.functions.metrics import mean_recall
+    from vstream_spark.operators.knn import knn_exact
+    from vstream_spark.operators.partitioned import knn_partitioned_worker
+    from vstream_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    vectors = emb.selectExpr("vec_id as id", "embedding as emb")
+    queries = emb.filter("vec_id % 25 = 0").selectExpr("vec_id as qid", "embedding as emb")
+    gt = knn_exact(vectors, queries, k=10, metric="l2")
+    conf = PartitionerConf(kind="simple", num_partitions=4)
+    recalls = {}
+    for efs in (16, 64):
+        ann = knn_partitioned_worker(
+            vectors, queries, conf, k=10, metric="l2",
+            index_conf=VectorIndexConf(dim=64, m=16, ef_construction=128, ef_search=efs),
+        )
+        recalls[efs] = mean_recall(ann, gt, 10)
+    assert recalls[16] >= 0.7
+    assert recalls[64] >= recalls[16]
+    assert recalls[64] >= 0.9
