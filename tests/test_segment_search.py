@@ -123,3 +123,36 @@ def test_segment_index_sidecar_and_dump(spark, store):
     d = store.dump()
     assert d.count() == 300
     assert d.select("segment_id").distinct().count() == 3
+
+
+def test_deletes_honored_across_segments(spark, tmp_path):
+    """W2/C9 through the segment path: intra-segment shadowing, cross-segment
+    tombstones, and newest-version-wins for re-inserted ids."""
+    st = SegmentStore(spark, str(tmp_path / "segdel"))
+    # segment 1: inserts 0..49 at t=i*100; id 7 deleted IN the same segment
+    # (marker strictly later than the insert at t=700)
+    rows1 = _vec_rows(0, 50) + [(7, None, 7 * 100 + 5, 10**12, "D")]
+    st.append_segment(spark.createDataFrame(rows1, SCHEMA))
+    # segment 2: delete id 3 (cross-segment), re-insert id 5 with a new vector
+    import numpy as np
+
+    newvec = np.zeros(8, dtype=np.float32).tolist()
+    rows2 = [(3, None, 900, 10**12, "D"), (5, newvec, 901, 10**12, "I")]
+    st.append_segment(spark.createDataFrame(rows2, SCHEMA))
+
+    searcher = SegmentSearcher(
+        st, VectorIndexConf(dim=8, ef_search=256, termination_lower_bound=1.0)
+    )
+    # query near old id-3/5/7 vectors: none of 3, 7 may appear
+    q = spark.createDataFrame(
+        [(int(i), r[1]) for i, r in enumerate(_vec_rows(0, 50)) if r[0] in (3, 5, 7)],
+        "qid long, emb array<float>",
+    )
+    got = searcher.search(q, k=50, metric="l2")
+    ids = set(got["neighbor_id"])
+    assert 3 not in ids and 7 not in ids
+    # the re-inserted id 5 appears with its NEW vector: nearest to zeros
+    qz = spark.createDataFrame([(99, newvec)], "qid long, emb array<float>")
+    gz = searcher.search(qz, k=1, metric="l2")
+    assert list(gz["neighbor_id"]) == [5]
+    assert gz["distance"].iloc[0] == 0.0

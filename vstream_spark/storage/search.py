@@ -62,17 +62,34 @@ def _segment_index(seg: dict, conf: VectorIndexConf, metric: str):
         else:
             import pyarrow.parquet as pq
 
-            tbl = pq.read_table(seg["path"], columns=["id", "emb", "event_time"])
+            cols = ["id", "emb", "event_time"]
+            schema_names = pq.read_schema(
+                __import__("glob").glob(seg["path"] + "/*.parquet")[0]
+            ).names
+            has_op = "op" in schema_names
+            tbl = pq.read_table(seg["path"], columns=cols + (["op"] if has_op else []))
             pdf = tbl.to_pandas()
-            vecs = np.stack(pdf["emb"].to_numpy()).astype(np.float32)
+            if has_op:
+                ins = pdf[pdf["op"] == "I"]
+            else:
+                ins = pdf
+            vecs = np.stack(ins["emb"].to_numpy()).astype(np.float32)
             idx = build_index(
                 vecs,
-                pdf["id"].to_numpy().astype(np.int64),
-                ts=pdf["event_time"].to_numpy().astype(np.int64),
+                ins["id"].to_numpy().astype(np.int64),
+                ts=ins["event_time"].to_numpy().astype(np.int64),
                 metric=metric,
                 M=conf.m,
                 ef_construction=conf.ef_construction,
             )
+            if has_op:
+                # intra-segment tombstones (W2): a delete marker STRICTLY
+                # newer than the insert it shadows kills it (insert wins
+                # ties — performLocalDeletes:86-96)
+                for _, row in pdf[pdf["op"] == "D"].iterrows():
+                    i = idx._by_label.get(int(row["id"]))
+                    if i is not None and int(row["event_time"]) > int(idx.ts[i]):
+                        idx.mark_delete(int(row["id"]))
         if len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
             _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
         _INDEX_CACHE[key] = idx
@@ -128,16 +145,29 @@ class SegmentSearcher:
             ).astype({"qid": "int64", "neighbor_id": "int64", "distance": "float64", "rank": "int32"})
 
         ef = max(ef_search or conf.ef_search, k)
+        tombs = self._tombstones(min_event_time, max_event_time)
         merged: pd.DataFrame | None = None
         searched = 0
         for seg in segs:
             part = self._search_one(seg, queries, k, metric, min_event_time, ef)
+            if len(tombs) and len(part):
+                # cross-segment deletes: drop hits whose id carries a delete
+                # marker strictly newer than the hit's insert time
+                part = part.merge(tombs, left_on="neighbor_id", right_on="id", how="left")
+                part = part[~(part["del_time"] > part["neighbor_ts"])]
+                part = part.drop(columns=["id", "del_time"])
             searched += 1
             self._update_temperature(seg["id"], hits=len(part))
             merged = part if merged is None else pd.concat([merged, part])
-            # M1 running merge: keep k best per qid, (dist, id) tiebreak, id-dedup
+            # M1 running merge: keep k best per qid, (dist, id) tiebreak;
+            # duplicate ids across segments resolve to the NEWEST version
+            # (last-writer-wins, the memtable-over-SST precedence)
             merged = (
-                merged.drop_duplicates(["qid", "neighbor_id"])
+                merged.sort_values(
+                    ["qid", "neighbor_id", "neighbor_ts"],
+                    ascending=[True, True, False], kind="stable",
+                )
+                .drop_duplicates(["qid", "neighbor_id"])
                 .sort_values(["qid", "distance", "neighbor_id"], kind="stable")
                 .groupby("qid", sort=False)
                 .head(k)
@@ -155,8 +185,29 @@ class SegmentSearcher:
                 if self.termination_threshold > 0.0
                 else float(kth.mean())
             )
+        if "neighbor_ts" in merged.columns:
+            merged = merged.drop(columns=["neighbor_ts"])
         merged["rank"] = merged.groupby("qid").cumcount().astype("int32") + 1
         return merged
+
+    def _tombstones(
+        self, min_event_time: int | None, max_event_time: int | None
+    ) -> pd.DataFrame:
+        """Delete markers visible to this search: (id, del_time). Deletes are
+        a small fraction of the stream (reference deleteRatio 0.1), and only
+        markers at or before the snapshot bound apply — a tiny driver frame,
+        the tombstone-set analog of the version CF (C9)."""
+        df = self.store.read(min_event_time=None, max_event_time=max_event_time)
+        if df is None or "op" not in df.columns:
+            return pd.DataFrame({"id": [], "del_time": []})
+        from pyspark.sql import functions as F
+
+        return (
+            df.filter(F.col("op") == "D")
+            .groupBy("id")
+            .agg(F.max("event_time").alias("del_time"))
+            .toPandas()
+        )
 
     def _should_terminate(
         self, merged: pd.DataFrame, k: int, searched: int, total: int
@@ -196,19 +247,23 @@ class SegmentSearcher:
                 if idx is None:
                     idx = _segment_index(seg, conf, metric)
                 qmat = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
-                qids, nids, dists = [], [], []
+                qids, nids, dists, nts = [], [], [], []
                 for j, (lbs, ds) in enumerate(
                     idx.search_batch(qmat, k, ef, min_ts)
                 ):
                     qids.extend([int(pdf["qid"].iloc[j])] * len(lbs))
                     nids.extend(lbs)
                     dists.extend(ds)
+                    nts.extend(int(idx.ts[idx._by_label[int(lb)]]) for lb in lbs)
                 yield pd.DataFrame(
-                    {"qid": qids, "neighbor_id": nids, "distance": dists}
+                    {"qid": qids, "neighbor_id": nids, "distance": dists,
+                     "neighbor_ts": nts}
                 )
 
         return (
             queries.select("qid", "emb")
-            .mapInPandas(run, "qid long, neighbor_id long, distance double")
+            .mapInPandas(
+                run, "qid long, neighbor_id long, distance double, neighbor_ts long"
+            )
             .toPandas()
         )

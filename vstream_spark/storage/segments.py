@@ -115,19 +115,30 @@ class SegmentStore:
             chunks = [pdf for pdf in batches if len(pdf)]
             if chunks:
                 pdf = pd.concat(chunks)
+                ins = pdf[pdf["op"] == "I"] if "op" in pdf.columns else pdf
                 idx = build_index(
-                    np.stack(pdf["emb"].to_numpy()).astype(np.float32),
-                    pdf["id"].to_numpy().astype(np.int64),
-                    ts=pdf["event_time"].to_numpy().astype(np.int64),
+                    np.stack(ins["emb"].to_numpy()).astype(np.float32),
+                    ins["id"].to_numpy().astype(np.int64),
+                    ts=ins["event_time"].to_numpy().astype(np.int64),
                     metric=metric, M=m, ef_construction=ef_construction,
                 )
+                if "op" in pdf.columns:
+                    # W2 tombstones: strictly-later delete shadows the insert
+                    for _, row in pdf[pdf["op"] == "D"].iterrows():
+                        i = idx._by_label.get(int(row["id"]))
+                        if i is not None and int(row["event_time"]) > int(idx.ts[i]):
+                            idx.mark_delete(int(row["id"]))
                 tmp = out + ".tmp"
                 with open(tmp, "wb") as f:
                     f.write(idx.dumps())
                 os.replace(tmp, out)
             yield pd.DataFrame({"n": [len(c) for c in chunks]})
 
-        df = self.spark.read.parquet(path).select("id", "emb", "event_time")
+        cols = ["id", "emb", "event_time"]
+        full = self.spark.read.parquet(path)
+        if "op" in full.columns:
+            cols.append("op")
+        df = full.select(*cols)
         df.repartition(1).mapInPandas(build, "n long").collect()
         seg = dict(seg, index_file=out)
         segs = [dict(s, **({"index_file": out} if s["id"] == seg["id"] else {})) for s in self.segments()]
