@@ -43,6 +43,59 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
 
+    # Derived throughputs on the BASELINE.md axes (insert vec/s, query q/s):
+    # ingest the embeddings table into a segment store, then run the
+    # partitioned ANN dataflow over it.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vstream_spark.config import PartitionerConf
+    from vstream_spark.operators.partitioned import knn_partitioned_worker
+    from vstream_spark.sources.tables import load_table
+    from vstream_spark.storage.segments import SegmentStore
+
+    derived: dict[str, float] = {}
+    tmp = tempfile.mkdtemp(prefix="bench-seg-")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        vectors = emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("emb"),
+            (F.col("vec_id") * 10).alias("event_time"),
+            F.lit(10**12).alias("ttl"),
+            F.lit("I").alias("op"),
+        )
+        # replay the table to amortize fixed job overhead (ids shifted per
+        # loop so LWW dedup doesn't collapse the batch)
+        from vstream_spark.sources.txt import replay
+
+        loops = 20
+        big = replay(vectors, loops, event_time_col="event_time", advance=10**9)
+        big = big.withColumn(
+            "id", F.col("id") + (F.col("event_time") / 10**9).cast("long") * 10**9
+        )
+        n_vec = n_emb = emb.count() * loops
+        store = SegmentStore(spark, tmp)
+        t0 = time.perf_counter()
+        store.upsert_batch(big)
+        derived["insert_vec_per_s"] = round(n_vec / (time.perf_counter() - t0), 1)
+
+        queries = emb.filter(F.col("vec_id") % 5 == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
+        )
+        n_q = queries.count()
+        stored = store.read().filter("op = 'I'").select("id", "emb")
+        conf = PartitionerConf(
+            kind="lsh", num_partitions=8, num_families=2, num_hashes=4, bucket_width=2.0
+        )
+        t0 = time.perf_counter()
+        knn_partitioned_worker(stored, queries, conf, k=10, metric="l2").count()
+        derived["query_per_s"] = round(n_q / (time.perf_counter() - t0), 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -52,6 +105,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "derived": derived,
             }
         )
     )
