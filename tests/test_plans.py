@@ -1,0 +1,75 @@
+"""Plan-shape regression tests: the physical properties SCALE.md claims."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vstream_spark.plans.audit import (
+    assert_plan_contains,
+    assert_plan_lacks,
+    count_exchanges,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    from vstream_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    vectors = emb.selectExpr("vec_id as id", "embedding as emb")
+    queries = emb.filter("vec_id % 25 = 0").selectExpr("vec_id as qid", "embedding as emb")
+    return vectors, queries
+
+
+def test_knn_exact_broadcasts_queries_single_exchange(spark):
+    from vstream_spark.operators.knn import knn_exact
+
+    vectors, queries = _emb(spark)
+    df = knn_exact(vectors, queries, k=10, metric="l2")
+    # queries broadcast; vector side streams (no shuffle before the join)
+    assert_plan_contains(df, "BroadcastNestedLoopJoin", "WindowGroupLimit")
+    # dedup window skipped -> exactly ONE shuffle exchange (the qid top-k)
+    assert count_exchanges(df) == 1
+    # no Python in the scoring path (pure Catalyst distance)
+    assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython")
+
+
+def test_relational_pushdown_and_broadcast(spark):
+    from vstream_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["rel_shipping_priority"]
+    df = fn(spark, SF)
+    plan = assert_plan_contains(df, "BroadcastHashJoin", "PushedFilters: [")
+    # the pushed filter actually reaches a scan (not an empty list everywhere)
+    assert "PushedFilters: []" != plan.split("PushedFilters: ")[1].split("\n")[0]
+
+
+def test_hashed_tf_partial_aggregation(spark):
+    from vstream_spark.operators.embed import hashed_tf
+    from vstream_spark.sources.tables import load_table
+
+    df = hashed_tf(load_table(spark, SF, "documents"), dim=64)
+    plan = assert_plan_contains(df, "partial_count")
+    # map-side combine happens before the single exchange
+    assert count_exchanges(df) == 1
+
+
+def test_scan_prunes_columns(spark):
+    from vstream_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    plan = assert_plan_contains(docs, "ReadSchema")
+    # only the projected column reaches the scan
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "text" not in read_schema and "doc_id" in read_schema
+
+
+def test_partitioned_worker_shuffles_on_partition_id(spark):
+    from vstream_spark.config import PartitionerConf
+    from vstream_spark.operators.partitioned import knn_partitioned_worker
+
+    vectors, queries = _emb(spark)
+    df = knn_partitioned_worker(
+        vectors, queries, PartitionerConf(kind="simple", num_partitions=4), k=5
+    )
+    assert_plan_contains(df, "FlatMapCoGroupsInPandas", "partition_id")
