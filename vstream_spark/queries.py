@@ -626,3 +626,32 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_memory(roll, "_streaming_rollup_result")
     return spark.table("_streaming_rollup_result")
+
+
+# --- As-of (point-in-time) join over the events stream -----------------------
+
+_ASOF_ORACLE = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.ts AS asof_ts, c.value AS asof_value
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@register("asof_purchase_click", _ASOF_ORACLE)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase joined to the same user's latest at-or-before click —
+    the trades-to-quotes as-of join, single-shuffle union/window plan."""
+    from vstream_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return asof_join(purchases, clicks, on="ts", by="user_id", right_cols=["value"])
