@@ -655,3 +655,28 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
     return asof_join(purchases, clicks, on="ts", by="user_id", right_cols=["value"])
+
+
+# --- JSON property extraction + aggregation (events.props) -------------------
+
+_JSON_ORACLE = """
+SELECT event_type,
+       CAST(avg(json_extract(props, '$.k')::BIGINT) AS DOUBLE) AS avg_k,
+       CAST(max(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS max_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_json_props", _JSON_ORACLE)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column surface: extract + aggregate, all JVM-side
+    (get_json_object inside whole-stage codegen)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.avg(k).cast("double").alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count("*").alias("n"),
+    )
