@@ -13,8 +13,15 @@ Layout:
   plans/        plan inspection helpers
 """
 
+from vstream_spark.config import EngineConf, PartitionerConf, VectorIndexConf
+from vstream_spark.engine import VStreamEngine
 from vstream_spark.session import get_spark
-from vstream_spark.config import VectorIndexConf, PartitionerConf
 
-__all__ = ["get_spark", "VectorIndexConf", "PartitionerConf"]
+__all__ = [
+    "EngineConf",
+    "PartitionerConf",
+    "VStreamEngine",
+    "VectorIndexConf",
+    "get_spark",
+]
 __version__ = "0.1.0"
