@@ -210,3 +210,36 @@ def _ivf_assign(vmat: np.ndarray, nprobe: int, iters: int = 5, seed: int = 42):
     cells = [c for c in cells if len(c)]
     centroids = np.stack([vmat[c].mean(axis=0) for c in cells])
     return cells, centroids
+
+
+def partial_results_complete(
+    partials: DataFrame, partitioned_queries: DataFrame
+) -> DataFrame:
+    """M1 completeness accounting (``PartialResultProcessFunction.isComplete``,
+    ``SearchResult.java:10-53``): a query's merged result is COMPLETE when
+    results have arrived from every partition it was fanned out to
+    (``num_partitions_sent``). Batch execution is trivially complete; in
+    incremental/streaming merges this is the emit gate.
+
+    ``partials``: (qid, partition_id, ...) per-partition result rows.
+    ``partitioned_queries``: the fan-out frame carrying num_partitions_sent.
+    Returns (qid, num_partitions_combined, num_partitions_sent, is_complete).
+    """
+    seen = partials.select("qid", "partition_id").distinct().groupBy("qid").agg(
+        F.count("*").alias("num_partitions_combined")
+    )
+    sent = partitioned_queries.select("qid", "num_partitions_sent").distinct()
+    return (
+        sent.join(seen, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("num_partitions_combined", F.lit(0)).alias(
+                "num_partitions_combined"
+            ),
+            "num_partitions_sent",
+            (
+                F.coalesce("num_partitions_combined", F.lit(0))
+                == F.col("num_partitions_sent")
+            ).alias("is_complete"),
+        )
+    )
