@@ -80,7 +80,8 @@ class HnswIndex:
         self.seed = seed
         self.m_l = 1.0 / np.log(M)
         self._dist = _DISTS[metric]
-        self.vecs = np.empty((capacity, dim), dtype=np.float32)
+        # float64 storage: distance kernels run without per-call astype
+        self.vecs = np.empty((capacity, dim), dtype=np.float64)
         self.labels = np.empty(capacity, dtype=np.int64)
         self.ts = np.empty(capacity, dtype=np.int64)
         self.deleted = np.zeros(capacity, dtype=bool)
@@ -104,7 +105,7 @@ class HnswIndex:
             setattr(self, name, grown)
 
     def add_batch(self, vecs: np.ndarray, labels: np.ndarray, ts: np.ndarray | None = None) -> None:
-        vecs = np.ascontiguousarray(vecs, dtype=np.float32)
+        vecs = np.ascontiguousarray(vecs, dtype=np.float64)
         if ts is None:
             ts = np.zeros(len(labels), dtype=np.int64)
         for v, lb, t in zip(vecs, labels, ts):
@@ -133,7 +134,7 @@ class HnswIndex:
             self.entry, self.max_level = i, level
             return
 
-        q = self.vecs[i].astype(np.float64)
+        q = self.vecs[i]
         ep = self.entry
         # greedy descent through the upper layers
         for lv in range(self.max_level, level, -1):
@@ -148,8 +149,8 @@ class HnswIndex:
                 nl = self.links[c][lv]
                 nl.append(i)
                 if len(nl) > m:  # shrink: keep the m nearest to c
-                    base = self.vecs[c].astype(np.float64)
-                    ds = self._dist(self.vecs[nl].astype(np.float64), base)
+                    base = self.vecs[c]
+                    ds = self._dist(self.vecs[nl], base)
                     order = np.argsort(ds, kind="stable")[:m]
                     self.links[c][lv] = [nl[j] for j in order]
             ep = chosen[0] if chosen else ep
@@ -169,14 +170,14 @@ class HnswIndex:
 
     def _greedy(self, q: np.ndarray, ep: int, level: int) -> int:
         cur = ep
-        cur_d = float(self._dist(self.vecs[cur : cur + 1].astype(np.float64), q)[0])
+        cur_d = float(self._dist(self.vecs[cur : cur + 1], q)[0])
         improved = True
         while improved:
             improved = False
             nbrs = self.links[cur][level] if level < len(self.links[cur]) else []
             if not nbrs:
                 break
-            ds = self._dist(self.vecs[nbrs].astype(np.float64), q)
+            ds = self._dist(self.vecs[nbrs], q)
             j = int(np.argmin(ds))
             if float(ds[j]) < cur_d:
                 cur, cur_d, improved = nbrs[j], float(ds[j]), True
@@ -185,7 +186,7 @@ class HnswIndex:
     def _search_layer(self, q: np.ndarray, eps: list[int], ef: int, level: int):
         """Best-first search; returns a list of (dist, node) — ef nearest."""
         visited = set(eps)
-        d0 = self._dist(self.vecs[eps].astype(np.float64), q)
+        d0 = self._dist(self.vecs[eps], q)
         cand = [(float(d), e) for d, e in zip(d0, eps)]  # min-heap
         heapq.heapify(cand)
         best = [(-float(d), e) for d, e in zip(d0, eps)]  # max-heap (neg)
@@ -202,7 +203,7 @@ class HnswIndex:
             if not nbrs:
                 continue
             visited.update(nbrs)
-            ds = self._dist(self.vecs[nbrs].astype(np.float64), q)
+            ds = self._dist(self.vecs[nbrs], q)
             for nd, nb in zip(ds, nbrs):
                 nd = float(nd)
                 if len(best) < ef or nd < -best[0][0]:
@@ -271,7 +272,7 @@ class HnswIndex:
                 "M": self.M,
                 "ef_construction": self.ef_construction,
                 "seed": self.seed,
-                "vecs": self.vecs[: self.n].copy(),
+                "vecs": self.vecs[: self.n].astype(np.float32),  # compact artifact
                 "labels": self.labels[: self.n].copy(),
                 "ts": self.ts[: self.n].copy(),
                 "deleted": self.deleted[: self.n].copy(),
