@@ -713,3 +713,31 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("w.start").alias("session_start"), "n_events"
         )
     )
+
+
+# --- Scalar quantization (C5 in-flight compression analog) -------------------
+
+_QUANT_ORACLE = """
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale,
+         embedding
+  FROM embeddings)
+SELECT vec_id, CAST(round(scale, 9) AS DOUBLE) AS scale_r,
+       list_transform(embedding, x -> CASE WHEN scale > 0.0
+         THEN CAST(round(x::DOUBLE / scale) AS TINYINT) ELSE CAST(0 AS TINYINT) END) AS q
+FROM q
+"""
+
+
+@register("vector_quantize", _QUANT_ORACLE)
+def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vstream_spark.operators.quantize import quantize
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    out = quantize(emb)
+    return out.select(
+        "vec_id", F.round(F.col("scale"), 9).cast("double").alias("scale_r"), "q"
+    )
