@@ -82,7 +82,7 @@ def main() -> None:
         store.upsert_batch(big)
         derived["insert_vec_per_s"] = round(n_vec / (time.perf_counter() - t0), 1)
 
-        queries = emb.filter(F.col("vec_id") % 5 == 0).select(
+        queries = emb.select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
         )
         n_q = queries.count()
