@@ -225,3 +225,40 @@ def test_partition_balance_stats(spark):
     assert total == 400
     bf = balance_factor(pdata)
     assert 1.0 <= bf < 2.0  # hash routing is near-uniform
+
+
+def test_curve_partitioner_epoch_freshness_pruning(spark):
+    """P5 isFresh (LSHashSpaceFillingPartitioner.java:353-355): queries skip
+    epochs that cannot hold data in [event_time - max_ttl, event_time]."""
+    rng = np.random.RandomState(21)
+    # three epochs of data: event_time in [0, 100), [100, 200), [200, 300)
+    rows = [
+        (int(i), rng.rand(8).astype(float).tolist(), int(i % 3) * 100 + int(i) % 100)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, emb array<float>, event_time long")
+    conf = PartitionerConf(
+        kind="lsh+zorder", num_partitions=4, num_hashes=2, bucket_width=2.0,
+        sfc_bits=4, update_interval=100, max_ttl=120,
+    )
+    part = fit_partitioner(conf, df)
+    assert len(part.boundaries) == 3  # one boundary set per epoch
+    # a query at t=250 with max_ttl=120 sees [130, 250]: epochs 1 and 2 only
+    q = spark.createDataFrame(
+        [(1, rows[0][1], 250)], "qid long, emb array<float>, event_time long"
+    )
+    pq = part.partition_queries(q)
+    fresh_fanout = pq.count()
+    # same query with pruning disabled fans to all three epochs' partitions
+    conf_all = PartitionerConf(
+        kind="lsh+zorder", num_partitions=4, num_hashes=2, bucket_width=2.0,
+        sfc_bits=4, update_interval=100, max_ttl=None,
+    )
+    part_all = fit_partitioner(conf_all, df)
+    all_fanout = part_all.partition_queries(q).count()
+    assert 0 < fresh_fanout <= all_fanout
+    # a query far in the future of every epoch sees nothing
+    q_old = spark.createDataFrame(
+        [(2, rows[0][1], 10_000)], "qid long, emb array<float>, event_time long"
+    )
+    assert part.partition_queries(q_old).count() == 0

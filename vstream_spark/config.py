@@ -76,6 +76,11 @@ class PartitionerConf:
     replication_factor: int = 1  # kmeans/hilbert nearest-R routing
     update_interval: int = 7_200_000  # epoch re-learn period (ms)
     max_retained: int = 1_000_000  # history window for quantile learning
+    # Epoch freshness for P5 query fan-out (isFresh,
+    # LSHashSpaceFillingPartitioner.java:353-355): queries skip epochs whose
+    # time range cannot contain data within [event_time - max_ttl, event_time].
+    # None = fan out to every learned epoch (no pruning).
+    max_ttl: int | None = None
     # SAX / Odyssey (P8: OdysseyPartitionFunction.java:160-329, sax/SAX.java)
     sax_word_len: int = 8  # PAA segments per word
     sax_alphabet: int = 4  # symbols per segment (Gaussian breakpoints)

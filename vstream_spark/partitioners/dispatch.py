@@ -203,12 +203,26 @@ class CurvePartitioner(FittedPartitioner):
     def _assign_udf(self, fan_all_epochs: bool, replicate: int):
         boundaries = self.boundaries
         conf = self.conf
+        interval, max_ttl = conf.update_interval, conf.max_ttl
 
         @F.pandas_udf(ArrayType(IntegerType()))
-        def assign(cv: pd.Series, epoch: pd.Series) -> pd.Series:
+        def assign(cv: pd.Series, epoch: pd.Series, et: pd.Series) -> pd.Series:
             out = []
-            for v, e in zip(cv, epoch):
-                epochs = boundaries.keys() if fan_all_epochs else [int(e)]
+            for v, e, t in zip(cv, epoch, et):
+                if fan_all_epochs:
+                    # isFresh epoch pruning: epoch ep spans
+                    # [ep*interval, (ep+1)*interval); visible data lies in
+                    # [t - max_ttl, t], so stale/future epochs are skipped
+                    epochs = [
+                        ep
+                        for ep in boundaries
+                        if max_ttl is None
+                        or t is None
+                        or pd.isna(t)
+                        or ((ep + 1) * interval > int(t) - max_ttl and ep * interval <= int(t))
+                    ]
+                else:
+                    epochs = [int(e)]
                 pids: set[int] = set()
                 for ep in epochs:
                     b = boundaries.get(int(ep))
@@ -231,12 +245,20 @@ class CurvePartitioner(FittedPartitioner):
             ep = F.lit(0).cast("long")
         return df.withColumn("_epoch", ep)
 
+    @staticmethod
+    def _event_time_col(df: DataFrame):
+        return (
+            F.col("event_time").cast("long")
+            if "event_time" in df.columns
+            else F.lit(None).cast("long")
+        )
+
     def partition_data(self, df: DataFrame, emb_col: str = "emb") -> DataFrame:
         cv = self._with_epoch(df.withColumn("_cv", self._curve_udf()(F.col(emb_col))))
         out = _explode_pids(
             cv,
             self._assign_udf(False, max(1, self.conf.replication_factor))(
-                F.col("_cv"), F.col("_epoch")
+                F.col("_cv"), F.col("_epoch"), self._event_time_col(df)
             ),
             with_fanout=False,
         )
@@ -247,7 +269,7 @@ class CurvePartitioner(FittedPartitioner):
         out = _explode_pids(
             cv,
             self._assign_udf(True, max(1, self.conf.replication_factor))(
-                F.col("_cv"), F.col("_epoch")
+                F.col("_cv"), F.col("_epoch"), self._event_time_col(df)
             ),
             with_fanout=True,
         )
