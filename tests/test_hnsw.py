@@ -83,6 +83,59 @@ def test_save_load_roundtrip():
     assert 3 not in clone.search(vecs[3].astype(np.float64), 10)[0]
 
 
+def test_bulk_build_recall_and_determinism():
+    """build_index_bulk (the flush-time bulk constructor) must match or beat
+    incremental insertion on recall and be deterministic."""
+    from vstream_spark.index.hnsw import build_index_bulk
+
+    vecs, labels = _data(500)
+    ts = np.arange(500, dtype=np.int64)
+    a = build_index_bulk(vecs, labels, ts=ts, M=16, ef_construction=128)
+    b = build_index_bulk(vecs, labels, ts=ts, M=16, ef_construction=128)
+    assert a.entry == b.entry and a.max_level == b.max_level
+    assert all(a.links[i] == b.links[i] for i in range(a.n))
+    rng = np.random.RandomState(4)
+    hits = 0
+    for q in rng.rand(40, vecs.shape[1]):
+        got, ds = a.search(q, 10, ef_search=64)
+        want = _exact_topk(vecs, labels, q, 10)
+        hits += len(set(got) & set(want))
+        assert list(ds) == sorted(ds)
+    assert hits / 400 >= 0.95
+    # freshness + tombstones work on the bulk-built graph too
+    got, _ = a.search(vecs[10].astype(np.float64), 10, ef_search=200, min_ts=250)
+    assert all(a.ts[a._by_label[int(lb)]] >= 250 for lb in got)
+    assert a.mark_delete(int(got[0]))
+    assert got[0] not in a.search(vecs[10].astype(np.float64), 10, ef_search=200, min_ts=250)[0]
+
+
+def test_bulk_auto_threshold_and_parity():
+    """build_index auto-selects bulk for shards >= threshold; both paths
+    expose the same search API and serialize identically."""
+    from vstream_spark.index.hnsw import _BULK_THRESHOLD, build_index
+
+    vecs, labels = _data(64)
+    small = build_index(vecs, labels)           # below threshold -> incremental
+    forced = build_index(vecs, labels, bulk=True)
+    q = vecs[5].astype(np.float64)
+    assert small.search(q, 1)[0][0] == 5
+    assert forced.search(q, 1)[0][0] == 5
+    clone = HnswIndex.loads(forced.dumps())
+    assert clone.search(q, 5)[0].tolist() == forced.search(q, 5)[0].tolist()
+    assert _BULK_THRESHOLD >= 512
+
+
+def test_bulk_empty_and_tiny():
+    from vstream_spark.index.hnsw import build_index_bulk
+
+    e = build_index_bulk(np.zeros((0, 8)), np.empty(0, dtype=np.int64))
+    lbs, ds = e.search(np.zeros(8), 5)
+    assert len(lbs) == 0
+    one = build_index_bulk(np.ones((1, 8)), np.array([7], dtype=np.int64))
+    lbs, _ = one.search(np.ones(8), 3)
+    assert lbs.tolist() == [7]
+
+
 def test_bad_metric():
     with pytest.raises(ValueError):
         HnswIndex(8, metric="hamming")

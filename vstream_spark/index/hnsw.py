@@ -305,6 +305,9 @@ class HnswIndex:
         return idx
 
 
+_BULK_THRESHOLD = 2048
+
+
 def build_index(
     vecs: np.ndarray,
     labels: np.ndarray,
@@ -313,13 +316,143 @@ def build_index(
     M: int = 16,
     ef_construction: int = 128,
     seed: int = 42,
+    bulk: bool | None = None,
 ) -> HnswIndex:
-    """Build an index over a shard, sorted by label for retry determinism."""
+    """Build an index over a shard, sorted by label for retry determinism.
+
+    ``bulk=None`` auto-selects: shards >= 2048 vectors use the blockwise
+    exact-kNN bulk constructor (``build_index_bulk``, ~6x faster, BLAS-bound);
+    smaller shards use incremental insertion. Both are deterministic for a
+    given input set.
+    """
+    if bulk is None:
+        bulk = len(labels) >= _BULK_THRESHOLD
+    if bulk:
+        return build_index_bulk(vecs, labels, ts, metric, M, ef_construction, seed)
     order = np.argsort(labels, kind="stable")
     idx = HnswIndex(
-        vecs.shape[1], metric, M, ef_construction, seed, capacity=len(labels)
+        vecs.shape[1], metric, M, ef_construction, seed, capacity=max(1, len(labels))
     )
     idx.add_batch(
         vecs[order], labels[order], ts[order] if ts is not None else None
     )
+    return idx
+
+
+def _exact_knn_links(vecs: np.ndarray, metric: str, m: int, block: int = 1024):
+    """Exact m-nearest-neighbor lists for every row, blockwise BLAS.
+
+    O(n^2) flops but pure matrix work — for shard-sized n (<= a few 100k)
+    this is far faster than n incremental graph searches in Python.
+    """
+    n = len(vecs)
+    dist = _DISTS[metric]
+    out = np.empty((n, min(m, n - 1)), dtype=np.int64)
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        # (hi-lo, n) distances via the metric kernel, one query row at a time
+        # is still Python-loop; vectorize with a matmul formulation instead
+        q = vecs[lo:hi]
+        if metric == "l2":
+            d = (
+                (q * q).sum(axis=1)[:, None]
+                - 2.0 * (q @ vecs.T)
+                + (vecs * vecs).sum(axis=1)[None, :]
+            )
+        elif metric == "ip":
+            d = -(q @ vecs.T)
+        else:  # cosine
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            vn = np.linalg.norm(vecs, axis=1, keepdims=True)
+            denom = qn * vn.T
+            d = 1.0 - np.where(denom > 0, (q @ vecs.T) / np.where(denom > 0, denom, 1.0), 0.0)
+        for j in range(hi - lo):
+            d[j, lo + j] = np.inf  # exclude self
+        k = out.shape[1]
+        idx = np.argpartition(d, k - 1, axis=1)[:, :k]
+        # order the k by (dist, id) for determinism
+        rows = np.arange(hi - lo)[:, None]
+        sel = d[rows, idx]
+        order = np.lexsort((idx, sel), axis=1)
+        out[lo:hi] = idx[rows, order]
+    return out
+
+
+def build_index_bulk(
+    vecs: np.ndarray,
+    labels: np.ndarray,
+    ts: np.ndarray | None = None,
+    metric: str = "l2",
+    M: int = 16,
+    ef_construction: int = 128,
+    seed: int = 42,
+) -> HnswIndex:
+    """Bulk-construct the layered graph from exact kNN lists (the C3 analog:
+    the reference also builds each SST's HNSW in one pass at flush).
+
+    Level-0 links are the exact M0 nearest neighbors (better quality than
+    incremental insertion); upper levels link each node to its exact M
+    nearest among same-or-higher-level nodes, preserving the HNSW descent
+    structure. Deterministic: same inputs -> same graph. Search code is
+    unchanged.
+    """
+    order = np.argsort(labels, kind="stable")
+    vecs = np.ascontiguousarray(vecs[order], dtype=np.float64)
+    labels = labels[order]
+    ts = ts[order] if ts is not None else np.zeros(len(labels), dtype=np.int64)
+    n = len(labels)
+    idx = HnswIndex(vecs.shape[1], metric, M, ef_construction, seed, capacity=max(1, n))
+    if n == 0:
+        return idx
+    idx.vecs[:n] = vecs
+    idx.labels[:n] = labels
+    idx.ts[:n] = ts
+    idx.n = n
+    idx._by_label = {int(lb): i for i, lb in enumerate(labels)}
+    levels = np.array(
+        [_level_of(int(lb), seed, idx.m_l) for lb in labels], dtype=np.int64
+    )
+    idx.links = [[[] for _ in range(levels[i] + 1)] for i in range(n)]
+    dist = _DISTS[metric]
+
+    def _symmetrize(nbr_lists: list[list[int]], ids: np.ndarray, cap: int):
+        """Add reverse edges (directed kNN graphs route poorly: a hub may be
+        nearest to many nodes that it doesn't link back to), then trim each
+        list to the cap nearest by (dist, id)."""
+        sets = [set(nb) for nb in nbr_lists]
+        for j, nb in enumerate(nbr_lists):
+            for x in nb:
+                sets[x].add(j)
+        out = []
+        for j, s in enumerate(sets):
+            cand = np.fromiter(s, dtype=np.int64)
+            if len(cand) > cap:
+                ds = dist(vecs[ids[cand]], vecs[ids[j]])
+                cand = cand[np.lexsort((cand, ds))[:cap]]
+            else:
+                ds = dist(vecs[ids[cand]], vecs[ids[j]])
+                cand = cand[np.lexsort((cand, ds))]
+            out.append([int(x) for x in cand])
+        return out
+
+    # level 0: exact M0-NN graph over everyone, symmetrized
+    l0 = _exact_knn_links(vecs, metric, idx.M0)
+    all_ids = np.arange(n)
+    sym0 = _symmetrize([list(map(int, r)) for r in l0], all_ids, idx.M0 + M)
+    for i in range(n):
+        idx.links[i][0] = sym0[i]
+    # upper levels: exact M-NN among nodes of level >= lv, symmetrized
+    max_level = int(levels.max())
+    for lv in range(1, max_level + 1):
+        members = np.where(levels >= lv)[0]
+        if len(members) < 2:
+            break
+        ml = _exact_knn_links(vecs[members], metric, M)
+        local = _symmetrize([list(map(int, r)) for r in ml], members, 2 * M)
+        for j, i in enumerate(members):
+            idx.links[i][lv] = [int(members[x]) for x in local[j]]
+    # entry: the highest-level node, smallest label for determinism
+    top = np.where(levels == max_level)[0]
+    idx.entry = int(top[np.argmin(labels[top])])
+    idx.max_level = max_level
     return idx
