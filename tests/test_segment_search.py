@@ -97,9 +97,11 @@ def test_index_cache_reused(spark, store):
     a = _segment_index(seg, conf, "l2")
     b = _segment_index(seg, conf, "l2")
     assert a is b  # second call is a cache hit
-    assert f"{seg['id']}:l2" in _INDEX_CACHE
+    assert f"{seg['id']}:hnsw:l2" in _INDEX_CACHE
     c = _segment_index(seg, conf, "cosine")
     assert c is not a  # metric participates in the key
+    d = _segment_index(seg, VectorIndexConf(dim=8, index_kind="ivf"), "l2")
+    assert d is not a  # index kind participates in the key too
 
 
 def test_segment_index_sidecar_and_dump(spark, store):
@@ -123,6 +125,55 @@ def test_segment_index_sidecar_and_dump(spark, store):
     d = store.dump()
     assert d.count() == 300
     assert d.select("segment_id").distinct().count() == 3
+
+
+def test_ivf_segment_artifact_and_search(spark, store):
+    """C3/C4 with kind='ivf': the cheap-build artifact serves the same
+    search contract (results match exact at full probe depth)."""
+    import os
+
+    from vstream_spark.index.ivf import IvfIndex
+    from vstream_spark.operators.knn import knn_exact
+    from vstream_spark.storage.search import _INDEX_CACHE, _segment_index
+
+    seg = store.segments()[0]
+    seg2 = store.build_segment_index(seg, metric="l2", kind="ivf", nlist=4)
+    assert os.path.basename(seg2["index_file"]) == "_ivf-l2.idx"
+    _INDEX_CACHE.clear()
+    conf = VectorIndexConf(dim=8, index_kind="ivf", nlist=4)
+    idx = _segment_index(seg, conf, "l2")
+    assert isinstance(idx, IvfIndex) and idx.n == seg["count"]
+
+    # end-to-end SegmentSearcher with IVF artifacts; ef_search acts as
+    # nprobe, so probing every cell reproduces the exact result
+    searcher = SegmentSearcher(
+        store, VectorIndexConf(dim=8, index_kind="ivf", nlist=4, termination_lower_bound=1.0)
+    )
+    q = _queries(spark, store, n=6)
+    got = searcher.search(q, k=5, metric="l2", ef_search=4)
+    vectors = store.read().select("id", "emb")
+    want = knn_exact(vectors, q, k=5, metric="l2").toPandas()
+    assert set(zip(got["qid"], got["neighbor_id"])) == set(
+        zip(want["qid"], want["neighbor_id"])
+    )
+
+
+def test_ivf_deletes_and_freshness_through_store(spark, tmp_path):
+    """W2 tombstones + min_ts work identically on the IVF path."""
+    st = SegmentStore(spark, str(tmp_path / "segivf"))
+    rows = _vec_rows(0, 60) + [(7, None, 7 * 100 + 5, 10**12, "D")]
+    st.append_segment(spark.createDataFrame(rows, SCHEMA))
+    st.build_segment_index(st.segments()[0], metric="l2", kind="ivf", nlist=2)
+    searcher = SegmentSearcher(
+        st, VectorIndexConf(dim=8, index_kind="ivf", nlist=2, termination_lower_bound=1.0)
+    )
+    q = spark.createDataFrame(
+        [(0, _vec_rows(7, 8)[0][1])], "qid long, emb array<float>"
+    )
+    got = searcher.search(q, k=60, metric="l2", ef_search=2)
+    assert 7 not in set(got["neighbor_id"])
+    fresh = searcher.search(q, k=60, metric="l2", min_event_time=3000, ef_search=2)
+    assert (fresh["neighbor_id"] >= 30).all()
 
 
 def test_deletes_honored_across_segments(spark, tmp_path):

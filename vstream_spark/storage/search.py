@@ -44,21 +44,26 @@ _INDEX_CACHE_MAX = 64
 def _segment_index(seg: dict, conf: VectorIndexConf, metric: str):
     """Build-or-fetch the segment's index on this executor."""
     from vstream_spark.index.hnsw import build_index
+    from vstream_spark.index.ivf import build_ivf
 
-    key = f"{seg['id']}:{metric}"
+    kind = getattr(conf, "index_kind", "hnsw")
+    key = f"{seg['id']}:{kind}:{metric}"
     idx = _INDEX_CACHE.get(key)
     if idx is None:
         import os
 
         from vstream_spark.index.hnsw import HnswIndex
+        from vstream_spark.index.ivf import IvfIndex
 
-        sidecar = seg.get("index_file") or os.path.join(
-            seg["path"], f"_hnsw-{metric}.idx"
-        )
+        loader = IvfIndex if kind == "ivf" else HnswIndex
+        sidecar = os.path.join(seg["path"], f"_{kind}-{metric}.idx")
+        if not os.path.exists(sidecar) and kind == "hnsw":
+            # legacy manifests recorded the hnsw artifact as index_file
+            sidecar = seg.get("index_file") or sidecar
         if os.path.exists(sidecar):
             # C4: load the persisted artifact instead of rebuilding
             with open(sidecar, "rb") as f:
-                idx = HnswIndex.loads(f.read())
+                idx = loader.loads(f.read())
         else:
             import pyarrow.parquet as pq
 
@@ -74,14 +79,19 @@ def _segment_index(seg: dict, conf: VectorIndexConf, metric: str):
             else:
                 ins = pdf
             vecs = np.stack(ins["emb"].to_numpy()).astype(np.float32)
-            idx = build_index(
-                vecs,
-                ins["id"].to_numpy().astype(np.int64),
-                ts=ins["event_time"].to_numpy().astype(np.int64),
-                metric=metric,
-                M=conf.m,
-                ef_construction=conf.ef_construction,
-            )
+            ids = ins["id"].to_numpy().astype(np.int64)
+            ts = ins["event_time"].to_numpy().astype(np.int64)
+            if kind == "ivf":
+                idx = build_ivf(
+                    vecs, ids, ts=ts, metric=metric,
+                    nlist=conf.nlist, nprobe=conf.nprobe,
+                )
+            else:
+                idx = build_index(
+                    vecs, ids, ts=ts, metric=metric,
+                    M=conf.m,
+                    ef_construction=conf.ef_construction,
+                )
             if has_op:
                 # intra-segment tombstones (W2): a delete marker STRICTLY
                 # newer than the insert it shadows kills it (insert wins

@@ -92,36 +92,54 @@ class SegmentStore:
         return seg
 
     def build_segment_index(
-        self, seg: dict, metric: str = "l2", m: int = 16, ef_construction: int = 128
+        self,
+        seg: dict,
+        metric: str = "l2",
+        m: int = 16,
+        ef_construction: int = 128,
+        kind: str = "hnsw",
+        nlist: int = 0,
+        nprobe: int = 8,
     ) -> dict:
-        """C3 analog (hnsw_table_builder.cc): persist an HNSW artifact next
+        """C3 analog (hnsw_table_builder.cc): persist an index artifact next
         to the segment's parquet so readers load instead of rebuild (C4).
 
-        The build runs in ONE executor task (the reference also builds each
-        SST's graph single-node at flush); the artifact lands beside the data
-        (``<segment>/_hnsw-<metric>.idx`` (underscore prefix keeps it invisible to parquet dataset discovery)). Rebuild-on-retry is safe: the
-        build is deterministic (label-sorted insertion).
+        ``kind='hnsw'`` builds the graph; ``kind='ivf'`` builds the coarse
+        k-means artifact (~10x cheaper — the scale path when flush rate
+        outruns graph construction). The build runs in ONE executor task
+        (the reference also builds each SST's graph single-node at flush);
+        the artifact lands beside the data (``<segment>/_<kind>-<metric>.idx``,
+        underscore prefix keeps it invisible to parquet dataset discovery).
+        Rebuild-on-retry is safe: both builds are deterministic
+        (label-sorted input).
         """
         import pandas as pd
 
         path = seg["path"]
-        out = os.path.join(path, f"_hnsw-{metric}.idx")
+        out = os.path.join(path, f"_{kind}-{metric}.idx")
 
         def build(batches):
             import numpy as np
 
             from vstream_spark.index.hnsw import build_index
+            from vstream_spark.index.ivf import build_ivf
 
             chunks = [pdf for pdf in batches if len(pdf)]
             if chunks:
                 pdf = pd.concat(chunks)
                 ins = pdf[pdf["op"] == "I"] if "op" in pdf.columns else pdf
-                idx = build_index(
-                    np.stack(ins["emb"].to_numpy()).astype(np.float32),
-                    ins["id"].to_numpy().astype(np.int64),
-                    ts=ins["event_time"].to_numpy().astype(np.int64),
-                    metric=metric, M=m, ef_construction=ef_construction,
-                )
+                vecs = np.stack(ins["emb"].to_numpy()).astype(np.float32)
+                ids = ins["id"].to_numpy().astype(np.int64)
+                ts = ins["event_time"].to_numpy().astype(np.int64)
+                if kind == "ivf":
+                    idx = build_ivf(
+                        vecs, ids, ts=ts, metric=metric, nlist=nlist, nprobe=nprobe
+                    )
+                else:
+                    idx = build_index(
+                        vecs, ids, ts=ts,
+                        metric=metric, M=m, ef_construction=ef_construction,
+                    )
                 if "op" in pdf.columns:
                     # W2 tombstones: strictly-later delete shadows the insert
                     for _, row in pdf[pdf["op"] == "D"].iterrows():
