@@ -158,6 +158,26 @@ def test_ivf_segment_artifact_and_search(spark, store):
     )
 
 
+def test_auto_kind_selects_by_segment_size(spark, store):
+    import os
+
+    from vstream_spark.index.hnsw import HnswIndex
+    from vstream_spark.index.ivf import IvfIndex
+    from vstream_spark.storage.search import _INDEX_CACHE, _segment_index
+
+    seg = store.segments()[2]
+    # 100-row segment: auto resolves to hnsw above threshold 0 -> ivf
+    s_ivf = store.build_segment_index(seg, kind="auto", auto_ivf_threshold=10)
+    assert os.path.basename(s_ivf["index_file"]) == "_ivf-l2.idx"
+    s_hnsw = store.build_segment_index(seg, kind="auto", auto_ivf_threshold=1000)
+    assert os.path.basename(s_hnsw["index_file"]) == "_hnsw-l2.idx"
+    _INDEX_CACHE.clear()
+    a = _segment_index(seg, VectorIndexConf(dim=8, index_kind="auto", auto_ivf_threshold=10), "l2")
+    assert isinstance(a, IvfIndex)
+    b = _segment_index(seg, VectorIndexConf(dim=8, index_kind="auto", auto_ivf_threshold=1000), "l2")
+    assert isinstance(b, HnswIndex)
+
+
 def test_ivf_deletes_and_freshness_through_store(spark, tmp_path):
     """W2 tombstones + min_ts work identically on the IVF path."""
     st = SegmentStore(spark, str(tmp_path / "segivf"))

@@ -344,30 +344,26 @@ def _exact_knn_links(vecs: np.ndarray, metric: str, m: int, block: int = 1024):
 
     O(n^2) flops but pure matrix work — for shard-sized n (<= a few 100k)
     this is far faster than n incremental graph searches in Python.
+    Distances run in float32 (sgemm is ~2x dgemm and argpartition moves
+    half the bytes); candidate selection tolerates float32 — final graph
+    search still uses the float64 kernels.
     """
     n = len(vecs)
-    dist = _DISTS[metric]
+    v32 = np.ascontiguousarray(vecs, dtype=np.float32)
+    sq = (v32 * v32).sum(axis=1)
+    norms = np.sqrt(sq) if metric == "cosine" else None
     out = np.empty((n, min(m, n - 1)), dtype=np.int64)
     for lo in range(0, n, block):
         hi = min(lo + block, n)
-        # (hi-lo, n) distances via the metric kernel, one query row at a time
-        # is still Python-loop; vectorize with a matmul formulation instead
-        q = vecs[lo:hi]
+        q = v32[lo:hi]
         if metric == "l2":
-            d = (
-                (q * q).sum(axis=1)[:, None]
-                - 2.0 * (q @ vecs.T)
-                + (vecs * vecs).sum(axis=1)[None, :]
-            )
+            d = sq[lo:hi, None] - 2.0 * (q @ v32.T) + sq[None, :]
         elif metric == "ip":
-            d = -(q @ vecs.T)
+            d = -(q @ v32.T)
         else:  # cosine
-            qn = np.linalg.norm(q, axis=1, keepdims=True)
-            vn = np.linalg.norm(vecs, axis=1, keepdims=True)
-            denom = qn * vn.T
-            d = 1.0 - np.where(denom > 0, (q @ vecs.T) / np.where(denom > 0, denom, 1.0), 0.0)
-        for j in range(hi - lo):
-            d[j, lo + j] = np.inf  # exclude self
+            denom = norms[lo:hi, None] * norms[None, :]
+            d = 1.0 - np.where(denom > 0, (q @ v32.T) / np.where(denom > 0, denom, 1.0), 0.0)
+        d[np.arange(hi - lo), np.arange(lo, hi)] = np.inf  # exclude self
         k = out.shape[1]
         idx = np.argpartition(d, k - 1, axis=1)[:, :k]
         # order the k by (dist, id) for determinism

@@ -47,6 +47,8 @@ def _segment_index(seg: dict, conf: VectorIndexConf, metric: str):
     from vstream_spark.index.ivf import build_ivf
 
     kind = getattr(conf, "index_kind", "hnsw")
+    if kind == "auto":
+        kind = "ivf" if seg.get("count", 0) > conf.auto_ivf_threshold else "hnsw"
     key = f"{seg['id']}:{kind}:{metric}"
     idx = _INDEX_CACHE.get(key)
     if idx is None:

@@ -32,6 +32,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from vstream_spark.storage.manifest import ManifestLog
+
 _META = "segments.json"
 
 
@@ -42,23 +44,23 @@ class SegmentStore:
         self.spark = spark
         self.base_dir = base_dir
         os.makedirs(base_dir, exist_ok=True)
+        # log-structured manifest: O(1) per flush (SCALE.md; the single-file
+        # JSON rewrite was O(segments) per append — pathological at the
+        # segment-per-micro-batch rate of a 100 TB ingest)
+        self.manifest = ManifestLog(base_dir)
+        legacy = os.path.join(base_dir, _META)
+        if os.path.exists(legacy) and self.manifest.version() < 0:
+            with open(legacy) as f:
+                self.manifest.replace(json.load(f))
+            os.replace(legacy, legacy + ".migrated")
 
     # -- manifest ------------------------------------------------------------
 
-    def _meta_path(self) -> str:
-        return os.path.join(self.base_dir, _META)
-
     def segments(self) -> list[dict]:
-        if not os.path.exists(self._meta_path()):
-            return []
-        with open(self._meta_path()) as f:
-            return json.load(f)
+        return self.manifest.snapshot()
 
     def _write_manifest(self, segs: list[dict]) -> None:
-        tmp = self._meta_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(segs, f, indent=1)
-        os.replace(tmp, self._meta_path())
+        self.manifest.replace(segs)
 
     # -- write path ----------------------------------------------------------
 
@@ -86,9 +88,7 @@ class SegmentStore:
             "min_event_time": int(stats["tmin"]),
             "max_event_time": int(stats["tmax"]),
         }
-        segs = self.segments()
-        segs.append(seg)
-        self._write_manifest(segs)
+        self.manifest.append(seg)
         return seg
 
     def build_segment_index(
@@ -100,13 +100,16 @@ class SegmentStore:
         kind: str = "hnsw",
         nlist: int = 0,
         nprobe: int = 8,
+        auto_ivf_threshold: int = 65_536,
     ) -> dict:
         """C3 analog (hnsw_table_builder.cc): persist an index artifact next
         to the segment's parquet so readers load instead of rebuild (C4).
 
         ``kind='hnsw'`` builds the graph; ``kind='ivf'`` builds the coarse
-        k-means artifact (~10x cheaper — the scale path when flush rate
-        outruns graph construction). The build runs in ONE executor task
+        k-means artifact (~20x cheaper — the scale path when flush rate
+        outruns graph construction); ``kind='auto'`` picks hnsw up to
+        ``auto_ivf_threshold`` rows and ivf above (bulk graph construction
+        is O(n^2) BLAS — it crosses over around 64k rows). The build runs in ONE executor task
         (the reference also builds each SST's graph single-node at flush);
         the artifact lands beside the data (``<segment>/_<kind>-<metric>.idx``,
         underscore prefix keeps it invisible to parquet dataset discovery).
@@ -115,6 +118,8 @@ class SegmentStore:
         """
         import pandas as pd
 
+        if kind == "auto":
+            kind = "ivf" if seg.get("count", 0) > auto_ivf_threshold else "hnsw"
         path = seg["path"]
         out = os.path.join(path, f"_{kind}-{metric}.idx")
 
@@ -159,8 +164,7 @@ class SegmentStore:
         df = full.select(*cols)
         df.repartition(1).mapInPandas(build, "n long").collect()
         seg = dict(seg, index_file=out)
-        segs = [dict(s, **({"index_file": out} if s["id"] == seg["id"] else {})) for s in self.segments()]
-        self._write_manifest(segs)
+        self.manifest.update(seg["id"], index_file=out)
         return seg
 
     def dump(self) -> DataFrame | None:
@@ -260,12 +264,11 @@ class SegmentStore:
         (is_evict, version_set.cc:2700-2730). Returns #segments dropped."""
         import shutil
 
-        keep, dropped = [], 0
+        gone = []
         for seg in self.segments():
             if seg["max_event_time"] < older_than_event_time:
                 shutil.rmtree(seg["path"], ignore_errors=True)
-                dropped += 1
-            else:
-                keep.append(seg)
-        self._write_manifest(keep)
-        return dropped
+                gone.append(seg["id"])
+        if gone:
+            self.manifest.remove(gone)
+        return len(gone)
