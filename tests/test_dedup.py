@@ -68,3 +68,58 @@ def test_simhash_near_dups_close(docs):
     ham = lambda a, b: bin(a ^ b).count("1")
     assert sigs[0] == sigs[1]
     assert ham(sigs[0], sigs[3]) < ham(sigs[0], sigs[4])
+
+
+def test_connected_components_chain_and_isolates(spark):
+    from vstream_spark.operators.dedup import connected_components
+
+    # chain 0-1-2-3 (diameter 3), pair 10-11, isolate 20
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 3, 10, 11, 20)], "doc_id bigint"
+    )
+    got = {r.doc_id: r.component for r in connected_components(edges, nodes).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_respects_max_iters(spark):
+    from vstream_spark.operators.dedup import connected_components
+
+    # a 5-chain needs 4 propagation rounds; cap at 1 leaves far ends unlabeled
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "doc_a bigint, doc_b bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id bigint")
+    partial = {
+        r.doc_id: r.component
+        for r in connected_components(edges, nodes, max_iters=1).collect()
+    }
+    assert partial[4] == 3  # one hop of min-propagation only
+    full = {
+        r.doc_id: r.component for r in connected_components(edges, nodes).collect()
+    }
+    assert set(full.values()) == {0}
+
+
+def test_dedup_components_clusters(docs):
+    from vstream_spark.operators.dedup import dedup_components
+
+    got = {r.doc_id: r for r in dedup_components(docs).collect()}
+    assert len(got) == 6  # every doc labeled, isolates included
+    # the exact dup 1 clusters with 0; the case-variant 2 (case-sensitive
+    # shingling — the exact-dedup path's job) and the one-word edit 3
+    # (true jaccard 5/11 < 0.5) stay singletons at this threshold
+    assert got[1].component == 0
+    assert got[0].is_canonical and got[0].cluster_size == 2
+    assert not got[1].is_canonical
+    for i in (2, 3, 4, 5):
+        assert got[i].component == i and got[i].cluster_size == 1
+    # lowering the threshold (64-perm estimate of true j=5/11 reads 0.36
+    # here) and banding finer (32x2 collides w.p. ~99.9% at that j vs ~50%
+    # for 16x4) pulls the one-word edit into the cluster
+    from vstream_spark.operators.dedup import dedup_components as dc
+
+    loose = {r.doc_id: r for r in dc(docs, bands=32, threshold=0.3).collect()}
+    assert loose[3].component == 0 and loose[0].cluster_size >= 3

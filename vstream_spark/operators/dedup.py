@@ -321,3 +321,91 @@ def dedup_embedding(
             "dup_of",
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iters: int = 20,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    The driver loop is the standard Spark shape for iterative graph
+    algorithms (GraphX Pregel / Hash-to-Min, Rastogi et al. 2013): each
+    round every node takes the min component id among itself and its
+    neighbors; converged when no label changes. Rounds = graph diameter —
+    near-dup clusters are shallow (a handful of hops), so this terminates
+    in 2-4 rounds in practice; ``max_iters`` bounds pathological chains.
+
+    Each round is ONE shuffle (join on dst + groupBy src); the frame is
+    localCheckpoint()ed per round so lineage doesn't grow with iterations
+    (a Spark-specific failure mode of driver loops at scale).
+
+    Returns (doc_id, component) — component = min doc_id reachable.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    comp = nodes.select(F.col(id_col).alias("doc_id")).withColumn(
+        "component", F.col("doc_id")
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(comp, sym.dst == comp.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new = (
+            comp.join(nbr_min, comp.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_comp", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(comp.alias("o"), "doc_id")
+            .filter("n.component != o.component")
+            .count()
+        )
+        comp = new
+        if changed == 0:
+            break
+    return comp
+
+
+def dedup_components(
+    docs: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate cluster assignment: MinHash-LSH candidate pairs form
+    the edge set; connected components give every document a cluster id
+    (the min doc_id in its cluster). Isolated documents are their own
+    cluster.
+
+    This is the full web-scale dedup pipeline shape (candidate generation →
+    verification → clustering → canonical pick): cluster_size and
+    is_canonical make the survivor selection directly joinable back onto
+    the corpus.
+    """
+    edges = minhash_lsh_candidates(
+        docs, n=n, num_perm=num_perm, bands=bands,
+        threshold=threshold, text_col=text_col, id_col=id_col,
+    ).select("doc_a", "doc_b")
+    comp = connected_components(edges, docs, id_col=id_col)
+    w = Window.partitionBy("component")
+    return (
+        comp.withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("component"))
+    )

@@ -388,6 +388,35 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _components_oracle() -> str:
+    # transitive closure of the LSH candidate graph via recursive CTE;
+    # component = min reachable doc_id (same label the Spark propagation
+    # converges to)
+    lsh = _minhash_lsh_oracle()
+    return f"""
+WITH RECURSIVE
+cand AS (SELECT doc_a, doc_b FROM ({lsh}) lshq),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+          UNION SELECT doc_b, doc_a FROM cand),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a)
+SELECT doc_id, component,
+       count(*) OVER (PARTITION BY component) AS cluster_size,
+       doc_id = component AS is_canonical
+FROM comp
+"""
+
+
+@register("dedup_components", _components_oracle())
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vstream_spark.operators.dedup import dedup_components
+
+    return dedup_components(load_table(spark, sf_dir, "documents"))
+
+
 def _simhash_oracle(bits: int = 60) -> str:
     return f"""
 WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
