@@ -402,10 +402,23 @@ def dedup_components(
     edges = minhash_lsh_candidates(
         docs, n=n, num_perm=num_perm, bands=bands,
         threshold=threshold, text_col=text_col, id_col=id_col,
-    ).select("doc_a", "doc_b")
-    comp = connected_components(edges, docs, id_col=id_col)
+    ).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    # propagate only over edge-connected nodes (near-dups are a small
+    # fraction of the corpus); isolated docs skip the iterative loop
+    # entirely and default to their own id via the left join below
+    touched = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .union(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    comp = connected_components(edges, touched, id_col="doc_id")
+    labeled = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("component"))
+    )
     w = Window.partitionBy("component")
     return (
-        comp.withColumn("cluster_size", F.count("*").over(w))
+        labeled.withColumn("cluster_size", F.count("*").over(w))
         .withColumn("is_canonical", F.col("doc_id") == F.col("component"))
     )
