@@ -61,20 +61,25 @@ def embed_text(
 ) -> DataFrame:
     """Dense L2-normalized hashed-TF embedding: (doc_id, emb ARRAY<FLOAT>).
 
-    Arrow-batched; a real encoder model would replace the body of this UDF
-    with batched inference, same signature and batch shape.
+    Entirely Catalyst (densify ``hashed_tf`` via map lookup + higher-order
+    transforms): no Python in the hot path, so whole-stage codegen covers
+    the full tokenize→hash→normalize pipeline. A real encoder model would
+    replace this with a batched-inference Pandas UDF of the same signature
+    (doc_id, emb) — everything downstream is oblivious.
     """
-
-    @F.pandas_udf("array<float>")
-    def embed(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            v = np.zeros(dim, dtype=np.float64)
-            for tok in t.strip().split(" "):
-                h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % dim
-                v[h] += 1.0
-            n = np.linalg.norm(v)
-            out.append((v / n if n > 0 else v).astype(np.float32))
-        return pd.Series(out)
-
-    return docs.select(F.col(id_col).alias("doc_id"), embed(F.col(text_col)).alias("emb"))
+    tf = hashed_tf(docs, dim, text_col, id_col)
+    sparse = tf.groupBy("doc_id").agg(
+        F.map_from_arrays(
+            F.collect_list("bucket"), F.collect_list(F.col("tf").cast("double"))
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("_m")[i.cast("int")], F.lit(0.0)),
+    )
+    densified = sparse.select("doc_id", dense.alias("_d")).withColumn(
+        "_n", F.sqrt(F.aggregate("_d", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    scale = F.when(F.col("_n") > 0, F.col("_n")).otherwise(F.lit(1.0))
+    emb = F.transform("_d", lambda x: (x / scale).cast("float"))
+    return densified.select("doc_id", emb.alias("emb"))
