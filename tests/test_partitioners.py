@@ -262,3 +262,98 @@ def test_curve_partitioner_epoch_freshness_pruning(spark):
         [(2, rows[0][1], 10_000)], "qid long, emb array<float>, event_time long"
     )
     assert part.partition_queries(q_old).count() == 0
+
+
+def test_curve_partitioner_end_to_end_under_ttl_churn(spark):
+    """P5 epoch dynamics, end to end: boundaries re-learned per epoch under
+    distribution drift, query fan-out limited to fresh epochs, and the
+    partitioned TTL search stays complete w.r.t. the exact TTL answer."""
+    from vstream_spark.operators.knn import knn_exact
+    from vstream_spark.operators.partitioned import knn_partitioned
+
+    rng = np.random.RandomState(33)
+    rows = []
+    for i in range(600):
+        ep = i % 3  # epochs [0,100) [100,200) [200,300)
+        # drifting distribution: each epoch's vectors shift by +0.5/epoch
+        v = (rng.rand(8) + 0.5 * ep).astype(float).tolist()
+        rows.append((int(i), v, ep * 100 + int(i) % 100, 10**6))
+    vectors = spark.createDataFrame(
+        rows, "id long, emb array<float>, event_time long, ttl long"
+    )
+    conf = PartitionerConf(
+        kind="lsh+hilbert", num_partitions=4, num_hashes=2, bucket_width=2.0,
+        sfc_bits=4, update_interval=100, max_ttl=120, replication_factor=2,
+    )
+    part = fit_partitioner(conf, vectors)
+    # drift is visible to the partitioner: epoch boundary sets differ
+    assert len(part.boundaries) == 3
+    assert part.boundaries[0] != part.boundaries[2]
+
+    # queries at t=250 (fresh window [130, 250] -> epochs 1 and 2 only)
+    qrows = [
+        (int(j), (rng.rand(8) + 1.0).astype(float).tolist(), 250, 120)
+        for j in range(20)
+    ]
+    queries = spark.createDataFrame(
+        qrows, "qid long, emb array<float>, event_time long, ttl long"
+    )
+    got = knn_partitioned(
+        vectors, queries, conf, k=5, metric="l2", honor_ttl=True
+    ).toPandas()
+    want = knn_exact(
+        vectors, queries, k=5, metric="l2", honor_ttl=True
+    ).toPandas()
+    # freshness invariant is EXACT: no stale or future neighbor, ever
+    et = {r[0]: r[2] for r in rows}
+    assert all(130 <= et[n] <= 250 for n in got["neighbor_id"])
+    # completeness: curve fan-out with replication recovers most of the
+    # true fresh top-k (deterministic seed; exact only at full replication)
+    g = set(zip(got["qid"], got["neighbor_id"]))
+    w = set(zip(want["qid"], want["neighbor_id"]))
+    assert len(g & w) / len(w) >= 0.6
+    # fan-out accounting: fresh-epoch pruning sends each query to fewer
+    # partition copies than the same conf with pruning off
+    sent = part.partition_queries(queries).groupBy("qid").count().toPandas()
+    conf_all = PartitionerConf(
+        kind="lsh+hilbert", num_partitions=4, num_hashes=2, bucket_width=2.0,
+        sfc_bits=4, update_interval=100, max_ttl=None, replication_factor=2,
+    )
+    sent_all = (
+        fit_partitioner(conf_all, vectors)
+        .partition_queries(queries).groupBy("qid").count().toPandas()
+    )
+    assert sent["count"].sum() <= sent_all["count"].sum()
+
+
+def test_curve_partitioner_full_replication_is_exact_under_ttl(spark):
+    """At replication_factor = num_partitions the fan-out covers every
+    partition of every fresh epoch — the TTL answer must be EXACT."""
+    from vstream_spark.operators.knn import knn_exact
+    from vstream_spark.operators.partitioned import knn_partitioned
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (int(i), (rng.rand(8) + 0.3 * (i % 3)).astype(float).tolist(),
+         (i % 3) * 100 + int(i) % 100, 10**6)
+        for i in range(300)
+    ]
+    vectors = spark.createDataFrame(
+        rows, "id long, emb array<float>, event_time long, ttl long"
+    )
+    queries = spark.createDataFrame(
+        [(int(j), (rng.rand(8) + 0.3).astype(float).tolist(), 220, 150)
+         for j in range(10)],
+        "qid long, emb array<float>, event_time long, ttl long",
+    )
+    conf = PartitionerConf(
+        kind="lsh+zorder", num_partitions=4, num_hashes=2, bucket_width=2.0,
+        sfc_bits=4, update_interval=100, max_ttl=150, replication_factor=4,
+    )
+    got = knn_partitioned(
+        vectors, queries, conf, k=5, metric="l2", honor_ttl=True
+    ).toPandas()
+    want = knn_exact(vectors, queries, k=5, metric="l2", honor_ttl=True).toPandas()
+    assert set(zip(got["qid"], got["neighbor_id"])) == set(
+        zip(want["qid"], want["neighbor_id"])
+    )
