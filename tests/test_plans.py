@@ -73,3 +73,15 @@ def test_partitioned_worker_shuffles_on_partition_id(spark):
         vectors, queries, PartitionerConf(kind="simple", num_partitions=4), k=5
     )
     assert_plan_contains(df, "FlatMapCoGroupsInPandas", "partition_id")
+
+
+def test_embed_text_is_python_free(spark):
+    """embed_text must stay inside whole-stage codegen end to end — a Python
+    eval node here would put per-token work back on the slow path."""
+    from vstream_spark.operators.embed import embed_text
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    emb = embed_text(docs, dim=16)
+    assert_plan_lacks(emb, "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas")
+    # two exchanges: (doc_id, bucket) tf aggregation + per-doc collect
+    assert count_exchanges(emb) == 2

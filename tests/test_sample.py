@@ -1,0 +1,71 @@
+"""Deterministic sampling/splitting invariants (training-corpus ops)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vstream_spark.operators.sample import (
+    hash_sample,
+    hash_split,
+    stratified_hash_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    return spark.createDataFrame(
+        [(i, "en" if i % 3 == 0 else "de") for i in range(2000)],
+        "doc_id bigint, lang string",
+    )
+
+
+def test_hash_sample_rate_and_determinism(rows):
+    a = hash_sample(rows, 0.3)
+    b = hash_sample(rows, 0.3)
+    ids_a = {r.doc_id for r in a.collect()}
+    ids_b = {r.doc_id for r in b.collect()}
+    assert ids_a == ids_b  # same key -> same fate, every run
+    assert 0.25 <= len(ids_a) / 2000 <= 0.35
+    # nested property: a lower-rate sample is a subset of a higher-rate one
+    small = {r.doc_id for r in hash_sample(rows, 0.1).collect()}
+    assert small <= ids_a
+    # different seed -> different (but still deterministic) selection
+    other = {r.doc_id for r in hash_sample(rows, 0.3, seed=7).collect()}
+    assert other != ids_a
+    with pytest.raises(ValueError):
+        hash_sample(rows, 1.5)
+
+
+def test_stratified_rates_apply_per_stratum(rows):
+    got = stratified_hash_sample(
+        rows, {"en": 1.0}, "lang", default_rate=0.2
+    ).groupBy("lang").count().collect()
+    by = {r.lang: r["count"] for r in got}
+    assert by["en"] == 667  # rate 1.0 keeps every 'en' row
+    assert 0.13 <= by["de"] / 1333 <= 0.27
+
+
+def test_hash_split_disjoint_exhaustive_stable(rows, spark):
+    out = hash_split(rows, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 2000  # exhaustive, one split per row
+    assert 0.75 <= counts["train"] / 2000 <= 0.85
+    assert counts["val"] > 0 and counts["test"] > 0
+    # stability under growth: the original rows keep their split when the
+    # corpus doubles
+    before = {r.doc_id: r.split for r in out.collect()}
+    bigger = spark.createDataFrame(
+        [(i, "en") for i in range(4000)], "doc_id bigint, lang string"
+    )
+    after = {
+        r.doc_id: r.split
+        for r in hash_split(bigger, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    }
+    assert all(after[i] == s for i, s in before.items())
+
+
+def test_sample_is_python_free_no_shuffle(rows):
+    from vstream_spark.plans.audit import assert_plan_lacks, count_exchanges
+
+    s = stratified_hash_sample(rows, {"en": 0.5}, "lang")
+    assert_plan_lacks(s, "BatchEvalPython", "ArrowEvalPython")
+    assert count_exchanges(s) == 0

@@ -388,6 +388,57 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sample_stratified_oracle() -> str:
+    from vstream_spark.operators.sample import hash_bucket_sql
+
+    b = hash_bucket_sql("doc_id", 42)
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {b} < CASE WHEN lang = 'en' THEN 500000
+                 WHEN lang = 'zh' THEN 1000000
+                 ELSE 250000 END
+"""
+
+
+@register("sample_stratified", _sample_stratified_oracle())
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: rebalance the language mix
+    (downsample the 'en' head, keep all 'zh', quarter-rate the tail)."""
+    from vstream_spark.operators.sample import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, {"en": 0.5, "zh": 1.0}, "lang", default_rate=0.25
+    ).select("doc_id", "lang")
+
+
+def _sample_split_oracle() -> str:
+    from vstream_spark.operators.sample import hash_bucket_sql
+
+    b = hash_bucket_sql("doc_id", 42)
+    # mirrors hash_split's sorted-name boundary chain:
+    # test [0, 0.1e6) -> train [0.1e6, 0.9e6) -> val (rest)
+    return f"""
+SELECT doc_id,
+       CASE WHEN {b} < 100000 THEN 'test'
+            WHEN {b} < 900000 THEN 'train'
+            ELSE 'val' END AS split
+FROM documents
+"""
+
+
+@register("sample_split", _sample_split_oracle())
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: a row's split never changes
+    under data growth or repartitioning (hash-range, not random)."""
+    from vstream_spark.operators.sample import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "split"
+    )
+
+
 def _components_oracle() -> str:
     # transitive closure of the LSH candidate graph via recursive CTE;
     # component = min reachable doc_id (same label the Spark propagation
