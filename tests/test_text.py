@@ -52,3 +52,28 @@ def test_lang_id_picks_marker_language(docs):
 def test_quality_score_bounds(docs):
     vals = [r.q for r in docs.select(quality_score("text").alias("q")).collect()]
     assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_quality_filter_rules(spark):
+    from vstream_spark.functions.text import quality_filter
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox and the lazy dog ran over a hill", "en"),
+            (1, "short", "en"),                              # len + tokens fail
+            (2, "x " * 3000, "en"),                          # too many chars
+            (3, "znbq wrtpl kfjd mxvz qplt hszw bnrk", "en"),  # no stopwords
+            (4, "## {##} <<{{#}}>> ## {} <> ## {} the and", "en"),  # symbols
+            (5, "ein kurzer deutscher satz ohne englische woerter", "de"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    got = {r.doc_id: r for r in quality_filter(docs).collect()}
+    assert got[0].keep and got[0].fail_reasons == ""
+    assert not got[1].keep
+    assert "len" in got[1].fail_reasons and "tokens" in got[1].fail_reasons
+    assert not got[2].keep and "len" in got[2].fail_reasons
+    assert not got[3].keep and got[3].fail_reasons == "stopwords"
+    assert not got[4].keep and "symbols" in got[4].fail_reasons
+    # the stopword rule is en-only: German text passes it
+    assert got[5].keep

@@ -131,3 +131,51 @@ def doc_fingerprint(col: str) -> Column:
 
 def lang_id_expr(col: str) -> Column:
     return F.expr(lang_id_sql(col))
+
+
+# --- Rule-based quality filter (Gopher/C4-style keep/drop) -------------------
+#
+# Every rule is a boolean SQL fragment that evaluates identically in Spark
+# and DuckDB (substr-count arithmetic only — no engine-divergent regexp), so
+# the filter decision is oracle-checkable bit-for-bit.
+
+_SYMBOLS = ("#", "{", "}", "<", ">")
+
+
+def symbol_count_sql(col: str) -> str:
+    return "(" + " + ".join(substr_count_sql(col, s) for s in _SYMBOLS) + ")"
+
+
+def quality_rules_sql(col: str, lang_col: str = "lang") -> dict[str, str]:
+    """Named keep-rules; a document is kept iff every rule holds."""
+    tc = token_count_sql(col)
+    return {
+        "len": f"(length({col}) BETWEEN 20 AND 20000)",
+        "tokens": f"({tc} BETWEEN 5 AND 5000)",
+        "avg_token_len": f"({avg_token_len_sql(col)} BETWEEN 2.0 AND 12.0)",
+        "stopwords": f"({lang_col} != 'en' OR {stopword_ratio_sql(col)} >= 0.02)",
+        "symbols": f"(CAST({symbol_count_sql(col)} AS DOUBLE) / {tc} <= 0.1)",
+    }
+
+
+def quality_keep_sql(col: str, lang_col: str = "lang") -> str:
+    return "(" + " AND ".join(quality_rules_sql(col, lang_col).values()) + ")"
+
+
+def quality_fail_reasons_sql(col: str, lang_col: str = "lang") -> str:
+    """Comma-joined names of failed rules ('' when kept) — concat_ws skips
+    NULLs identically in Spark and DuckDB."""
+    cases = ", ".join(
+        f"CASE WHEN NOT {sql} THEN '{name}' END"
+        for name, sql in quality_rules_sql(col, lang_col).items()
+    )
+    return f"concat_ws(',', {cases})"
+
+
+def quality_filter(docs, text_col: str = "text", lang_col: str = "lang"):
+    """DataFrame form: (doc_id, keep, fail_reasons) for every document."""
+    return docs.select(
+        "doc_id",
+        F.expr(quality_keep_sql(text_col, lang_col)).alias("keep"),
+        F.expr(quality_fail_reasons_sql(text_col, lang_col)).alias("fail_reasons"),
+    )

@@ -284,6 +284,13 @@ SELECT doc_id, {T.fingerprint_sql("text")} AS fingerprint,
 FROM documents
 """
 
+_QUALITY_FILTER_SQL = f"""
+SELECT doc_id,
+       {T.quality_keep_sql("text")} AS keep,
+       {T.quality_fail_reasons_sql("text")} AS fail_reasons
+FROM documents
+"""
+
 for _name, _sql in {
     "text_stats": _TEXT_STATS_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
@@ -291,6 +298,13 @@ for _name, _sql in {
     "text_fingerprint": _FINGERPRINT_SQL,
 }.items():
     register(_name, _sql)(_make_relational(_sql))
+
+
+@register("text_quality_filter", _QUALITY_FILTER_SQL)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule filter via the DataFrame operator (the oracle
+    runs the identical shared-SQL rules in DuckDB)."""
+    return T.quality_filter(load_table(spark, sf_dir, "documents"))
 
 
 # --- Deduplication (documents table) ----------------------------------------
