@@ -114,3 +114,31 @@ def test_streaming_event_rollup_matches_batch(spark):
         (r.w.start, r.event_type): (r.n, round(r.s, 4)) for r in batch.collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """Duplicates arriving in LATER micro-batches are dropped by state from
+    earlier ones (cross-batch statefulness, not per-batch distinct)."""
+    from vstream_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_dedup_keys,
+    )
+
+    src = tmp_path / "dedupsrc"
+    spark.createDataFrame(
+        [(1, "a"), (2, "a")], "user_id bigint, event_type string"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(1, "a"), (3, "b")], "user_id bigint, event_type string"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    stream = (
+        spark.readStream.schema("user_id bigint, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    ded = streaming_dedup_keys(stream, ["user_id", "event_type"])
+    run_stream_to_memory(ded, "_test_sdedup", output_mode="append")
+    got = {(r.user_id, r.event_type) for r in spark.table("_test_sdedup").collect()}
+    rows = spark.table("_test_sdedup").count()
+    assert got == {(1, "a"), (2, "a"), (3, "b")}
+    assert rows == 3  # the cross-batch duplicate (1,'a') emitted once

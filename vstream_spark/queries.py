@@ -722,6 +722,28 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("_streaming_rollup_result")
 
 
+_STREAMING_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@register("streaming_dedup", _STREAMING_DEDUP_ORACLE)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup executed as a real streaming query
+    (availableNow), appended to memory; hash-matches batch DISTINCT."""
+    from vstream_spark.streaming.pipeline import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_dedup_keys,
+    )
+
+    ded = streaming_dedup_keys(
+        read_event_stream(spark, sf_dir), ["user_id", "event_type"]
+    )
+    run_stream_to_memory(ded, "_streaming_dedup_result", output_mode="append")
+    return spark.table("_streaming_dedup_result")
+
+
 # --- As-of (point-in-time) join over the events stream -----------------------
 
 _ASOF_ORACLE = """

@@ -68,6 +68,17 @@ def streaming_event_rollup(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def streaming_dedup_keys(events: DataFrame, keys: list[str]) -> DataFrame:
+    """Stateful exact dedup on a streaming source: first occurrence of each
+    key combination is kept in the state store, later duplicates are dropped
+    as they arrive (the streaming analog of the batch ``dedup_exact``
+    fingerprint path — at corpus scale the keys would be document
+    fingerprints). Projected to the key columns, the emitted set is
+    independent of arrival order, so a batch DISTINCT oracle hash-matches.
+    """
+    return events.select(*keys).dropDuplicates(keys)
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain a streaming DF with availableNow into an in-memory table; returns
     the query handle after completion (test/debug sink)."""
