@@ -69,3 +69,29 @@ def test_sample_is_python_free_no_shuffle(rows):
     s = stratified_hash_sample(rows, {"en": 0.5}, "lang")
     assert_plan_lacks(s, "BatchEvalPython", "ArrowEvalPython")
     assert count_exchanges(s) == 0
+
+
+def test_cap_per_group_binds_and_is_stable(spark):
+    from vstream_spark.operators.sample import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(300)], "doc_id bigint, source string"
+    )
+    capped = cap_per_group(df, "source", 20)
+    counts = {r.source: r["count"] for r in capped.groupBy("source").count().collect()}
+    assert all(c == 20 for c in counts.values())
+    # stability: the kept set for a group doesn't change when OTHER groups grow
+    kept_before = {r.doc_id for r in capped.filter("source = 'src0'").collect()}
+    bigger = df.union(
+        spark.createDataFrame(
+            [(1000 + i, "src1") for i in range(50)], "doc_id bigint, source string"
+        )
+    )
+    kept_after = {
+        r.doc_id
+        for r in cap_per_group(bigger, "source", 20).filter("source = 'src0'").collect()
+    }
+    assert kept_before == kept_after
+    # groups under the cap are untouched
+    small = spark.createDataFrame([(1, "s"), (2, "s")], "doc_id bigint, source string")
+    assert cap_per_group(small, "source", 20).count() == 2

@@ -96,3 +96,28 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(split_col, expr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_rows: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-group cap (e.g. at most N documents per source
+    domain — the anti-overrepresentation step of a corpus mix). Rows are
+    ranked inside each group by (hash, key) — a stable shuffle — and ranks
+    above ``max_rows`` are dropped. One exchange on the group key; the
+    window is rank-limited so AQE's WindowGroupLimit prunes per-task.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _hash_bucket(F.col(key_col), seed).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_rows)
+        .drop("_rk")
+    )

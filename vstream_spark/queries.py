@@ -453,6 +453,67 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cap_per_source_oracle() -> str:
+    from vstream_spark.operators.sample import hash_bucket_sql
+
+    b = hash_bucket_sql("doc_id", 42)
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY {b} ASC, doc_id ASC) AS rk
+  FROM documents)
+SELECT doc_id, source FROM ranked WHERE rk <= 15
+"""
+
+
+@register("sample_cap_per_source", _cap_per_source_oracle())
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source cap: at most 15 docs per source domain
+    (anti-overrepresentation), ranked by stable hash."""
+    from vstream_spark.operators.sample import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", 15).select("doc_id", "source")
+
+
+_REPETITION_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+g AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        ELSE [array_to_string(t, ' ')] END AS grams FROM toks)
+SELECT doc_id,
+       len(grams) AS n_grams,
+       len(list_distinct(grams)) AS distinct_ngrams,
+       CAST(round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+            AS DOUBLE) AS rep_fraction
+FROM g
+"""
+
+
+@register("text_repetition", _REPETITION_ORACLE)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (duplicate 3-gram fraction, the Gopher
+    repetition signal) — pure Catalyst higher-order transforms."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    out = docs.select("doc_id", grams.alias("_g")).select(
+        "doc_id",
+        F.size("_g").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("_g")).cast("long").alias("distinct_ngrams"),
+        F.round(
+            1.0 - F.size(F.array_distinct("_g")) / F.size("_g"), 6
+        ).cast("double").alias("rep_fraction"),
+    )
+    return out
+
+
 def _components_oracle() -> str:
     # transitive closure of the LSH candidate graph via recursive CTE;
     # component = min reachable doc_id (same label the Spark propagation
