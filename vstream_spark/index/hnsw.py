@@ -90,6 +90,9 @@ class HnswIndex:
         self.entry: int = -1
         self.max_level: int = -1
         self._by_label: dict[int, int] = {}
+        # packed level-0 adjacency (lazy; rebuilt after mutations) — lets the
+        # beam search gather/filter neighbors in numpy instead of Python sets
+        self._packed: tuple[np.ndarray, np.ndarray] | None = None
 
     # -- build ----------------------------------------------------------------
 
@@ -120,6 +123,7 @@ class HnswIndex:
             self.deleted[i] = False
             return
         self._grow(1)
+        self._packed = None  # structural change: packed adjacency is stale
         i = self.n
         self.vecs[i] = vec
         self.labels[i] = label
@@ -183,9 +187,38 @@ class HnswIndex:
                 cur, cur_d, improved = nbrs[j], float(ds[j]), True
         return cur
 
-    def _search_layer(self, q: np.ndarray, eps: list[int], ef: int, level: int):
-        """Best-first search; returns a list of (dist, node) — ef nearest."""
-        visited = set(eps)
+    def _ensure_packed(self) -> tuple[np.ndarray, np.ndarray]:
+        """Level-0 adjacency as a padded int64 matrix + per-node degree.
+        Built lazily (O(n*M0)); invalidated by structural inserts — the
+        build-once/search-many pattern repacks at most once per batch."""
+        if self._packed is None:
+            lens = np.array(
+                [len(nl[0]) if nl else 0 for nl in self.links[: self.n]],
+                dtype=np.int64,
+            )
+            width = max(1, int(lens.max()) if len(lens) else 1)
+            mat = np.zeros((self.n, width), dtype=np.int64)
+            for i in range(self.n):
+                row = self.links[i][0] if self.links[i] else []
+                mat[i, : len(row)] = row
+            self._packed = (mat, lens)
+        return self._packed
+
+    def _search_layer(
+        self, q: np.ndarray, eps: list[int], ef: int, level: int, packed=None
+    ):
+        """Best-first search; returns a list of (dist, node) — ef nearest.
+
+        With ``packed`` (level 0 in the query path) neighbor gather, visited
+        filtering and bound pre-filtering run in numpy; construction and the
+        tiny upper layers use the list-based path.
+        """
+        if packed is not None:
+            links0, l0len = packed
+            visited = np.zeros(self.n, dtype=bool)
+            visited[eps] = True
+        else:
+            vset = set(eps)
         d0 = self._dist(self.vecs[eps], q)
         cand = [(float(d), e) for d, e in zip(d0, eps)]  # min-heap
         heapq.heapify(cand)
@@ -193,22 +226,36 @@ class HnswIndex:
         heapq.heapify(best)
         while cand:
             d, c = heapq.heappop(cand)
-            if best and d > -best[0][0] and len(best) >= ef:
+            full = len(best) >= ef
+            if best and d > -best[0][0] and full:
                 break
-            nbrs = [
-                nb
-                for nb in (self.links[c][level] if level < len(self.links[c]) else [])
-                if nb not in visited
-            ]
-            if not nbrs:
-                continue
-            visited.update(nbrs)
-            ds = self._dist(self.vecs[nbrs], q)
-            for nd, nb in zip(ds, nbrs):
+            if packed is not None:
+                nb = links0[c, : l0len[c]]
+                nb = nb[~visited[nb]]
+                if len(nb) == 0:
+                    continue
+                visited[nb] = True
+                ds = self._dist(self.vecs[nb], q)
+                if full:
+                    # prune against the (stale-but-conservative) kth bound
+                    sel = ds < -best[0][0]
+                    nb, ds = nb[sel], ds[sel]
+                nbrs = nb.tolist()
+            else:
+                nbrs = [
+                    x
+                    for x in (self.links[c][level] if level < len(self.links[c]) else [])
+                    if x not in vset
+                ]
+                if not nbrs:
+                    continue
+                vset.update(nbrs)
+                ds = self._dist(self.vecs[nbrs], q)
+            for nd, nb_i in zip(ds, nbrs):
                 nd = float(nd)
                 if len(best) < ef or nd < -best[0][0]:
-                    heapq.heappush(cand, (nd, nb))
-                    heapq.heappush(best, (-nd, nb))
+                    heapq.heappush(cand, (nd, nb_i))
+                    heapq.heappush(best, (-nd, nb_i))
                     if len(best) > ef:
                         heapq.heappop(best)
         return sorted((-nd, nb) for nd, nb in best)
@@ -233,7 +280,7 @@ class HnswIndex:
         ep = self.entry
         for lv in range(self.max_level, 0, -1):
             ep = self._greedy(q, ep, lv)
-        found = self._search_layer(q, [ep], ef, 0)
+        found = self._search_layer(q, [ep], ef, 0, packed=self._ensure_packed())
         ok = []
         for d, i in found:
             if self.deleted[i]:
