@@ -38,13 +38,17 @@ class VectorIndexConf:
     max_elements_per_segment: int = 250_000
     # Segment artifact kind: 'hnsw' (graph; best recall/latency), 'ivf'
     # (coarse-quantized flat; ~20x cheaper flush-time build — the scale path
-    # when segment churn outruns graph construction), or 'auto' (hnsw up to
-    # auto_ivf_threshold rows, ivf above: bulk graph construction is O(n^2)
-    # BLAS and crosses over around 64k rows). nlist=0 -> ~sqrt(n).
+    # when segment churn outruns graph construction), 'pq' (product-quantized
+    # ADC codes, ~32x less memory — the path when segments outgrow executor
+    # RAM), or 'auto' (hnsw up to auto_ivf_threshold rows, ivf above: bulk
+    # graph construction is O(n^2) BLAS and crosses over around 64k rows).
+    # nlist=0 -> ~sqrt(n).
     index_kind: str = "hnsw"
     nlist: int = 0
     nprobe: int = 8
     auto_ivf_threshold: int = 65_536
+    pq_m: int = 8  # PQ subvectors (dim % pq_m == 0)
+    pq_nbits: int = 8  # bits per code (<= 8)
     # Adaptive early termination across segments (db/version_set.cc:2643-2697).
     termination_weight: float = 0.01
     termination_factor: float = 0.8
@@ -56,9 +60,9 @@ class VectorIndexConf:
             raise ValueError(f"metric must be one of {SUPPORTED_METRICS}, got {self.metric!r}")
         if self.dim <= 0:
             raise ValueError("dim must be positive")
-        if self.index_kind not in ("hnsw", "ivf", "auto"):
+        if self.index_kind not in ("hnsw", "ivf", "pq", "auto"):
             raise ValueError(
-                f"index_kind must be 'hnsw', 'ivf' or 'auto', got {self.index_kind!r}"
+                f"index_kind must be 'hnsw', 'ivf', 'pq' or 'auto', got {self.index_kind!r}"
             )
 
 

@@ -56,8 +56,9 @@ def _segment_index(seg: dict, conf: VectorIndexConf, metric: str):
 
         from vstream_spark.index.hnsw import HnswIndex
         from vstream_spark.index.ivf import IvfIndex
+        from vstream_spark.index.pq import PqIndex
 
-        loader = IvfIndex if kind == "ivf" else HnswIndex
+        loader = {"ivf": IvfIndex, "pq": PqIndex}.get(kind, HnswIndex)
         sidecar = os.path.join(seg["path"], f"_{kind}-{metric}.idx")
         if not os.path.exists(sidecar) and kind == "hnsw":
             # legacy manifests recorded the hnsw artifact as index_file
@@ -87,6 +88,13 @@ def _segment_index(seg: dict, conf: VectorIndexConf, metric: str):
                 idx = build_ivf(
                     vecs, ids, ts=ts, metric=metric,
                     nlist=conf.nlist, nprobe=conf.nprobe,
+                )
+            elif kind == "pq":
+                from vstream_spark.index.pq import build_pq
+
+                idx = build_pq(
+                    vecs, ids, ts=ts, metric=metric,
+                    m=conf.pq_m, nbits=conf.pq_nbits,
                 )
             else:
                 idx = build_index(

@@ -101,6 +101,8 @@ class SegmentStore:
         nlist: int = 0,
         nprobe: int = 8,
         auto_ivf_threshold: int = 65_536,
+        pq_m: int = 8,
+        pq_nbits: int = 8,
     ) -> dict:
         """C3 analog (hnsw_table_builder.cc): persist an index artifact next
         to the segment's parquet so readers load instead of rebuild (C4).
@@ -139,6 +141,12 @@ class SegmentStore:
                 if kind == "ivf":
                     idx = build_ivf(
                         vecs, ids, ts=ts, metric=metric, nlist=nlist, nprobe=nprobe
+                    )
+                elif kind == "pq":
+                    from vstream_spark.index.pq import build_pq
+
+                    idx = build_pq(
+                        vecs, ids, ts=ts, metric=metric, m=pq_m, nbits=pq_nbits
                     )
                 else:
                     idx = build_index(
