@@ -97,3 +97,31 @@ def test_partial_results_complete_accounting(spark):
            for r in partial_results_complete(partials, pq).collect()}
     assert out[1] == (3, True)
     assert out[2] == (1, False)
+
+
+def test_worker_index_kinds_agree(spark):
+    """The per-partition worker honors index_kind: hnsw/ivf/pq all find the
+    same obvious nearest neighbor (a query identical to a stored vector)."""
+    import numpy as np
+
+    from vstream_spark.config import PartitionerConf, VectorIndexConf
+    from vstream_spark.operators.partitioned import knn_partitioned_worker
+
+    rng = np.random.RandomState(11)
+    rows = [(int(i), rng.rand(8).astype(np.float32).tolist()) for i in range(3000)]
+    vectors = spark.createDataFrame(rows, "id long, emb array<float>")
+    queries = spark.createDataFrame(
+        [(0, rows[42][1]), (1, rows[777][1])], "qid long, emb array<float>"
+    )
+    conf = PartitionerConf(kind="simple", num_partitions=2)
+    for kind, extra in (
+        ("hnsw", {"m": 16, "ef_search": 64}),
+        ("ivf", {"nlist": 8, "nprobe": 8}),
+        ("pq", {"pq_m": 4}),
+    ):
+        iconf = VectorIndexConf(dim=8, index_kind=kind, **extra)
+        got = knn_partitioned_worker(
+            vectors, queries, conf, k=1, metric="l2", index_conf=iconf
+        ).toPandas()
+        by = {int(r.qid): int(r.neighbor_id) for r in got.itertuples()}
+        assert by == {0: 42, 1: 777}, kind

@@ -114,13 +114,32 @@ def knn_partitioned_worker(
         vids = vdf["id"].to_numpy()
         qids = qdf["qid"].to_numpy()
         if index_conf is not None:
-            from vstream_spark.index.hnsw import build_index
+            kind = getattr(index_conf, "index_kind", "hnsw")
+            if kind == "auto":
+                kind = "ivf" if len(vids) > index_conf.auto_ivf_threshold else "hnsw"
+            if kind == "ivf":
+                from vstream_spark.index.ivf import build_ivf
 
-            idx = build_index(
-                vmat.astype(np.float32), vids.astype(np.int64),
-                metric=metric, M=index_conf.m,
-                ef_construction=index_conf.ef_construction,
-            )
+                idx = build_ivf(
+                    vmat.astype(np.float32), vids.astype(np.int64),
+                    metric=metric, nlist=index_conf.nlist,
+                    nprobe=index_conf.nprobe,
+                )
+            elif kind == "pq":
+                from vstream_spark.index.pq import build_pq
+
+                idx = build_pq(
+                    vmat.astype(np.float32), vids.astype(np.int64),
+                    metric=metric, m=index_conf.pq_m, nbits=index_conf.pq_nbits,
+                )
+            else:
+                from vstream_spark.index.hnsw import build_index
+
+                idx = build_index(
+                    vmat.astype(np.float32), vids.astype(np.int64),
+                    metric=metric, M=index_conf.m,
+                    ef_construction=index_conf.ef_construction,
+                )
             out_qid, out_id, out_dist = [], [], []
             for qi, (lbs, ds) in enumerate(
                 idx.search_batch(qmat, k, max(index_conf.ef_search, k))

@@ -676,6 +676,18 @@ def q_knn_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_pq_ann")  # rows-only: product-quantized ADC per partition
+def q_knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vstream_spark.config import VectorIndexConf
+
+    vectors, queries = _emb_pair(spark, sf_dir)
+    conf = PartitionerConf(kind="simple", num_partitions=4)
+    iconf = VectorIndexConf(dim=64, index_kind="pq", pq_m=8)
+    return knn_partitioned_worker(
+        vectors, queries, conf, k=10, metric="l2", index_conf=iconf
+    )
+
+
 # --- Recall metric (M3: SearchResult.getAccuracy) ----------------------------
 
 _RECALL_ORACLE = """
