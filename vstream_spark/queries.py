@@ -284,6 +284,34 @@ SELECT doc_id, {T.fingerprint_sql("text")} AS fingerprint,
 FROM documents
 """
 
+_TOP_TOKENS_ORACLE = """
+SELECT tok, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY freq DESC, tok ASC
+LIMIT 50
+"""
+
+
+@register("text_top_tokens", _TOP_TOKENS_ORACLE)
+def q_text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies (vocabulary induction / BPE-prep step):
+    top-50 tokens by term and document frequency, deterministic tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("tok").asc())
+        .limit(50)
+    )
+
+
 _QUALITY_FILTER_SQL = f"""
 SELECT doc_id,
        {T.quality_keep_sql("text")} AS keep,
