@@ -142,3 +142,38 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     rows = spark.table("_test_sdedup").count()
     assert got == {(1, "a"), (2, "a"), (3, "b")}
     assert rows == 3  # the cross-batch duplicate (1,'a') emitted once
+
+
+def test_compact_preserves_time_ranges_and_indexes(spark, tmp_path):
+    """Compaction buckets by event-time quantiles (TTL pruning stays
+    effective) and rebuilds index artifacts the inputs carried."""
+    import os
+
+    import numpy as np
+
+    from vstream_spark.storage.segments import SegmentStore
+
+    st = SegmentStore(spark, str(tmp_path / "segcomp"))
+    rng = np.random.RandomState(5)
+    schema = "id bigint, emb array<float>, event_time bigint, ttl bigint, op string"
+    for lo in (0, 200, 400):
+        rows = [
+            (i, rng.rand(8).astype(np.float32).tolist(), i * 10, 10**12, "I")
+            for i in range(lo, lo + 200)
+        ]
+        seg = st.append_segment(spark.createDataFrame(rows, schema))
+        st.build_segment_index(seg, metric="l2", kind="ivf", nlist=4)
+    out = st.compact(max_rows_per_segment=200)
+    assert len(out) == 3
+    # disjoint, covering time ranges in order
+    assert sum(s["count"] for s in out) == 600
+    for a, b in zip(out, out[1:]):
+        assert a["max_event_time"] < b["min_event_time"]
+    # TTL pruning still selective after compaction
+    assert len(st.prune(min_event_time=4500)) < 3
+    # index artifacts rebuilt with the same kind
+    for s in st.segments():
+        assert os.path.basename(s["index_file"]) == "_ivf-l2.idx"
+        assert os.path.exists(s["index_file"])
+    # data readable and complete
+    assert st.read().count() == 600

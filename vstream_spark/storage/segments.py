@@ -245,27 +245,85 @@ class SegmentStore:
     # -- maintenance ---------------------------------------------------------
 
     def compact(self, max_rows_per_segment: int = 250_000) -> list[dict]:
-        """Size-tiered compaction: merge all segments into balanced new ones
-        (the reference disables RocksDB auto-compaction and relies on
-        explicit maintenance). Last-writer-wins dedup happens at read time,
-        not here, to preserve delete markers across TTL windows."""
+        """Size-tiered compaction into EVENT-TIME-RANGED segments (the
+        reference disables RocksDB auto-compaction and relies on explicit
+        maintenance). Output segments are bucketed by event-time quantiles,
+        not hash, so C6 TTL pruning stays effective after compaction — a
+        hash merge would give every segment the full time range and make
+        every future query scan everything. Last-writer-wins dedup happens
+        at read time, not here, to preserve delete markers across TTL
+        windows. Index artifacts are rebuilt for the new segments when any
+        input segment carried one (same kind, inferred from the file name).
+        """
         segs = self.segments()
         if len(segs) <= 1:
             return segs
         df = self.spark.read.parquet(*[s["path"] for s in segs])
         total = df.count()
         n_out = max(1, -(-total // max_rows_per_segment))
-        merged = df.repartition(n_out)
         old_paths = [s["path"] for s in segs]
-        self._write_manifest([])
-        new_seg = self.append_segment(merged)
+        old_kinds = {
+            os.path.basename(s["index_file"]).split("-")[0].lstrip("_")
+            for s in segs
+            if s.get("index_file")
+        }
+        metrics = {
+            os.path.basename(s["index_file"]).rsplit("-", 1)[-1].removesuffix(".idx")
+            for s in segs
+            if s.get("index_file")
+        }
+        if n_out == 1:
+            bucket = F.lit(0)
+        else:
+            qs = [i / n_out for i in range(1, n_out)]
+            bounds = df.agg(
+                F.percentile_approx("event_time", qs, 10_000).alias("b")
+            ).collect()[0]["b"]
+            bucket = sum(
+                (F.col("event_time") > F.lit(int(b))).cast("int") for b in bounds
+            )
+        staging = os.path.join(
+            self.base_dir, f"compact-{time.strftime('%Y%m%d%H%M%S')}-{uuid.uuid4().hex[:8]}"
+        )
+        df.withColumn("cbkt", bucket).repartition(n_out, "cbkt").write.option(
+            "compression", "zstd"
+        ).partitionBy("cbkt").parquet(staging)
+        stats = (
+            self.spark.read.parquet(staging)
+            .groupBy("cbkt")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("event_time").alias("tmin"),
+                F.max("event_time").alias("tmax"),
+            )
+            .collect()
+        )
+        new_segs = []
+        for r in sorted(stats, key=lambda r: int(r["cbkt"])):
+            new_segs.append(
+                {
+                    "id": f"seg-compact-{uuid.uuid4().hex[:8]}",
+                    "path": os.path.join(staging, f"cbkt={int(r['cbkt'])}"),
+                    "count": int(r["n"]),
+                    "min_event_time": int(r["tmin"]),
+                    "max_event_time": int(r["tmax"]),
+                }
+            )
+        self.manifest.replace(new_segs)
         # remove old segment data best-effort (local fs; on object stores this
         # is the VACUUM step)
         import shutil
 
         for p in old_paths:
             shutil.rmtree(p, ignore_errors=True)
-        return [new_seg] if new_seg else []
+        # carry index artifacts forward: rebuild per new segment, same kind
+        for kind in old_kinds:
+            for metric in metrics or {"l2"}:
+                new_segs = [
+                    self.build_segment_index(s, metric=metric, kind=kind)
+                    for s in new_segs
+                ]
+        return self.segments()
 
     def evict(self, older_than_event_time: int) -> int:
         """Physically drop segments entirely older than the horizon
