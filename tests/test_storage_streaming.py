@@ -177,3 +177,39 @@ def test_compact_preserves_time_ranges_and_indexes(spark, tmp_path):
         assert os.path.exists(s["index_file"])
     # data readable and complete
     assert st.read().count() == 600
+
+
+def test_streaming_ingest_builds_index_on_flush(spark, tmp_path):
+    """C2->C3: with index_conf set, every micro-batch segment lands with its
+    artifact already built, so searchers load instead of rebuild."""
+    import os
+
+    import numpy as np
+
+    from vstream_spark.config import VectorIndexConf
+    from vstream_spark.storage.segments import SegmentStore
+    from vstream_spark.streaming.pipeline import StreamingVectorIngest
+
+    rng = np.random.RandomState(9)
+    src = tmp_path / "vsrc"
+    schema = "id bigint, emb array<float>, event_time bigint, ttl bigint, op string"
+    for j in (0, 1):
+        rows = [
+            (j * 100 + i, rng.rand(8).astype(np.float32).tolist(),
+             (j * 100 + i) * 10, 10**12, "I")
+            for i in range(100)
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / f"f{j}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    store = SegmentStore(spark, str(tmp_path / "segs"))
+    ing = StreamingVectorIngest(store, index_conf=VectorIndexConf(dim=8, index_kind="ivf", nlist=2))
+    ing.start(stream, str(tmp_path / "ckpt")).awaitTermination()
+    segs = store.segments()
+    assert len(segs) == 2
+    for s in segs:
+        assert os.path.basename(s["index_file"]) == "_ivf-l2.idx"
+        assert os.path.exists(s["index_file"])

@@ -109,9 +109,11 @@ class SegmentStore:
 
         ``kind='hnsw'`` builds the graph; ``kind='ivf'`` builds the coarse
         k-means artifact (~20x cheaper — the scale path when flush rate
-        outruns graph construction); ``kind='auto'`` picks hnsw up to
-        ``auto_ivf_threshold`` rows and ivf above (bulk graph construction
-        is O(n^2) BLAS — it crosses over around 64k rows). The build runs in ONE executor task
+        outruns graph construction); ``kind='pq'`` builds product-quantized
+        ADC codes (~32x less memory — for RAM-bound segments);
+        ``kind='auto'`` picks hnsw up to ``auto_ivf_threshold`` rows and ivf
+        above (bulk graph construction is O(n^2) BLAS — it crosses over
+        around 64k rows). The build runs in ONE executor task
         (the reference also builds each SST's graph single-node at flush);
         the artifact lands beside the data (``<segment>/_<kind>-<metric>.idx``,
         underscore prefix keeps it invisible to parquet dataset discovery).

@@ -96,10 +96,17 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "co
 class StreamingVectorIngest:
     """foreachBatch ingest: every micro-batch of vector inserts/deletes is
     flushed as one immutable segment (W1 insert + C2 delayed flush; the
-    micro-batch IS the memtable)."""
+    micro-batch IS the memtable).
 
-    def __init__(self, store: SegmentStore):
+    With ``index_conf`` set, each flushed segment gets its index artifact
+    built immediately (C3: the reference builds the SST's HNSW at flush
+    time, ``hnsw_table_builder.cc``) — searchers then load instead of
+    rebuild. The artifact kind follows ``index_conf.index_kind``
+    (hnsw/ivf/pq/auto)."""
+
+    def __init__(self, store: SegmentStore, index_conf=None):
         self.store = store
+        self.index_conf = index_conf
 
     def start(self, vectors_stream: DataFrame, checkpoint_dir: str):
         return (
@@ -110,7 +117,16 @@ class StreamingVectorIngest:
         )
 
     def _sink(self, batch_df: DataFrame, batch_id: int) -> None:
-        self.store.append_segment(batch_df)
+        seg = self.store.append_segment(batch_df)
+        if seg is not None and self.index_conf is not None:
+            c = self.index_conf
+            self.store.build_segment_index(
+                seg, metric=c.metric, m=c.m,
+                ef_construction=c.ef_construction, kind=c.index_kind,
+                nlist=c.nlist, nprobe=c.nprobe,
+                auto_ivf_threshold=c.auto_ivf_threshold,
+                pq_m=c.pq_m, pq_nbits=c.pq_nbits,
+            )
 
 
 def search_store(
