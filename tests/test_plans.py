@@ -85,3 +85,20 @@ def test_embed_text_is_python_free(spark):
     assert_plan_lacks(emb, "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas")
     # two exchanges: (doc_id, bucket) tf aggregation + per-doc collect
     assert count_exchanges(emb) == 2
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """The union/window as-of plan must stay ONE exchange (on the by-key) —
+    a sort-merge or range-join formulation would shuffle both sides and
+    blow up on skewed keys."""
+    from vstream_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 1.0)], "user_id bigint, ts bigint, value double"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 2.0)], "user_id bigint, ts bigint, value double"
+    )
+    df = asof_join(left, right, on="ts", by="user_id")
+    assert_plan_lacks(df, "BatchEvalPython", "ArrowEvalPython", "SortMergeJoin")
+    assert count_exchanges(df) == 1
