@@ -125,3 +125,31 @@ def test_worker_index_kinds_agree(spark):
         ).toPandas()
         by = {int(r.qid): int(r.neighbor_id) for r in got.itertuples()}
         assert by == {0: 42, 1: 777}, kind
+
+
+def test_worker_per_query_k(spark):
+    """k=None: each query gets exactly its own k rows back (exact path)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vstream_spark.config import PartitionerConf
+    from vstream_spark.operators.partitioned import (
+        knn_partitioned,
+        knn_partitioned_worker,
+    )
+
+    rng = np.random.RandomState(2)
+    rows = [(int(i), rng.rand(8).astype(np.float32).tolist()) for i in range(200)]
+    vectors = spark.createDataFrame(rows, "id long, emb array<float>")
+    queries = spark.createDataFrame(
+        [(0, rows[3][1], 3), (1, rows[9][1], 7)],
+        "qid long, emb array<float>, k int",
+    )
+    conf = PartitionerConf(kind="simple", num_partitions=4)
+    for fn in (knn_partitioned_worker, knn_partitioned):
+        got = fn(vectors, queries, conf, k=None, metric="l2").toPandas()
+        counts = got.groupby("qid").size().to_dict()
+        assert counts == {0: 3, 1: 7}, fn.__name__
+        assert got[got.qid == 0].iloc[0]["neighbor_id"] == 3
+        with _pytest.raises(ValueError):
+            fn(vectors, queries.drop("k"), conf, k=None)

@@ -46,7 +46,7 @@ def knn_partitioned(
     vectors: DataFrame,
     queries: DataFrame,
     conf: PartitionerConf,
-    k: int = 10,
+    k: int | None = 10,
     metric: str = "l2",
     honor_deletes: bool = False,
     honor_ttl: bool = False,
@@ -55,8 +55,12 @@ def knn_partitioned(
 
     Returns (qid, neighbor_id, distance, rank). Exact iff the partitioner
     routes every query to every partition holding candidate data ('simple');
-    approximate (partition-pruned) for LSH partitioners.
+    approximate (partition-pruned) for LSH partitioners. ``k=None`` uses
+    each query's own ``k`` column (VectorSearchOptions.k parity).
     """
+    per_query_k = k is None
+    if per_query_k and "k" not in queries.columns:
+        raise ValueError("k=None requires a 'k' column on the query side")
     live = apply_deletes(vectors) if honor_deletes else vectors
     part = fit_partitioner(conf, live)
     pv = part.partition_data(live)  # adds partition_id (maybe replicated rows)
@@ -74,7 +78,12 @@ def knn_partitioned(
         F.col("q.qid").alias("qid"),
         F.col("v.id").alias("neighbor_id"),
         distance_expr(F.col("q.emb"), F.col("v.emb"), metric).alias("distance"),
+        *([F.col("q.k").alias("q_k")] if per_query_k else []),
     )
+    if per_query_k:
+        return topk(scored, F.col("q_k")).select(
+            "qid", "neighbor_id", "distance", "rank"
+        )
     return topk(scored, k).select("qid", "neighbor_id", "distance", "rank")
 
 
@@ -82,7 +91,7 @@ def knn_partitioned_worker(
     vectors: DataFrame,
     queries: DataFrame,
     conf: PartitionerConf,
-    k: int = 10,
+    k: int | None = 10,
     metric: str = "l2",
     honor_deletes: bool = False,
     nprobe_centroids: int | None = None,
@@ -92,23 +101,32 @@ def knn_partitioned_worker(
 
     Each group = one partition's vector shard + the queries routed to it;
     the worker builds a local structure and emits per-partition top-k.
+    ``k=None`` uses each query's own ``k`` column (per-query k, the
+    reference's ``VectorSearchOptions.k``): workers search at the group's
+    max k and the global merge trims each query to its own.
     ``nprobe_centroids``: if set, an IVF coarse quantizer is built per
     partition (kmeans-lite) and only the nearest ``nprobe_centroids`` cells
     are scanned — the scale path for big shards. ``index_conf``: if set, a
-    per-partition HNSW graph (numpy, vstream_spark.index.hnsw) is built with
-    (M, ef_construction) and searched with ef_search — the reference's W1/W5
-    worker structure (HnswLibKeyedProcessFunction.java:19-101).
+    per-partition index (kind per ``index_conf.index_kind``) is built and
+    searched with ef_search — the reference's W1/W5 worker structure
+    (HnswLibKeyedProcessFunction.java:19-101).
     """
+    per_query_k = k is None
+    if per_query_k and "k" not in queries.columns:
+        raise ValueError("k=None requires a 'k' column on the query side")
     live = apply_deletes(vectors) if honor_deletes else vectors
     part = fit_partitioner(conf, live)
     pv = part.partition_data(live).select("partition_id", "id", "emb")
-    pq = part.partition_queries(queries).select("partition_id", "qid", "emb")
+    q_cols = ["partition_id", "qid", "emb"] + (["k"] if per_query_k else [])
+    pq = part.partition_queries(queries).select(*q_cols)
+
+    empty_cols = {"qid": "int64", "neighbor_id": "int64", "distance": "float64"}
+    if per_query_k:
+        empty_cols["q_k"] = "int64"
 
     def search(vdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
         if len(vdf) == 0 or len(qdf) == 0:
-            return pd.DataFrame({"qid": [], "neighbor_id": [], "distance": []}).astype(
-                {"qid": "int64", "neighbor_id": "int64", "distance": "float64"}
-            )
+            return pd.DataFrame({c: [] for c in empty_cols}).astype(empty_cols)
         vmat = np.stack(vdf["emb"].to_numpy()).astype(np.float64)
         qmat = np.stack(qdf["emb"].to_numpy()).astype(np.float64)
         vids = vdf["id"].to_numpy()
@@ -140,24 +158,37 @@ def knn_partitioned_worker(
                     metric=metric, M=index_conf.m,
                     ef_construction=index_conf.ef_construction,
                 )
+            kk = int(qdf["k"].max()) if per_query_k else k
             out_qid, out_id, out_dist = [], [], []
             for qi, (lbs, ds) in enumerate(
-                idx.search_batch(qmat, k, max(index_conf.ef_search, k))
+                idx.search_batch(qmat, kk, max(index_conf.ef_search, kk))
             ):
                 out_qid.extend([qids[qi]] * len(lbs))
                 out_id.extend(lbs)
                 out_dist.extend(ds)
         else:
+            kk = int(qdf["k"].max()) if per_query_k else k
             out_qid, out_id, out_dist = _local_topk(
-                vmat, qmat, vids, qids, k, metric, nprobe_centroids
+                vmat, qmat, vids, qids, kk, metric, nprobe_centroids
             )
-        return pd.DataFrame({"qid": out_qid, "neighbor_id": out_id, "distance": out_dist})
+        out = pd.DataFrame({"qid": out_qid, "neighbor_id": out_id, "distance": out_dist})
+        if per_query_k:
+            kmap = dict(zip(qdf["qid"].astype("int64"), qdf["k"].astype("int64")))
+            out["q_k"] = out["qid"].map(kmap).astype("int64")
+        return out
 
+    schema = "qid BIGINT, neighbor_id BIGINT, distance DOUBLE" + (
+        ", q_k BIGINT" if per_query_k else ""
+    )
     results = (
         pv.groupBy("partition_id")
         .cogroup(pq.groupBy("partition_id"))
-        .applyInPandas(search, schema="qid BIGINT, neighbor_id BIGINT, distance DOUBLE")
+        .applyInPandas(search, schema=schema)
     )
+    if per_query_k:
+        return topk(results, F.col("q_k")).select(
+            "qid", "neighbor_id", "distance", "rank"
+        )
     return topk(results, k).select("qid", "neighbor_id", "distance", "rank")
 
 

@@ -96,6 +96,68 @@ for _metric in ("l2", "ip", "cosine"):
     register(f"knn_exact_{_metric}", _knn_oracle(_metric))(_make_knn_exact(_metric))
 
 
+_KNN_PER_QUERY_K_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding, 5 + vec_id % 6 AS k
+  FROM embeddings WHERE vec_id % 25 = 0),
+scored AS (
+  SELECT q.qid, v.vec_id AS neighbor_id,
+         {D.distance_sql("q.embedding", "v.embedding", "l2")} AS distance, q.k
+  FROM embeddings v CROSS JOIN q),
+ranked AS (
+  SELECT qid, neighbor_id, distance, k,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY distance ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT qid, neighbor_id, distance, rank FROM ranked WHERE rank <= k
+"""
+
+
+@register("knn_per_query_k", _KNN_PER_QUERY_K_ORACLE)
+def q_knn_per_query_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query k through the partitioned dataflow (VectorSearchOptions.k
+    parity): each query carries its own k; with the 'simple' partitioner
+    the result is exact, so the per-query rank cutoff hash-matches."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("emb"),
+        (F.lit(5) + F.col("vec_id") % 6).alias("k"),
+    )
+    conf = PartitionerConf(kind="simple", num_partitions=8)
+    return knn_partitioned(vectors, queries, conf, k=None, metric="l2")
+
+
+_KNN_FILTERED_ORACLE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS qid, v.vec_id AS neighbor_id,
+         {D.distance_sql("q.embedding", "v.embedding", "l2")} AS distance
+  FROM (SELECT * FROM embeddings WHERE label % 2 = 0) v
+  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 25 = 0) q
+), ranked AS (
+  SELECT qid, neighbor_id, distance,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY distance ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM ranked_src
+)
+SELECT qid, neighbor_id, distance, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register("knn_filtered", _KNN_FILTERED_ORACLE.replace("ranked_src", "scored"))
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-filtered kNN (the modern vector-DB 'filtered search' shape):
+    the label predicate lands in the DataFrame BEFORE the distance join, so
+    Catalyst pushes it into the parquet scan — candidates never even load."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.filter(F.col("label") % 2 == 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
+    )
+    return knn_exact(vectors, queries, k=10, metric="l2")
+
+
 # --- kNN with TTL freshness + insert/delete stream semantics (W2/W3) --------
 
 _KNN_TTL_ORACLE = f"""
