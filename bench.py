@@ -35,11 +35,17 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn, _ = REGISTRY[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as e:  # noqa: BLE001 - one bad query must not kill the run
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
 
@@ -58,7 +64,7 @@ def main() -> None:
 
     derived: dict[str, float] = {}
     tmp = tempfile.mkdtemp(prefix="bench-seg-")
-    try:
+    try:  # noqa: SIM105
         emb = load_table(spark, sf_dir, "embeddings")
         vectors = emb.select(
             F.col("vec_id").alias("id"),
@@ -93,6 +99,9 @@ def main() -> None:
         t0 = time.perf_counter()
         knn_partitioned_worker(stored, queries, conf, k=10, metric="l2").count()
         derived["query_per_s"] = round(n_q / (time.perf_counter() - t0), 1)
+    except Exception as e:  # noqa: BLE001 - derived metrics are best-effort
+        errors["derived"] = f"{type(e).__name__}: {e}"[:300]
+        print(f"# derived: ERROR {errors['derived']}", file=sys.stderr)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -106,6 +115,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "derived": derived,
+                "errors": errors,
             }
         )
     )

@@ -104,9 +104,11 @@ def test_streaming_event_rollup_matches_batch(spark):
         (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 4))
         for r in spark.sql("select * from rollup_test").collect()
     }
+    from vstream_spark.sources.tables import load_table
+
     batch = (
-        spark.read.parquet(f"{SF}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")))
+        load_table(spark, SF, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
     )

@@ -37,10 +37,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("int64")
         elif df[c].dtype.kind == "M":
             df[c] = df[c].astype("datetime64[us]")
-        elif df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "__len__") and not isinstance(v, str) else v
-            )
+    # NOTE: no list->tuple coercion here — the driver's canonicalizer sorts
+    # raw cells, so list-typed columns must fail HERE too (r2 lesson: three
+    # queries shipped array cells and died only in the driver's gate).
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
@@ -91,6 +90,13 @@ def main() -> int:
             continue
         t_spark = time.time() - t0
         if sql is None:
+            # the driver canonicalizes rows-only results too — prove sortable
+            try:
+                canon(sdf)
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL {name}: rows-only result not canonicalizable: {e}")
+                failures += 1
+                continue
             print(f"ok?  {name}: rows={len(sdf)} (rows-only, no oracle) [{t_spark:.1f}s]")
             continue
         try:

@@ -456,9 +456,20 @@ FROM ids
 """
 
 
-@register("dedup_minhash_sigs", _minhash_oracle())
+_MINHASH_SIGS_ORACLE = f"""
+SELECT doc_id, array_to_string(sig, ',') AS sig_str
+FROM ({_minhash_oracle()}) mh
+"""
+
+
+@register("dedup_minhash_sigs", _MINHASH_SIGS_ORACLE)
 def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signatures(load_table(spark, sf_dir, "documents"), n=3, num_perm=64)
+    # signature emitted as a comma-joined string: the driver's canonicalizer
+    # sorts rows by every column, which list-typed cells can't support.
+    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"), n=3, num_perm=64)
+    return sigs.select(
+        "doc_id", F.concat_ws(",", F.col("sig").cast("array<string>")).alias("sig_str")
+    )
 
 
 def _minhash_lsh_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
@@ -748,7 +759,13 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("media_features")  # rows-only: stub decode -> pooled feature vector
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return media_features(media_fixture(load_table(spark, sf_dir, "documents")), dim=16)
+    feats = media_features(media_fixture(load_table(spark, sf_dir, "documents")), dim=16)
+    # array cells break the driver's sort-based canonicalizer: ship a stable
+    # scalar rendering (6-dp floats, comma-joined) instead of the raw list.
+    rendered = F.concat_ws(
+        ",", F.transform("feature", lambda x: F.format_string("%.6f", x.cast("double")))
+    )
+    return feats.select("doc_id", rendered.alias("feature_str"))
 
 
 # --- HNSW per-partition graph index (W1/W5 worker, rows-only ANN) ------------
@@ -1003,8 +1020,9 @@ WITH q AS (
          embedding
   FROM embeddings)
 SELECT vec_id, CAST(round(scale, 9) AS DOUBLE) AS scale_r,
-       list_transform(embedding, x -> CASE WHEN scale > 0.0
-         THEN CAST(round(x::DOUBLE / scale) AS TINYINT) ELSE CAST(0 AS TINYINT) END) AS q
+       array_to_string(list_transform(embedding, x -> CASE WHEN scale > 0.0
+         THEN CAST(round(x::DOUBLE / scale) AS TINYINT) ELSE CAST(0 AS TINYINT) END),
+         ',') AS q_str
 FROM q
 """
 
@@ -1017,6 +1035,10 @@ def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").alias("emb")
     )
     out = quantize(emb)
+    # int8 codes as a comma-joined string (list cells break the driver's
+    # sort-based canonicalizer); values identical to the duckdb rendering.
     return out.select(
-        "vec_id", F.round(F.col("scale"), 9).cast("double").alias("scale_r"), "q"
+        "vec_id",
+        F.round(F.col("scale"), 9).cast("double").alias("scale_r"),
+        F.concat_ws(",", F.col("q").cast("array<string>")).alias("q_str"),
     )

@@ -19,6 +19,10 @@ from pyspark.sql import SparkSession
 # AQE re-coalesces small post-shuffle partitions and splits skewed ones.
 _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
+    # Pin the session tz: makes TIMESTAMP_NTZ <-> TIMESTAMP casts (needed for
+    # streaming watermarks over the driver's NTZ parquet) value-preserving
+    # and keeps window boundaries deterministic across machines.
+    "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -43,10 +43,16 @@ def read_event_stream(
         .parquet(sf_dir)
     )
     # driver parquet stores ts as TIMESTAMP(NANOS) -> int64 under nanosAsLong
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
         )
+    elif ts_type == "timestamp_ntz":
+        # withWatermark requires TIMESTAMP (with tz). Session tz is pinned to
+        # UTC, so NTZ -> TZ is a value-preserving reinterpretation; windowed
+        # results cast back to NTZ downstream to match the batch oracle.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
@@ -60,7 +66,9 @@ def streaming_event_rollup(events: DataFrame, watermark: str = "1 hour") -> Data
             F.sum("value").alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            # back to NTZ: the windowing ran on UTC-pinned TIMESTAMP; the
+            # batch/duckdb oracle sees naive timestamps, so emit NTZ.
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",
