@@ -91,6 +91,9 @@ class PartitionerConf:
     sfc_bits: int = 7
     num_probes: int = 0  # multiprobe fan-out (lsh+proximity)
     replication_factor: int = 1  # kmeans/hilbert nearest-R routing
+    # IVF-style asymmetric fan-out: data stays at replication_factor cells,
+    # queries probe query_fanout nearest cells (None = same as data side).
+    query_fanout: int | None = None
     update_interval: int = 7_200_000  # epoch re-learn period (ms)
     max_retained: int = 1_000_000  # history window for quantile learning
     # Epoch freshness for P5 query fan-out (isFresh,

@@ -136,12 +136,14 @@ def ann_topk_ivf(
     num_partitions: int = 8,
     nprobe: int = 4,
 ) -> DataFrame:
-    """IVF-style ANN top-k: kmeans coarse partitioning (route to nearest-R
-    centroids), per-partition vectorized scan probing ``nprobe`` cells.
-    Returns (qid, neighbor_id, distance, rank); approximate."""
+    """IVF-style ANN top-k: kmeans coarse quantizer; each vector lives in its
+    single nearest cell (the inverted list), each query probes its ``nprobe``
+    nearest cells — the classic IVF asymmetry. Returns (qid, neighbor_id,
+    distance, rank); approximate."""
     conf = PartitionerConf(
-        kind="kmeans", num_partitions=num_partitions, replication_factor=1
+        kind="kmeans",
+        num_partitions=num_partitions,
+        replication_factor=1,
+        query_fanout=nprobe,
     )
-    return knn_partitioned_worker(
-        vectors, queries, conf, k=k, metric=metric, nprobe_centroids=nprobe
-    )
+    return knn_partitioned_worker(vectors, queries, conf, k=k, metric=metric)

@@ -139,10 +139,17 @@ class CurvePartitioner(FittedPartitioner):
 
     def __init__(self, conf: PartitionerConf, curve: str, use_lsh: bool):
         super().__init__(conf)
-        if conf.num_hashes * conf.sfc_bits > 62:
+        if use_lsh and conf.num_hashes * conf.sfc_bits > 62:
             raise ValueError("num_hashes * sfc_bits must be <= 62 (int64 curve index)")
         self.curve = CURVES[curve]
         self.use_lsh = use_lsh
+        # P9 (raw-vector curve, SpaceFillingPartitionFunction.java:17-205) on
+        # high-dim vectors: keep the curve index in int64 by truncating to the
+        # leading dims that fit sfc_bits each (the reference's own precedent
+        # for dimension truncation: NKMeans distance uses only the first 10
+        # dims, NKMeans.java:181-189). Locality of a 7-bit/dim curve over 64
+        # dims is noise beyond the leading dims anyway.
+        self.max_dims = max(1, 62 // conf.sfc_bits)
         self.boundaries: dict[int, list[float]] = {}  # epoch -> P-1 boundaries
         self.lo: np.ndarray | None = None  # sketch-space normalization
         self.hi: np.ndarray | None = None
@@ -150,13 +157,18 @@ class CurvePartitioner(FittedPartitioner):
     def _curve_udf(self):
         conf, curve, use_lsh = self.conf, self.curve, self.use_lsh
         lo, hi = self.lo, self.hi
+        max_dims = self.max_dims
 
         @F.pandas_udf("long")
         def curve_value(emb: pd.Series) -> pd.Series:
             if len(emb) == 0:
                 return pd.Series([], dtype="int64")
             mat = np.stack(emb.to_numpy()).astype(np.float64)
-            sketch = _families(mat.shape[1], conf).hash_values(mat, 0) if use_lsh else mat
+            sketch = (
+                _families(mat.shape[1], conf).hash_values(mat, 0)
+                if use_lsh
+                else mat[:, :max_dims]
+            )
             side = 1 << conf.sfc_bits
             span = np.where((hi - lo) > 0, hi - lo, 1.0)
             coords = np.clip(
@@ -177,7 +189,9 @@ class CurvePartitioner(FittedPartitioner):
         pdf = sample.toPandas()
         mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
         sketch = (
-            _families(mat.shape[1], conf).hash_values(mat, 0) if self.use_lsh else mat
+            _families(mat.shape[1], conf).hash_values(mat, 0)
+            if self.use_lsh
+            else mat[:, : self.max_dims]
         )
         self.lo = sketch.min(axis=0).astype(np.float64)
         self.hi = sketch.max(axis=0).astype(np.float64)
@@ -317,7 +331,9 @@ class KMeansPartitioner(FittedPartitioner):
         return _explode_pids(df, self._assign_udf(r)(F.col(emb_col)), with_fanout=False)
 
     def partition_queries(self, df: DataFrame, emb_col: str = "emb") -> DataFrame:
-        r = max(1, self.conf.replication_factor)
+        # queries probe query_fanout nearest cells (IVF nprobe); data-side
+        # replication stays at replication_factor
+        r = max(1, self.conf.query_fanout or self.conf.replication_factor)
         return _explode_pids(df, self._assign_udf(r)(F.col(emb_col)), with_fanout=True)
 
 

@@ -1042,3 +1042,114 @@ def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("scale"), 9).cast("double").alias("scale_r"),
         F.concat_ws(",", F.col("q").cast("array<string>")).alias("q_str"),
     )
+
+
+# --- Recall gates: every partitioner kind + every index kind, oracle-checked --
+# Each ANN variant runs through the full partition -> worker -> merge dataflow
+# and its mean recall@10 vs the exact oracle must clear a per-variant floor
+# (floors set ~0.15-0.25 below measured sf0.01 recall; the boolean absorbs
+# seed-level jitter while still catching routing/merge regressions). This
+# upgrades the previously rows-only ANN entries to verified checks — the
+# Spark analog of the reference's own accuracy harness
+# (VStreamRecallTestJob.java:31-52, SearchResult.getAccuracy).
+
+_PARTITIONER_RECALL_SPECS: list[tuple[str, dict, float]] = [
+    ("simple", dict(kind="simple", num_partitions=8), 0.95),
+    ("lsh", dict(kind="lsh", num_partitions=8, num_families=4, num_hashes=4,
+                 bucket_width=2.0), 0.75),
+    ("lsh+random", dict(kind="lsh+random", num_partitions=8, num_families=2,
+                        num_hashes=4, bucket_width=2.0), 0.55),
+    ("lsh+proximity", dict(kind="lsh+proximity", num_partitions=8, num_families=2,
+                           num_hashes=4, bucket_width=2.0, num_probes=2), 0.75),
+    ("lsh+hilbert", dict(kind="lsh+hilbert", num_partitions=8, num_hashes=4,
+                         bucket_width=2.0, sfc_bits=7, replication_factor=2), 0.5),
+    ("lsh+zorder", dict(kind="lsh+zorder", num_partitions=8, num_hashes=4,
+                        bucket_width=2.0, sfc_bits=7, replication_factor=2), 0.5),
+    ("lsh+gray", dict(kind="lsh+gray", num_partitions=8, num_hashes=4,
+                      bucket_width=2.0, sfc_bits=7, replication_factor=2), 0.5),
+    ("lsh+peano", dict(kind="lsh+peano", num_partitions=8, num_hashes=4,
+                       bucket_width=2.0, sfc_bits=7, replication_factor=2), 0.5),
+    ("lsh+sierpinski", dict(kind="lsh+sierpinski", num_partitions=8, num_hashes=4,
+                            bucket_width=2.0, sfc_bits=7, replication_factor=2), 0.5),
+    ("hilbert", dict(kind="hilbert", num_partitions=8, sfc_bits=7,
+                     replication_factor=2), 0.5),
+    ("kmeans", dict(kind="kmeans", num_partitions=8, replication_factor=3), 0.7),
+    ("odyssey", dict(kind="odyssey", num_partitions=8), 0.9),
+]
+
+
+def _recall_gate_rows(spark, specs, run_variant) -> DataFrame:
+    """Shared driver loop: tiny fixed set of variants, each run fully
+    distributed; only a scalar mean recall comes back per variant."""
+    from vstream_spark.functions.metrics import mean_recall
+    from vstream_spark.operators.knn import knn_exact
+
+    rows = []
+    gt = None
+    try:
+        for variant, kw, floor in specs:
+            vectors, queries, ann = run_variant(variant, kw)
+            if gt is None:
+                gt = knn_exact(vectors, queries, k=10, metric="l2").cache()
+                gt.count()
+            rows.append((variant, bool(mean_recall(ann, gt, k=10) >= floor)))
+    finally:
+        if gt is not None:
+            gt.unpersist()
+    return spark.createDataFrame(rows, "variant string, recall_ok boolean")
+
+
+def _recall_gate_oracle(specs) -> str:
+    values = ", ".join(f"('{v}', true)" for v, _, _ in specs)
+    return f"SELECT * FROM (VALUES {values}) t(variant, recall_ok)"
+
+
+@register("knn_partitioner_recall", _recall_gate_oracle(_PARTITIONER_RECALL_SPECS))
+def q_partitioner_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall floor for EVERY exchange operator of SURVEY §2.3 (P1-P9, all
+    dispatch names of PartitionFunction.getPartitionFunction) through the
+    partition -> per-partition search -> top-k merge dataflow."""
+    vectors, queries = _emb_pair(spark, sf_dir)
+
+    def run(variant, kw):
+        conf = PartitionerConf(**kw)
+        return vectors, queries, knn_partitioned_worker(
+            vectors, queries, conf, k=10, metric="l2"
+        )
+
+    return _recall_gate_rows(spark, _PARTITIONER_RECALL_SPECS, run)
+
+
+_INDEX_RECALL_SPECS: list[tuple[str, dict, float]] = [
+    ("hnsw", dict(index_kind="hnsw", m=16, ef_construction=128, ef_search=64), 0.9),
+    ("ivf", dict(), 0.7),  # handled specially: ann_topk_ivf nprobe=3/4
+    ("pq", dict(index_kind="pq", pq_m=8), 0.8),
+]
+
+
+@register("knn_index_recall", _recall_gate_oracle(_INDEX_RECALL_SPECS))
+def q_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall floor for every per-partition index kind (W1/W5 HNSW worker,
+    IVF coarse-quantizer scan, PQ ADC) against the exact-scan oracle."""
+    from vstream_spark.config import VectorIndexConf
+
+    vectors, queries = _emb_pair(spark, sf_dir)
+
+    def run(variant, kw):
+        if variant == "ivf":
+            ann = ann_topk_ivf(
+                vectors, queries, k=10, metric="l2", num_partitions=4, nprobe=3
+            )
+        else:
+            iconf = VectorIndexConf(dim=64, **kw)
+            ann = knn_partitioned_worker(
+                vectors,
+                queries,
+                PartitionerConf(kind="simple", num_partitions=4),
+                k=10,
+                metric="l2",
+                index_conf=iconf,
+            )
+        return vectors, queries, ann
+
+    return _recall_gate_rows(spark, _INDEX_RECALL_SPECS, run)
