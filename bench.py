@@ -20,7 +20,15 @@ from vstream_spark.queries import REGISTRY  # noqa: E402
 from vstream_spark.session import get_spark  # noqa: E402
 
 # The headline workload: every declared query (vector + relational + LLM ops).
-BENCH_QUERIES = list(REGISTRY)
+# The two recall-gate meta-queries are correctness machinery (each one re-runs
+# a dozen ANN dataflows + the exact oracle) — excluded so the suite number
+# stays a workload measurement, not a harness measurement.
+BENCH_QUERIES = [
+    q
+    for q in REGISTRY
+    if q
+    not in ("knn_partitioner_recall", "knn_index_recall", "similarity_join_lsh_recall")
+]
 
 
 def main() -> None:

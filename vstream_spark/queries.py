@@ -848,7 +848,43 @@ def q_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_tf(load_table(spark, sf_dir, "documents"), dim=64)
 
 
-@register("text_embed_knn")  # rows-only: embed -> self kNN (pipeline compose)
+def _embed_knn_oracle(dim: int = 64, k: int = 5) -> str:
+    """Full pipeline oracle: hashed-TF -> densify -> L2-normalize (float32)
+    -> cosine top-k — the whole embed+search composition reproduced in SQL."""
+    dist = D.distance_sql("q.emb", "v.emb", "cosine")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+tf AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(tok), 1, 15))::BIGINT % {dim} AS INTEGER) AS bucket,
+         count(*) AS tf
+  FROM toks GROUP BY doc_id, bucket),
+m AS (
+  SELECT doc_id, map_from_entries(list(struct_pack(k := bucket, v := tf::DOUBLE))) AS mm
+  FROM tf GROUP BY doc_id),
+dense AS (
+  SELECT doc_id, list_transform(range(0, {dim}), i -> coalesce(mm[i::INTEGER][1], 0.0)) AS d
+  FROM m),
+normed AS (
+  SELECT doc_id, sqrt(list_sum(list_transform(d, x -> x*x))) AS n, d FROM dense),
+emb_t AS (
+  SELECT doc_id,
+         list_transform(d, x -> CAST(x / (CASE WHEN n > 0 THEN n ELSE 1.0 END) AS FLOAT)) AS emb
+  FROM normed),
+q AS (SELECT doc_id AS qid, emb FROM emb_t WHERE doc_id % 50 = 0),
+scored AS (
+  SELECT q.qid, v.doc_id AS neighbor_id, {dist} AS distance
+  FROM emb_t v CROSS JOIN q),
+ranked AS (
+  SELECT qid, neighbor_id, distance,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY distance ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT qid, neighbor_id, distance, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("text_embed_knn", _embed_knn_oracle())
 def q_text_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = embed_text(docs, dim=64)
@@ -1153,3 +1189,64 @@ def q_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         return vectors, queries, ann
 
     return _recall_gate_rows(spark, _INDEX_RECALL_SPECS, run)
+
+
+# --- LSH similarity-join pair recall (completes the no-oracle cleanup) --------
+
+
+@register("similarity_join_lsh_recall", "SELECT true AS pair_recall_ok")
+def q_similarity_join_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of exact cosine>=0.4 pairs recovered by the LSH-bucketed join
+    must clear 0.8 (single boolean row; the gate absorbs bucketing jitter)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity_join_exact(emb, emb, threshold=0.4).select("id_a", "id_b")
+    conf = PartitionerConf(
+        kind="lsh", num_partitions=16, num_families=6, num_hashes=2, bucket_width=1.0
+    )
+    lsh = lsh_similarity_join(emb, threshold=0.4, conf=conf).select("id_a", "id_b")
+    n_exact = exact.count()
+    n_hit = exact.join(lsh, ["id_a", "id_b"]).count()
+    ok = n_exact == 0 or n_hit / n_exact >= 0.8
+    return spark.createDataFrame([(bool(ok),)], "pair_recall_ok boolean")
+
+
+# --- Relational breadth: CUBE, set operations, window frames ------------------
+# SURVEY §2.7: capabilities the reference lacks entirely but a Spark-native
+# engine gets from Catalyst. Shared-SQL both engines.
+
+_RELATIONAL_EXTRA: dict[str, str] = {
+    # grouping sets / CUBE with grouping() disambiguation
+    "rel_order_cube": """
+SELECT coalesce(o_orderstatus, '<all>') AS orderstatus,
+       coalesce(o_orderpriority, '<all>') AS orderpriority,
+       count(*) AS n_orders,
+       CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    # set operations: INTERSECT / EXCEPT branches tagged and unioned
+    "rel_customer_setops": """
+SELECT 'with_orders' AS tag, custkey FROM (
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'no_orders' AS tag, custkey FROM (
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT o_custkey FROM orders)
+""",
+    # window frame: 7-row trailing moving average per user (deterministic
+    # frame: ties broken by event_id)
+    "rel_moving_avg": """
+SELECT event_id,
+       user_id,
+       CAST(round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS DOUBLE) AS ma7
+FROM events
+""",
+}
+
+for _name, _sql in _RELATIONAL_EXTRA.items():
+    register(_name, _sql)(_make_relational(_sql))
