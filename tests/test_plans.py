@@ -87,6 +87,19 @@ def test_embed_text_is_python_free(spark):
     assert count_exchanges(emb) == 2
 
 
+def test_similarity_join_exact_is_broadcast_no_python(spark):
+    """The exact similarity join must be a JVM broadcast NLJ: no Python eval
+    nodes (the old mapInPandas path routed the right side through the driver
+    via toPandas — an OOM at scale)."""
+    from vstream_spark.operators.similarity import similarity_join_exact
+    from vstream_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    df = similarity_join_exact(emb, emb, threshold=0.4)
+    assert_plan_contains(df, "BroadcastNestedLoopJoin")
+    assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas")
+
+
 def test_asof_join_is_single_shuffle(spark):
     """The union/window as-of plan must stay ONE exchange (on the by-key) —
     a sort-merge or range-join formulation would shuffle both sides and

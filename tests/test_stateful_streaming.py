@@ -81,6 +81,78 @@ def test_ttl_freshness_filter_in_stream(spark, tmp_path):
     assert ids and all(i * 100 >= 650 for i in ids)
 
 
+def test_exact_stateful_matches_batch_knn(spark, tmp_path):
+    """Exact-mode stateful search == batch knn_exact with deletes+TTL: state
+    accumulates markers across micro-batches; delete in a later batch wins
+    LWW; result merged with topk is bitwise-comparable."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from vstream_spark.operators.knn import knn_exact, topk
+    from vstream_spark.streaming.stateful import stateful_exact_vector_search
+
+    rng = np.random.RandomState(11)
+    vecs = [rng.rand(8).astype(np.float32).tolist() for _ in range(40)]
+    num_parts = 2
+    b0 = [(i % num_parts, "I", i, vecs[i], i * 10, 0) for i in range(0, 40, 2)]
+    b1 = [(i % num_parts, "I", i, vecs[i], i * 10, 0) for i in range(1, 40, 2)] + [
+        (3 % num_parts, "D", 3, None, 5000, 0),
+        (8 % num_parts, "D", 8, None, 5000, 0),
+    ]
+    # queries fan to all partitions; TTL window excludes event_time < 100
+    b2 = [
+        (p, "Q", 900 + j, vecs[j], 10_000, 9_900)
+        for j in (0, 7, 15)
+        for p in range(num_parts)
+    ]
+    src = tmp_path / "exsrc"
+    src.mkdir()
+    for i, rows in enumerate([b0, b1, b2]):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"b{i:03d}")
+        )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = stateful_exact_vector_search(stream, k=5, metric="l2")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("exact_stateful_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        topk(spark.table("exact_stateful_out"), 5, dedup=False)
+        .select("qid", "neighbor_id", "distance", "rank")
+        .toPandas()
+        .sort_values(["qid", "rank"], ignore_index=True)
+    )
+    vectors = spark.createDataFrame(
+        [(i, vecs[i], i * 10, 0, "I") for i in range(40)]
+        + [(3, vecs[3], 5000, 0, "D"), (8, vecs[8], 5000, 0, "D")],
+        "id bigint, emb array<float>, event_time bigint, ttl bigint, op string",
+    )
+    queries = spark.createDataFrame(
+        [(900 + j, vecs[j], 10_000, 9_900) for j in (0, 7, 15)],
+        "qid bigint, emb array<float>, event_time bigint, ttl bigint",
+    )
+    exp = (
+        knn_exact(vectors, queries, k=5, metric="l2", honor_ttl=True, honor_deletes=True)
+        .toPandas()
+        .sort_values(["qid", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"rank": "int64"}), exp.astype({"rank": "int64"})
+    )
+    # deleted ids and TTL-excluded ids (event_time < 100 -> ids 0..9) absent
+    assert {3, 8}.isdisjoint(set(got["neighbor_id"]))
+    assert got["neighbor_id"].min() >= 10
+
+
 def test_partitions_isolated(spark, tmp_path):
     rng = np.random.RandomState(9)
     v = [rng.rand(4).astype(np.float32).tolist() for _ in range(6)]

@@ -111,9 +111,13 @@ def test_streaming_event_rollup_matches_batch(spark):
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        # cast to NTZ before collect: a TIMESTAMP collects via the driver OS
+        # timezone while the streaming side's TIMESTAMP_NTZ collects as naive
+        # UTC wall-clock — without this the keys shift on non-UTC hosts
+        .select(F.col("w.start").cast("timestamp_ntz").alias("ws"), "event_type", "n", "s")
     )
     exp = {
-        (r.w.start, r.event_type): (r.n, round(r.s, 4)) for r in batch.collect()
+        (r.ws, r.event_type): (r.n, round(r.s, 4)) for r in batch.collect()
     }
     assert got == exp and len(got) > 0
 

@@ -301,7 +301,8 @@ def dedup_embedding(
     >= threshold; ``dup_of`` = the smallest such id (deterministic survivor,
     same min-id rule as dedup_exact). Returns (vec_id, is_duplicate, dup_of).
 
-    Built on similarity_join_exact; swap in lsh_similarity_join for the
+    Built on similarity_join_exact (a pure-Catalyst broadcast NLJ — no
+    driver-side materialization); swap in lsh_similarity_join for the
     approximate scale path (two big sides, no broadcast).
     """
     from vstream_spark.operators.similarity import similarity_join_exact

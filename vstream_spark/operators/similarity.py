@@ -10,15 +10,12 @@ Generalizes the reference's query path (W3 top-k + M1 merge) to:
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vstream_spark.config import PartitionerConf
-from vstream_spark.functions.distance import cosine_similarity
 from vstream_spark.operators.partitioned import knn_partitioned_worker
 from vstream_spark.partitioners.dispatch import fit_partitioner
 
@@ -55,38 +52,32 @@ def similarity_join_exact(
     """All-pairs cosine-similarity join: (id_a, id_b, cosine_sim >= threshold),
     id_a < id_b. Exact — O(N*M) distance evaluations.
 
-    Physical plan: the right side is collected ONCE into an Arrow-backed
-    numpy block and closed over by a mapInPandas over the (distributed) left
-    side — a broadcast nested-loop in vectorized numpy, with bitwise
-    fold-order parity against the SQL oracle. The right side must fit in
-    executor memory (same constraint as any broadcast join); for two big
-    sides use lsh_similarity_join."""
-    b_pdf = (
-        right.select(F.col(right_id).alias("id_b"), F.col(emb_col).alias("emb_b"))
-        .toPandas()
+    Physical plan: pure-Catalyst broadcast nested-loop join — the right side
+    ships to executors as a JVM broadcast (never materialized in the Python
+    driver), and the cosine is the JVM ``zip_with``/``aggregate`` left fold,
+    which is bitwise-identical to the DuckDB oracle's ``list_sum``. Norms are
+    projected onto each side BEFORE the join, so per-pair work is a single
+    64-element dot fold inside whole-stage codegen. The right side must fit
+    in executor memory (standard broadcast constraint); for two big sides use
+    lsh_similarity_join."""
+    from vstream_spark.functions.distance import dot, norm
+
+    a = left.select(
+        F.col(left_id).alias("id_a"), F.col(emb_col).alias("emb_a")
+    ).withColumn("_na", norm(F.col("emb_a")))
+    b = right.select(
+        F.col(right_id).alias("id_b"), F.col(emb_col).alias("emb_b")
+    ).withColumn("_nb", norm(F.col("emb_b")))
+    denom = F.col("_na") * F.col("_nb")
+    sim = F.when(
+        denom != 0.0, dot(F.col("emb_a"), F.col("emb_b")) / denom
+    ).otherwise(F.lit(0.0))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", sim)
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
     )
-    b_ids = b_pdf["id_b"].to_numpy()
-    b_mat = np.stack(b_pdf["emb_b"].to_numpy()).astype(np.float64)
-    b_norm = np.sqrt(_fold_sqnorm(b_mat))
-
-    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a_ids = pdf["id_a"].to_numpy()
-            a_mat = np.stack(pdf["emb_a"].to_numpy()).astype(np.float64)
-            a_norm = np.sqrt(_fold_sqnorm(a_mat))
-            denom = a_norm[:, None] * b_norm[None, :]
-            dots = _fold_dot(a_mat, b_mat)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sim = np.where(denom != 0.0, dots / denom, 0.0)
-            ai, bi = np.where((sim >= threshold) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {"id_a": a_ids[ai], "id_b": b_ids[bi], "cosine_sim": sim[ai, bi]}
-            )
-
-    a = left.select(F.col(left_id).alias("id_a"), F.col(emb_col).alias("emb_a"))
-    return a.mapInPandas(block, schema="id_a bigint, id_b bigint, cosine_sim double")
 
 
 def lsh_similarity_join(

@@ -333,7 +333,8 @@ class KMeansPartitioner(FittedPartitioner):
     def partition_queries(self, df: DataFrame, emb_col: str = "emb") -> DataFrame:
         # queries probe query_fanout nearest cells (IVF nprobe); data-side
         # replication stays at replication_factor
-        r = max(1, self.conf.query_fanout or self.conf.replication_factor)
+        qf = self.conf.query_fanout
+        r = max(1, qf if qf is not None else self.conf.replication_factor)
         return _explode_pids(df, self._assign_udf(r)(F.col(emb_col)), with_fanout=True)
 
 

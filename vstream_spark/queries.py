@@ -960,6 +960,104 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("_streaming_dedup_result")
 
 
+# --- Streaming vector search (the reference's end-to-end job) ----------------
+# VStreamSearchJob.java:21-49: one mixed insert/delete/query stream keyed by
+# partition -> stateful per-partition index -> global top-k merge. Run here as
+# a REAL Structured Streaming query (applyInPandasWithState, availableNow over
+# 3 micro-batches: inserts / inserts+deletes / queries) in exact mode, so the
+# result hash-matches the batch oracle (deletes LWW + TTL freshness window).
+
+_KNN_STREAMING_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 25 = 0),
+v AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % 10 <> 3 AND vec_id * 10 >= 1000 AND vec_id * 10 <= 20000000),
+scored AS (
+  SELECT q.qid, v.vec_id AS neighbor_id,
+         {D.distance_sql("q.embedding", "v.embedding", "l2")} AS distance
+  FROM v CROSS JOIN q),
+ranked AS (
+  SELECT qid, neighbor_id, distance,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY distance ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT qid, neighbor_id, distance, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register("knn_streaming", _KNN_STREAMING_ORACLE)
+def q_knn_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector search end-to-end: micro-batch 0 inserts even ids,
+    batch 1 inserts odd ids + deletes ids ≡3 (mod 10), batch 2 queries every
+    25th id fanned to all partitions with a TTL window cutting event_time <
+    1000. State persists across batches (applyInPandasWithState); the global
+    merge is the M1 top-k. Exact mode => hash-matches batch kNN with
+    deletes+TTL."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from vstream_spark.operators.knn import topk
+    from vstream_spark.streaming.pipeline import run_stream_to_memory
+    from vstream_spark.streaming.stateful import stateful_exact_vector_search
+
+    num_parts = 4
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        (F.col("vec_id") % num_parts).cast("int").alias("partition_id"),
+        F.lit("I").alias("op"),
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<float>").alias("emb"),
+        (F.col("vec_id") * 10).cast("long").alias("event_time"),
+        F.lit(0).cast("long").alias("ttl"),
+    )
+    deletes = emb.filter(F.col("vec_id") % 10 == 3).select(
+        (F.col("vec_id") % num_parts).cast("int").alias("partition_id"),
+        F.lit("D").alias("op"),
+        F.col("vec_id").alias("id"),
+        F.lit(None).cast("array<float>").alias("emb"),
+        F.lit(10_000_000).cast("long").alias("event_time"),
+        F.lit(0).cast("long").alias("ttl"),
+    )
+    queries = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .select("vec_id", "embedding", F.explode(F.sequence(F.lit(0), F.lit(num_parts - 1))).alias("pid"))
+        .select(
+            F.col("pid").cast("int").alias("partition_id"),
+            F.lit("Q").alias("op"),
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<float>").alias("emb"),
+            F.lit(20_000_000).cast("long").alias("event_time"),
+            F.lit(19_999_000).cast("long").alias("ttl"),
+        )
+    )
+    src = tempfile.mkdtemp(prefix="knn-streaming-")
+    name = f"_knn_streaming_{uuid.uuid4().hex[:8]}"
+    try:
+        base.filter(F.col("id") % 2 == 0).coalesce(1).write.parquet(f"{src}/b000")
+        base.filter(F.col("id") % 2 == 1).unionByName(deletes).coalesce(1).write.parquet(
+            f"{src}/b001"
+        )
+        queries.coalesce(1).write.parquet(f"{src}/b002")
+        schema = (
+            "partition_id int, op string, id bigint, emb array<float>, "
+            "event_time bigint, ttl bigint"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        partials = stateful_exact_vector_search(stream, k=10, metric="l2")
+        run_stream_to_memory(partials, name, output_mode="append")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    # data ids are unreplicated (one partition each) -> (qid, id) unique
+    return topk(spark.table(name), 10, dedup=False).select(
+        "qid", "neighbor_id", "distance", "rank"
+    )
+
+
 # --- As-of (point-in-time) join over the events stream -----------------------
 
 _ASOF_ORACLE = """
@@ -1082,11 +1180,15 @@ def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Recall gates: every partitioner kind + every index kind, oracle-checked --
 # Each ANN variant runs through the full partition -> worker -> merge dataflow
-# and its mean recall@10 vs the exact oracle must clear a per-variant floor
-# (floors set ~0.15-0.25 below measured sf0.01 recall; the boolean absorbs
-# seed-level jitter while still catching routing/merge regressions). This
-# upgrades the previously rows-only ANN entries to verified checks — the
-# Spark analog of the reference's own accuracy harness
+# and its mean recall@10 vs the exact oracle must clear a per-variant floor.
+# CALIBRATION: floors were measured at sf0.01 (the driver's correctness SF,
+# 6k vectors / 240 queries) and set ~0.15-0.25 below the observed recall; the
+# boolean absorbs seed-level jitter while still catching routing/merge
+# regressions. Recall of LSH/curve partitioners is data-scale-dependent, so
+# the floors are only meaningful at sf0.01-sf0.1; each gate prints the
+# measured per-variant recall to stderr so a tripped floor is diagnosable
+# from the driver log. This upgrades the previously rows-only ANN entries to
+# verified checks — the Spark analog of the reference's own accuracy harness
 # (VStreamRecallTestJob.java:31-52, SearchResult.getAccuracy).
 
 _PARTITIONER_RECALL_SPECS: list[tuple[str, dict, float]] = [
@@ -1120,6 +1222,8 @@ def _recall_gate_rows(spark, specs, run_variant) -> DataFrame:
     from vstream_spark.functions.metrics import mean_recall
     from vstream_spark.operators.knn import knn_exact
 
+    import sys
+
     rows = []
     gt = None
     try:
@@ -1128,7 +1232,10 @@ def _recall_gate_rows(spark, specs, run_variant) -> DataFrame:
             if gt is None:
                 gt = knn_exact(vectors, queries, k=10, metric="l2").cache()
                 gt.count()
-            rows.append((variant, bool(mean_recall(ann, gt, k=10) >= floor)))
+            r = mean_recall(ann, gt, k=10)
+            print(f"# recall_gate {variant}: recall@10={r:.4f} floor={floor}",
+                  file=sys.stderr)
+            rows.append((variant, bool(r >= floor)))
     finally:
         if gt is not None:
             gt.unpersist()
@@ -1237,13 +1344,20 @@ SELECT 'no_orders' AS tag, custkey FROM (
   SELECT o_custkey FROM orders)
 """,
     # window frame: 7-row trailing moving average per user (deterministic
-    # frame: ties broken by event_id)
+    # frame: ties broken by event_id). Computed as sum/count rather than
+    # avg() OVER: engines differ in incremental vs per-frame window-avg
+    # evaluation (segment tree vs re-scan) in the last ulp, while sum over
+    # <=7 doubles folds identically — keeps the 6dp round hash-stable.
     "rel_moving_avg": """
 SELECT event_id,
        user_id,
-       CAST(round(avg(value) OVER (
-         PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS DOUBLE) AS ma7
+       CAST(round(
+         sum(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         / count(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS DOUBLE) AS ma7
 FROM events
 """,
 }
