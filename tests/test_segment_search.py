@@ -227,3 +227,24 @@ def test_deletes_honored_across_segments(spark, tmp_path):
     gz = searcher.search(qz, k=1, metric="l2")
     assert list(gz["neighbor_id"]) == [5]
     assert gz["distance"].iloc[0] == 0.0
+
+
+def test_declared_hnsw_query_uses_persisted_sidecars(spark):
+    """The registry's knn_hnsw_ann must go through the C3/C4 path: segments
+    carry graph sidecar artifacts built at flush, and repeat invocations
+    reuse the same store (load, never rebuild)."""
+    import os
+
+    from vstream_spark.queries import _HNSW_STORES, REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    fn, _ = REGISTRY["knn_hnsw_ann"]
+    assert fn(spark, sf).count() > 0
+    st = _HNSW_STORES[sf]
+    segs = st.segments()
+    assert len(segs) == 2
+    for s in segs:
+        assert s.get("index_file") and os.path.exists(s["index_file"])
+    # second invocation: same store object -> no re-ingest, no re-build
+    fn(spark, sf)
+    assert _HNSW_STORES[sf] is st

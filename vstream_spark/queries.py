@@ -770,16 +770,56 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- HNSW per-partition graph index (W1/W5 worker, rows-only ANN) ------------
 
+# Per-process segment stores for the declared HNSW query: the graph is built
+# ONCE at flush time (C3, hnsw_table_builder.cc builds the SST's graph when
+# the memtable flushes — not at query time) and every search LOADS the
+# persisted sidecar (C4, executor index cache). Keyed by sf_dir.
+_HNSW_STORES: dict[str, object] = {}
 
-@register("knn_hnsw_ann")  # rows-only: numpy HNSW graph per partition
+
+def _hnsw_store(spark: SparkSession, sf_dir: str):
+    from vstream_spark.storage.segments import SegmentStore
+
+    store = _HNSW_STORES.get(sf_dir)
+    if store is None:
+        import tempfile
+
+        store = SegmentStore(spark, tempfile.mkdtemp(prefix="knn-hnsw-store-"))
+        emb = load_table(spark, sf_dir, "embeddings")
+        vectors = emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("emb"),
+            (F.col("vec_id") * 10).cast("long").alias("event_time"),
+            F.lit(0).cast("long").alias("ttl"),
+            F.lit("I").alias("op"),
+        )
+        # two flushes -> two segments, each with its graph artifact: the
+        # search exercises the multi-segment merge AND the load path
+        for half in (vectors.filter(F.col("id") % 2 == 0),
+                     vectors.filter(F.col("id") % 2 == 1)):
+            seg = store.append_segment(half)
+            store.build_segment_index(seg, metric="l2", m=16,
+                                      ef_construction=128, kind="hnsw")
+        _HNSW_STORES[sf_dir] = store
+    store.spark = spark
+    return store
+
+
+@register("knn_hnsw_ann")  # rows-only: persisted per-segment HNSW graphs
 def q_knn_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW ANN through the LSM path: segments flushed with graph sidecars
+    (C3), searched by SegmentSearcher which LOADS the artifacts instead of
+    rebuilding (C4) — the declared query demonstrates build-at-flush /
+    load-at-search, the reference's hnsw_table_builder/reader split."""
     from vstream_spark.config import VectorIndexConf
+    from vstream_spark.storage.search import SegmentSearcher
 
-    vectors, queries = _emb_pair(spark, sf_dir)
-    conf = PartitionerConf(kind="simple", num_partitions=4)
+    store = _hnsw_store(spark, sf_dir)
+    _, queries = _emb_pair(spark, sf_dir)
     iconf = VectorIndexConf(dim=64, m=16, ef_construction=128, ef_search=64)
-    return knn_partitioned_worker(
-        vectors, queries, conf, k=10, metric="l2", index_conf=iconf
+    pdf = SegmentSearcher(store, iconf).search(queries, k=10, metric="l2")
+    return spark.createDataFrame(
+        pdf[["qid", "neighbor_id", "distance", "rank"]]
     )
 
 

@@ -21,8 +21,11 @@ reference's semantics (one SST at a time, terminate early). Each per-segment
 search is a distributed Spark job over the query batch; executors read the
 segment parquet directly (pyarrow) and keep the built index in a
 process-global cache, so the vector data never flows through the driver.
-Driver-side state is O(queries x k) partial results — the same reduce the
-reference runs at parallelism 1 (``params.yaml:34``).
+The running M1 merge is DISTRIBUTED too: per-segment partials are
+localCheckpointed DataFrames (lineage truncated, partitions pinned on
+executors), unioned and cut to k via window functions; the driver holds only
+DataFrame handles plus O(queries) termination statistics — strictly less
+state than the reference's parallelism-1 reduce (``params.yaml:34``).
 """
 
 from __future__ import annotations
@@ -157,6 +160,9 @@ class SegmentSearcher:
         it prunes whole segments (C6) AND filters inside surviving indexes
         (the FilterSeqTs analog).
         """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
         conf = self.conf
         segs = self._order_segments(self.store.prune(min_event_time, max_event_time))
         if not segs:
@@ -166,38 +172,57 @@ class SegmentSearcher:
 
         ef = max(ef_search or conf.ef_search, k)
         tombs = self._tombstones(min_event_time, max_event_time)
-        merged: pd.DataFrame | None = None
+        w_lww = Window.partitionBy("qid", "neighbor_id").orderBy(
+            F.col("neighbor_ts").desc()
+        )
+        w_rank = Window.partitionBy("qid").orderBy(
+            F.col("distance").asc(), F.col("neighbor_id").asc()
+        )
+        merged: DataFrame | None = None
         searched = 0
         for seg in segs:
             part = self._search_one(seg, queries, k, metric, min_event_time, ef)
-            if len(tombs) and len(part):
+            # pin the partial on executors + truncate lineage: later rounds
+            # must not re-run earlier segments' searches
+            part = part.localCheckpoint(eager=True)
+            hits = part.count()
+            if tombs is not None:
                 # cross-segment deletes: drop hits whose id carries a delete
                 # marker strictly newer than the hit's insert time
-                part = part.merge(tombs, left_on="neighbor_id", right_on="id", how="left")
-                part = part[~(part["del_time"] > part["neighbor_ts"])]
-                part = part.drop(columns=["id", "del_time"])
-            searched += 1
-            self._update_temperature(seg["id"], hits=len(part))
-            merged = part if merged is None else pd.concat([merged, part])
-            # M1 running merge: keep k best per qid, (dist, id) tiebreak;
-            # duplicate ids across segments resolve to the NEWEST version
-            # (last-writer-wins, the memtable-over-SST precedence)
-            merged = (
-                merged.sort_values(
-                    ["qid", "neighbor_id", "neighbor_ts"],
-                    ascending=[True, True, False], kind="stable",
+                part = (
+                    part.join(
+                        F.broadcast(tombs),
+                        part["neighbor_id"] == tombs["id"],
+                        "left",
+                    )
+                    .filter(
+                        F.col("del_time").isNull()
+                        | ~(F.col("del_time") > F.col("neighbor_ts"))
+                    )
+                    .drop("id", "del_time")
                 )
-                .drop_duplicates(["qid", "neighbor_id"])
-                .sort_values(["qid", "distance", "neighbor_id"], kind="stable")
-                .groupby("qid", sort=False)
-                .head(k)
-                .reset_index(drop=True)
+            searched += 1
+            self._update_temperature(seg["id"], hits=hits)
+            cur = part if merged is None else merged.unionByName(part)
+            # M1 running merge (distributed): duplicate ids across segments
+            # resolve to the NEWEST version (last-writer-wins, the
+            # memtable-over-SST precedence), then k best per qid with the
+            # (dist, id) tiebreak
+            cur = (
+                cur.withColumn("_v", F.row_number().over(w_lww))
+                .filter(F.col("_v") == 1)
+                .withColumn("_r", F.row_number().over(w_rank))
+                .filter(F.col("_r") <= k)
+                .drop("_v", "_r")
             )
+            merged = cur.localCheckpoint(eager=True)
             if self._should_terminate(merged, k, searched, len(segs)):
                 break
 
+        # final materialization: O(queries x k) rows — the result itself
+        out = merged.toPandas()
         # C8 EMA threshold update from this batch's kth distances
-        kth = merged.groupby("qid")["distance"].max() if len(merged) else pd.Series([], dtype=float)
+        kth = out.groupby("qid")["distance"].max() if len(out) else pd.Series([], dtype=float)
         if len(kth):
             w = conf.termination_weight
             self.termination_threshold = (
@@ -205,47 +230,57 @@ class SegmentSearcher:
                 if self.termination_threshold > 0.0
                 else float(kth.mean())
             )
-        if "neighbor_ts" in merged.columns:
-            merged = merged.drop(columns=["neighbor_ts"])
-        merged["rank"] = merged.groupby("qid").cumcount().astype("int32") + 1
-        return merged
+        if "neighbor_ts" in out.columns:
+            out = out.drop(columns=["neighbor_ts"])
+        out = out.sort_values(["qid", "distance", "neighbor_id"], kind="stable").reset_index(drop=True)
+        out["rank"] = out.groupby("qid").cumcount().astype("int32") + 1
+        return out
 
     def _tombstones(
         self, min_event_time: int | None, max_event_time: int | None
-    ) -> pd.DataFrame:
-        """Delete markers visible to this search: (id, del_time). Deletes are
-        a small fraction of the stream (reference deleteRatio 0.1), and only
-        markers at or before the snapshot bound apply — a tiny driver frame,
-        the tombstone-set analog of the version CF (C9)."""
+    ) -> DataFrame | None:
+        """Delete markers visible to this search: (id, del_time) as a SMALL
+        DataFrame (reference deleteRatio 0.1) broadcast into the merge join;
+        only markers at or before the snapshot bound apply — the
+        tombstone-set analog of the version CF (C9). None when the store has
+        no op column (pure-insert segments)."""
         df = self.store.read(min_event_time=None, max_event_time=max_event_time)
         if df is None or "op" not in df.columns:
-            return pd.DataFrame({"id": [], "del_time": []})
+            return None
         from pyspark.sql import functions as F
 
         return (
             df.filter(F.col("op") == "D")
             .groupBy("id")
             .agg(F.max("event_time").alias("del_time"))
-            .toPandas()
         )
 
     def _should_terminate(
-        self, merged: pd.DataFrame, k: int, searched: int, total: int
+        self, merged: DataFrame, k: int, searched: int, total: int
     ) -> bool:
         """version_set.cc:2643-2649: enough files searched AND the current
-        kth distance is under factor x EMA threshold for every query."""
+        kth distance is under factor x EMA threshold for every query. The
+        check aggregates the (already tiny, checkpointed) merged frame down
+        to O(queries) rows; only scalars reach the driver."""
+        from pyspark.sql import functions as F
+
         if searched >= total:
             return False
         if searched <= self.conf.termination_lower_bound * total:
             return False
         if self.termination_threshold <= 0.0:
             return False
-        counts = merged.groupby("qid").size()
-        if len(counts) == 0 or counts.min() < k:
+        row = merged.groupBy("qid").agg(
+            F.count("*").alias("n"), F.max("distance").alias("kth")
+        ).agg(
+            F.min("n").alias("min_n"),
+            F.count("*").alias("n_q"),
+            F.max("kth").alias("max_kth"),
+        ).collect()[0]
+        if row["n_q"] == 0 or row["min_n"] < k:
             return False
-        kth = merged.groupby("qid")["distance"].max()
         return bool(
-            (kth <= self.conf.termination_factor * self.termination_threshold).all()
+            row["max_kth"] <= self.conf.termination_factor * self.termination_threshold
         )
 
     def _search_one(
@@ -256,7 +291,7 @@ class SegmentSearcher:
         metric: str,
         min_ts: int | None,
         ef: int,
-    ) -> pd.DataFrame:
+    ) -> DataFrame:
         conf = self.conf
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -280,10 +315,6 @@ class SegmentSearcher:
                      "neighbor_ts": nts}
                 )
 
-        return (
-            queries.select("qid", "emb")
-            .mapInPandas(
-                run, "qid long, neighbor_id long, distance double, neighbor_ts long"
-            )
-            .toPandas()
+        return queries.select("qid", "emb").mapInPandas(
+            run, "qid long, neighbor_id long, distance double, neighbor_ts long"
         )
