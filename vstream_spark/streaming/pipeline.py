@@ -137,6 +137,33 @@ class StreamingVectorIngest:
             )
 
 
+class StreamingCurveIngest:
+    """P5 dynamic-epoch ingest: each micro-batch first RE-LEARNS quantile
+    boundaries for any epoch it opens (``EpochCurvePartitioner.update`` —
+    the per-updateInterval ``summarizeHistory`` of
+    ``LSHashSpaceFillingPartitioner.java:118-145``), then routes its rows by
+    their own epoch's boundaries and appends them to the sink, partitioned
+    by partition_id. Queries later fan out with
+    ``partitioner.partition_queries`` (fresh-epoch pruning via max_ttl)."""
+
+    def __init__(self, partitioner, out_dir: str):
+        self.partitioner = partitioner
+        self.out_dir = out_dir
+
+    def start(self, vectors_stream: DataFrame, checkpoint_dir: str):
+        return (
+            vectors_stream.writeStream.foreachBatch(self._sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def _sink(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.partitioner.update(batch_df)
+        routed = self.partitioner.partition_data(batch_df)
+        routed.write.mode("append").partitionBy("partition_id").parquet(self.out_dir)
+
+
 def search_store(
     store: SegmentStore,
     queries: DataFrame,
