@@ -55,3 +55,59 @@ def test_skip_and_limit(spark, tmp_path):
     assert len(got) == 3
     vals = sorted(r.emb[0] for r in got)
     assert vals == [2.0, 3.0, 4.0]
+
+
+def test_sift_golden_path_recall(spark, tmp_path):
+    """SIFT-layout golden path (StreamSearchJobTest.java:37-130): base.fvecs +
+    query.fvecs + groundtruth.ivecs on disk in the real binary formats, read
+    through the S1/S6 decoders, searched with the partitioned HNSW dataflow,
+    scored with M3 recall@10 against the ivecs ground truth. No real SIFT
+    files ship in this container (documented in TESTDATA.md), so the fixture
+    is a deterministic clustered synthetic in the exact same file layout.
+    Recall floor 0.85 mirrors the reference accuracy harness
+    (VStreamRecallTestJob.java:31-52)."""
+    from pyspark.sql import functions as F
+
+    from vstream_spark.config import PartitionerConf, VectorIndexConf
+    from vstream_spark.operators.partitioned import knn_partitioned_worker
+
+    rng = np.random.RandomState(123)
+    dim, n_base, n_query, k = 16, 1200, 40, 10
+    centers = rng.rand(8, dim).astype(np.float32) * 10
+    base = np.vstack(
+        [centers[i % 8] + rng.randn(dim).astype(np.float32) for i in range(n_base)]
+    ).astype(np.float32)
+    queries = np.vstack(
+        [centers[j % 8] + rng.randn(dim).astype(np.float32) for j in range(n_query)]
+    ).astype(np.float32)
+    # brute-force L2 ground truth -> groundtruth.ivecs (the dataset's format:
+    # row j lists the k nearest base indices of query j)
+    d2 = ((queries[:, None, :] - base[None, :, :]) ** 2).sum(axis=2)
+    gt = np.argsort(d2, axis=1, kind="stable")[:, :k].astype(np.int32)
+    _write_xvecs(str(tmp_path / "base.fvecs"), list(base), "f")
+    _write_xvecs(str(tmp_path / "query.fvecs"), list(queries), "f")
+    _write_xvecs(str(tmp_path / "groundtruth.ivecs"), list(gt), "i")
+
+    vectors = read_fvecs(spark, str(tmp_path / "base.fvecs"))
+    qdf = read_fvecs(spark, str(tmp_path / "query.fvecs")).withColumnRenamed(
+        "id", "qid"
+    )
+    ann = knn_partitioned_worker(
+        vectors,
+        qdf,
+        PartitionerConf(kind="lsh+proximity", num_partitions=4, num_families=2,
+                        num_hashes=4, bucket_width=16.0, num_probes=2),
+        k=k,
+        metric="l2",
+        index_conf=VectorIndexConf(dim=dim, m=16, ef_construction=128,
+                                   ef_search=64),
+    )
+    truth = (
+        read_ivecs(spark, str(tmp_path / "groundtruth.ivecs"))
+        .select(F.col("id").alias("qid"), F.explode("neighbors").alias("_n"))
+        .select("qid", F.col("_n").cast("long").alias("neighbor_id"))
+    )
+    from vstream_spark.functions.metrics import mean_recall
+
+    r = mean_recall(ann, truth, k=k)
+    assert r >= 0.85, f"golden-path recall@10 {r:.3f} below floor"
