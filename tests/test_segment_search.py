@@ -248,3 +248,37 @@ def test_declared_hnsw_query_uses_persisted_sidecars(spark):
     # second invocation: same store object -> no re-ingest, no re-build
     fn(spark, sf)
     assert _HNSW_STORES[sf] is st
+
+
+def test_search_options_per_query_surface(spark, store):
+    """VectorSearchOptions parity (vector_options.h:79-95): per-query k
+    override, memtable-only search_sst=False, trigger_sort bypass, and
+    is_evict physical segment eviction."""
+    from vstream_spark.config import SearchOptions
+
+    conf = VectorIndexConf(dim=8, ef_search=64, termination_lower_bound=1.0)
+    searcher = SegmentSearcher(store, conf)
+    q = _queries(spark, store, n=3)
+
+    # per-query k override wins over the call k
+    got = searcher.search(q, k=5, metric="l2", options=SearchOptions(k=2))
+    assert got.groupby("qid").size().max() == 2
+
+    # search_sst=False answers from the NEWEST segment only: ids 200..299
+    mem_only = searcher.search(
+        q, k=5, metric="l2", options=SearchOptions(search_sst=False, trigger_sort=False)
+    )
+    assert len(mem_only) and (mem_only["neighbor_id"] >= 200).all()
+
+    # is_evict drops segments entirely below the freshness bound: the first
+    # segment (event_time 0..9900) is gone from the manifest afterwards.
+    # (materialize the query batch first — q's lineage scans the store's own
+    # parquet, which eviction deletes underneath; real queries arrive on a
+    # separate stream)
+    q_rows = spark.createDataFrame(q.collect(), q.schema)
+    n_before = len(store.segments())
+    searcher.search(
+        q_rows, k=5, metric="l2", min_event_time=10_000,
+        options=SearchOptions(is_evict=True),
+    )
+    assert len(store.segments()) == n_before - 1

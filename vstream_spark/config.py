@@ -67,6 +67,29 @@ class VectorIndexConf:
 
 
 @dataclass(frozen=True)
+class SearchOptions:
+    """Per-QUERY search options — ``VectorSearchOptions``
+    (``vector_options.h:79-95``): the reference lets every search carry its
+    own k plus execution toggles; collection-level defaults live in
+    ``VectorIndexConf``.
+
+    search_sst=False restricts the search to the newest segment only (the
+    memtable-analog — the reference skips SST files and answers from the
+    in-memory table); trigger_sort toggles the hot-cold temperature ordering
+    for this query (W4 periodic re-sort is driven by the searcher's stats
+    either way — this just bypasses the ordering); is_evict physically drops
+    segments that are entirely older than the query's freshness bound before
+    searching (``version_set.cc:2700-2730``).
+    """
+
+    k: int | None = None
+    ef_search: int | None = None
+    search_sst: bool = True
+    trigger_sort: bool = True
+    is_evict: bool = False
+
+
+@dataclass(frozen=True)
 class PartitionerConf:
     """Exchange-operator configuration (SURVEY §2.3).
 

@@ -62,9 +62,14 @@ def similarity_join_exact(
     lsh_similarity_join."""
     from vstream_spark.functions.distance import dot, norm
 
-    a = left.select(
-        F.col(left_id).alias("id_a"), F.col(emb_col).alias("emb_a")
-    ).withColumn("_na", norm(F.col("emb_a")))
+    a = left.select(F.col(left_id).alias("id_a"), F.col(emb_col).alias("emb_a"))
+    # the probe side drives BNLJ parallelism: a small-file scan (1-2 input
+    # splits) would serialize the O(N*M) pair loop onto one task — widen it
+    # to the cluster. A big left side is already many-partitioned: no-op.
+    par = left.sparkSession.sparkContext.defaultParallelism
+    if a.rdd.getNumPartitions() < par:
+        a = a.repartition(par)
+    a = a.withColumn("_na", norm(F.col("emb_a")))
     b = right.select(
         F.col(right_id).alias("id_b"), F.col(emb_col).alias("emb_b")
     ).withColumn("_nb", norm(F.col("emb_b")))

@@ -36,7 +36,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from vstream_spark.config import VectorIndexConf
+from vstream_spark.config import SearchOptions, VectorIndexConf
 from vstream_spark.storage.segments import SegmentStore
 
 # executor-process-global index cache: segment id -> HnswIndex (O7)
@@ -153,18 +153,35 @@ class SegmentSearcher:
         min_event_time: int | None = None,
         max_event_time: int | None = None,
         ef_search: int | None = None,
+        options: "SearchOptions | None" = None,
     ) -> pd.DataFrame:
         """Returns a pandas frame (qid, neighbor_id, distance, rank).
 
         ``min_event_time`` is the freshness bound (query event_time - TTL);
         it prunes whole segments (C6) AND filters inside surviving indexes
-        (the FilterSeqTs analog).
+        (the FilterSeqTs analog). ``options`` carries the per-query
+        ``VectorSearchOptions`` toggles (``vector_options.h:79-95``):
+        k/ef_search overrides, memtable-only search, temperature-ordering
+        bypass, eviction-on-search.
         """
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         conf = self.conf
-        segs = self._order_segments(self.store.prune(min_event_time, max_event_time))
+        if options is not None:
+            k = options.k if options.k is not None else k
+            ef_search = (
+                options.ef_search if options.ef_search is not None else ef_search
+            )
+            if options.is_evict and min_event_time is not None:
+                self.store.evict(min_event_time)
+        segs = self.store.prune(min_event_time, max_event_time)
+        if options is not None and not options.search_sst:
+            # memtable-only: the newest segment is the flush-most-recent
+            # analog of the in-memory table
+            segs = segs[-1:] if segs else segs
+        if options is None or options.trigger_sort:
+            segs = self._order_segments(segs)
         if not segs:
             return pd.DataFrame(
                 {"qid": [], "neighbor_id": [], "distance": [], "rank": []}
