@@ -219,3 +219,4 @@ def test_streaming_ingest_builds_index_on_flush(spark, tmp_path):
     for s in segs:
         assert os.path.basename(s["index_file"]) == "_ivf-l2.idx"
         assert os.path.exists(s["index_file"])
+

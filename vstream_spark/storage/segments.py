@@ -78,8 +78,11 @@ class SegmentStore:
         path = os.path.join(self.base_dir, seg_id)
         # C5 analog: the reference Gorilla-compresses vector blocks
         # (compression/compression.cc); Parquet's encodings + zstd are the
-        # Spark-native equivalent (BYTE_STREAM_SPLIT isn't exposed by this
-        # parquet-mr build — zstd alone recovers most of the win on floats)
+        # Spark-native equivalent. BYTE_STREAM_SPLIT was evaluated (r4): the
+        # pyarrow writer can emit it (~9% smaller float leaves), but this
+        # Spark's vectorized parquet reader throws "Unsupported encoding:
+        # BYTE_STREAM_SPLIT" — BSS segments would break store.read(), so
+        # zstd stands as the supported path (COVERAGE.md C5).
         vectors.write.mode("errorifexists").option("compression", "zstd").parquet(path)
         seg = {
             "id": seg_id,
