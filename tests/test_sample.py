@@ -95,3 +95,41 @@ def test_cap_per_group_binds_and_is_stable(spark):
     # groups under the cap are untouched
     small = spark.createDataFrame([(1, "s"), (2, "s")], "doc_id bigint, source string")
     assert cap_per_group(small, "source", 20).count() == 2
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    """Output shares match the target mixture (within hash granularity) and
+    the binding stratum (smallest count/share ratio) is kept whole."""
+    from vstream_spark.operators.sample import mixture_sample
+
+    rows = (
+        [(i, "web") for i in range(600)]
+        + [(1000 + i, "books") for i in range(90)]
+        + [(2000 + i, "code") for i in range(300)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = mixture_sample(df, {"web": 0.5, "books": 0.3, "code": 0.2}, "source")
+    counts = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    # books binds: T = 90/0.3 = 300 -> targets web 150, books 90, code 60
+    assert counts["books"] == 90
+    assert abs(counts["web"] - 150) <= 150 * 0.15
+    assert abs(counts["code"] - 60) <= 60 * 0.2
+    # strata outside the mixture are dropped
+    df2 = df.union(
+        spark.createDataFrame([(9000, "junk")], "doc_id bigint, source string")
+    )
+    out2 = mixture_sample(df2, {"web": 0.5, "books": 0.3, "code": 0.2}, "source")
+    assert out2.filter("source = 'junk'").count() == 0
+
+
+def test_mixture_sample_deterministic(spark):
+    from vstream_spark.operators.sample import mixture_sample
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    kept1 = {r.doc_id for r in mixture_sample(df, {"a": 0.5, "b": 0.5}, "source").collect()}
+    kept2 = {
+        r.doc_id
+        for r in mixture_sample(df.repartition(7), {"a": 0.5, "b": 0.5}, "source").collect()
+    }
+    assert kept1 == kept2 and kept1

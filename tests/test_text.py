@@ -77,3 +77,42 @@ def test_quality_filter_rules(spark):
     assert not got[4].keep and "symbols" in got[4].fail_reasons
     # the stopword rule is en-only: German text passes it
     assert got[5].keep
+
+
+def test_chunk_tokens_windows_and_ragged_tail(spark):
+    from vstream_spark.functions.text import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(10))), (2, "a b"), (3, "solo")],
+        "doc_id bigint, text string",
+    )
+    out = chunk_tokens(docs, chunk_size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.n_tokens))
+    # doc 1: 10 tokens, stride 3 -> ceil(10/3)=4 chunks; overlap of 1 token
+    c1 = sorted(by_doc[1])
+    assert [c[0] for c in c1] == [0, 1, 2, 3]
+    assert c1[0][1] == "0 1 2 3" and c1[1][1] == "3 4 5 6"
+    assert c1[3] == (3, "9", 1)  # ragged tail
+    # short docs produce exactly one chunk covering everything
+    assert by_doc[2] == [(0, "a b", 2)] and by_doc[3] == [(0, "solo", 1)]
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    from vstream_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "entirely different words here now"),
+            (3, "quick brown fox elsewhere too"),
+        ],
+        "doc_id bigint, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "a quick brown fox appeared")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r.is_contaminated for r in decontaminate(train, eval_docs, n=3).collect()}
+    # docs 1 and 3 share the 3-gram 'quick brown fox'; doc 2 shares nothing
+    assert got == {1: True, 2: False, 3: True}

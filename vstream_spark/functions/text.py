@@ -179,3 +179,74 @@ def quality_filter(docs, text_col: str = "text", lang_col: str = "lang"):
         F.expr(quality_keep_sql(text_col, lang_col)).alias("keep"),
         F.expr(quality_fail_reasons_sql(text_col, lang_col)).alias("fail_reasons"),
     )
+
+
+def chunk_tokens(
+    docs,
+    chunk_size: int = 32,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Split documents into token-window chunks (the sequence-construction
+    step of a training pipeline: fixed-size windows, optional overlap via
+    ``stride`` < ``chunk_size``). Chunk i covers tokens
+    [i*stride, i*stride + chunk_size); the last chunk may be shorter.
+
+    Pure Catalyst (split -> sequence -> posexplode of slices): pushes down,
+    codegens, zero shuffles — scales linearly with executors. Returns
+    (doc_id, chunk_idx, chunk_text, n_tokens).
+    """
+    if stride is None:
+        stride = chunk_size
+    if chunk_size <= 0 or stride <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    n_chunks = F.greatest(
+        F.ceil(F.size("_t") / F.lit(float(stride))).cast("int"), F.lit(1)
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.slice(F.col("_t"), i * stride + 1, chunk_size),
+                )
+            ).alias("chunk_idx", "_chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(" ", F.col("_chunk")).alias("chunk_text"),
+            F.size("_chunk").alias("n_tokens"),
+        )
+    )
+
+
+def chunk_tokens_sql(
+    chunk_size: int = 32,
+    stride: int | None = None,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``chunk_tokens`` (list slicing clamps out-of-range on
+    both engines, so the ragged last chunk agrees)."""
+    if stride is None:
+        stride = chunk_size
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, string_split(trim({text_col}), ' ') AS t FROM {table}),
+idx AS (
+  SELECT doc_id, t,
+         unnest(range(0, greatest(CAST(ceil(len(t) / {float(stride)}) AS BIGINT), 1)))
+           AS chunk_idx
+  FROM toks)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(t[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {chunk_size}], ' ')
+         AS chunk_text,
+       len(t[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {chunk_size}]) AS n_tokens
+FROM idx
+"""

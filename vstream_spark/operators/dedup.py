@@ -86,6 +86,45 @@ def _shingles(text_col: str, n: int) -> F.Column:
     return shingle(F.col(text_col))
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Eval-set decontamination: flag training documents that share ANY word
+    n-gram with the evaluation set (the train/test-overlap scrub every
+    benchmark-clean corpus build runs; generalizes the n-gram inverted-index
+    machinery of ``ngram_jaccard_pairs``).
+
+    Plan: eval n-grams are distinct-ed and BROADCAST (eval sets are small by
+    construction); training shingles explode and semi-join against them — no
+    cross join, no shuffle of the training side beyond the explode. Returns
+    (doc_id, is_contaminated) for every training doc.
+    """
+    tr = train.select(F.col(id_col).alias("doc_id"), _shingles(text_col, n).alias("sh"))
+    ev_grams = (
+        eval_docs.select(_shingles(text_col, n).alias("sh"))
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+    )
+    hits = (
+        tr.select("doc_id", F.explode("sh").alias("gram"))
+        .join(F.broadcast(ev_grams), "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("_hit"), F.lit(False)).alias("is_contaminated")
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,

@@ -98,6 +98,80 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def mixture_sample(
+    df: DataFrame,
+    mixture: dict[str, float],
+    stratum_col: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Sample to TARGET mixture proportions (the data-mixing step of a
+    training corpus: "50% web, 30% books, 20% code"). Downsampling-only:
+    finds the largest total T with w_g*T <= count_g for every stratum
+    (T = min_g count_g/w_g), then hash-keeps rate_g = w_g*T/count_g per
+    stratum — the output's stratum shares match ``mixture`` up to hash
+    granularity while discarding as little data as possible.
+
+    One counting aggregation (O(strata) driver floats), then a pushed-down
+    hash filter — no shuffle of the kept rows. Strata not in ``mixture``
+    are dropped. Deterministic: same rows survive on any engine/partitioning
+    (exact md5-threshold arithmetic, same as the other sampling ops).
+    """
+    if not mixture or any(w <= 0 for w in mixture.values()):
+        raise ValueError("mixture must be non-empty with positive weights")
+    total_w = sum(mixture.values())
+    shares = {g: w / total_w for g, w in sorted(mixture.items())}
+    counts = {
+        r[0]: r[1]
+        for r in df.filter(F.col(stratum_col).isin(*shares))
+        .groupBy(stratum_col)
+        .count()
+        .collect()
+    }
+    t_max = min(
+        (counts.get(g, 0) / s for g, s in shares.items()), default=0.0
+    )
+    threshold = F.lit(0)
+    for g, s in shares.items():
+        if counts.get(g):
+            rate = min(1.0, s * t_max / counts[g])
+            threshold = F.when(
+                F.col(stratum_col) == g, F.lit(int(rate * _DENOM))
+            ).otherwise(threshold)
+    return df.filter(_hash_bucket(F.col(key_col), seed) < threshold)
+
+
+def mixture_sample_sql(
+    mixture: dict[str, float],
+    stratum_col: str,
+    table: str = "documents",
+    key_sql: str = "doc_id",
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of ``mixture_sample`` (same T/rate arithmetic in SQL —
+    double division/multiplication in the same order, so thresholds agree
+    bit-for-bit)."""
+    total_w = sum(mixture.values())
+    vals = ", ".join(
+        f"('{g}', {w / total_w!r})" for g, w in sorted(mixture.items())
+    )
+    return f"""
+WITH w AS (SELECT * FROM (VALUES {vals}) t(stratum, share)),
+counts AS (
+  SELECT {stratum_col} AS stratum, count(*) AS c FROM {table}
+  WHERE {stratum_col} IN (SELECT stratum FROM w) GROUP BY 1),
+tmax AS (SELECT min(c / share) AS t FROM counts JOIN w USING (stratum)),
+rates AS (
+  SELECT stratum,
+         CAST(floor(least(1.0, share * (SELECT t FROM tmax) / c) * {_DENOM})
+              AS BIGINT) AS thr
+  FROM counts JOIN w USING (stratum))
+SELECT d.* FROM {table} d
+JOIN rates r ON d.{stratum_col} = r.stratum
+WHERE {hash_bucket_sql(key_sql, seed)} < r.thr
+"""
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -577,6 +577,74 @@ def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(docs, "source", 15).select("doc_id", "source")
 
 
+# --- Eval-set decontamination (train/test overlap scrub) ---------------------
+
+_DECONTAMINATE_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+         ELSE [array_to_string(t, ' ')] END AS shingles FROM toks),
+ev AS (SELECT DISTINCT unnest(shingles) AS gram FROM sh WHERE doc_id % 20 = 7),
+tr AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+hits AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (gram))
+SELECT d.doc_id, h.doc_id IS NOT NULL AS is_contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+@register("text_decontaminate", _DECONTAMINATE_ORACLE)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs sharing any 3-gram with the eval subset
+    (doc_id ≡ 7 mod 20) — the benchmark-contamination scrub; eval grams
+    broadcast, inverted-index semi-join."""
+    from vstream_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 20 == 7)
+    return decontaminate(docs, eval_docs, n=3)
+
+
+# --- Mixture sampling (data mixing to target proportions) --------------------
+
+_MIXTURE = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def _mixture_oracle() -> str:
+    from vstream_spark.operators.sample import mixture_sample_sql
+
+    inner = mixture_sample_sql(_MIXTURE, "source")
+    return f"SELECT doc_id, source FROM ({inner}) m"
+
+
+@register("sample_mixture", _mixture_oracle())
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample to a 50/30/20 source mixture (the data-mixing step):
+    largest total preserving the target shares, deterministic hash keep."""
+    from vstream_spark.operators.sample import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, _MIXTURE, "source").select("doc_id", "source")
+
+
+# --- Token-window chunking (sequence construction) ---------------------------
+
+
+def _chunk_oracle() -> str:
+    from vstream_spark.functions.text import chunk_tokens_sql
+
+    return chunk_tokens_sql(chunk_size=32, stride=24)
+
+
+@register("text_chunk", _chunk_oracle())
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token windows (size 32, stride 24) per document — the
+    sequence-packing precursor; pure Catalyst slice/posexplode."""
+    from vstream_spark.functions.text import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(docs, chunk_size=32, stride=24)
+
+
 _REPETITION_ORACLE = """
 WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
 g AS (SELECT doc_id, CASE WHEN len(t) >= 3
