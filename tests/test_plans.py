@@ -115,3 +115,27 @@ def test_asof_join_is_single_shuffle(spark):
     df = asof_join(left, right, on="ts", by="user_id")
     assert_plan_lacks(df, "BatchEvalPython", "ArrowEvalPython", "SortMergeJoin")
     assert count_exchanges(df) == 1
+
+
+def test_chunk_tokens_is_python_free(spark):
+    """Chunking must stay in whole-stage codegen (slice/posexplode) — it runs
+    over every document of the corpus."""
+    from vstream_spark.functions.text import chunk_tokens
+    from vstream_spark.sources.tables import load_table
+
+    df = chunk_tokens(load_table(spark, SF, "documents"), chunk_size=32, stride=24)
+    assert_plan_lacks(df, "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas")
+    assert count_exchanges(df) == 0  # pure scan -> project -> generate
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval side must broadcast: a shuffle join here would move the whole
+    exploded training corpus for a tiny eval set."""
+    from pyspark.sql import functions as F
+
+    from vstream_spark.operators.dedup import decontaminate
+    from vstream_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    df = decontaminate(docs, docs.filter(F.col("doc_id") % 20 == 7), n=3)
+    assert_plan_contains(df, "BroadcastHashJoin")
