@@ -85,3 +85,97 @@ def test_hnsw_ordering_and_filter(seed, k):
     cut = 500
     lbs_f, _ = idx.search(q, k, ef_search=64, min_ts=cut)
     assert all(ts[lb] >= cut for lb in lbs_f)
+
+
+class _StateStub:
+    """Minimal GroupState stand-in for driving the stateful worker directly
+    (no Spark streaming machinery — the fn only touches exists/get/update)."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data())
+def test_stateful_exact_worker_matches_brute_force(data):
+    """Random interleaved insert/delete/query micro-batch sequences: the
+    exact-mode stateful worker (marker-set state, LWW insert-wins-ties, TTL
+    window) must equal a numpy brute-force replay of the same semantics."""
+    import pandas as pd
+
+    from vstream_spark.streaming.stateful import stateful_exact_search_fn
+
+    rng = np.random.RandomState(data.draw(st.integers(0, 10_000)))
+    dim, k = 4, 3
+    fn = stateful_exact_search_fn(k, "l2")
+    state = _StateStub()
+
+    markers = []  # (id, vec|None, et, is_insert, batch_idx)
+    queries = []  # (qid, vec, qet, ttl, batch_idx)
+    out_frames = []
+    next_id = 0
+    for bi in range(data.draw(st.integers(1, 4))):
+        rows = []
+        for _ in range(data.draw(st.integers(1, 12))):
+            kind = data.draw(st.sampled_from(["I", "I", "I", "D", "Q"]))
+            et = int(data.draw(st.integers(0, 1000)))
+            if kind == "I":
+                v = rng.rand(dim).astype(np.float32)
+                rows.append((0, "I", next_id, v.tolist(), et, 0))
+                markers.append((next_id, v, et, True, bi))
+                next_id += 1
+            elif kind == "D" and next_id:
+                did = int(data.draw(st.integers(0, next_id - 1)))
+                rows.append((0, "D", did, None, et, 0))
+                markers.append((did, None, et, False, bi))
+            else:
+                q = rng.rand(dim).astype(np.float32)
+                qid = 10_000 + len(queries)
+                ttl = int(data.draw(st.integers(0, 2000)))
+                qet = int(data.draw(st.integers(0, 1500)))
+                rows.append((0, "Q", qid, q.tolist(), qet, ttl))
+                queries.append((qid, q, qet, ttl, bi))
+        pdf = pd.DataFrame(
+            rows, columns=["partition_id", "op", "id", "emb", "event_time", "ttl"]
+        )
+        out_frames.extend(fn((0,), iter([pdf]), state))
+    got = {}
+    for f in out_frames:
+        for qid, grp in f.groupby("qid"):
+            got[int(qid)] = list(zip(grp["neighbor_id"], grp["distance"]))
+
+    for qid, q, qet, ttl, bi in queries:
+        vis = [m for m in markers if m[4] <= bi]
+        # LWW per id: latest event_time wins; insert wins the tie
+        last = {}
+        for mid, vec, et, ins, _ in sorted(
+            vis, key=lambda m: (m[2], 1 if m[3] else 0)
+        ):
+            last[mid] = (vec, et, ins)
+        cands = [
+            (mid, vec, et)
+            for mid, (vec, et, ins) in last.items()
+            if ins and qet - ttl <= et <= qet
+        ]
+        exp = sorted(
+            (
+                (float(((q.astype(np.float64) - vec.astype(np.float64)) ** 2).sum()), mid)
+                for mid, vec, et in cands
+            ),
+        )[:k]
+        want = [(mid, d) for d, mid in exp]
+        have = got.get(qid, [])
+        assert [m for m, _ in have] == [m for m, _ in want], (qid, have, want)
+        for (_, dg), (_, dw) in zip(have, want):
+            assert abs(dg - dw) < 1e-9

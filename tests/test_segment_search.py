@@ -87,6 +87,28 @@ def test_early_termination_skips_cold_segments(spark, store):
     assert searcher.termination_threshold != 1.0
 
 
+def test_per_query_termination_factor_override(spark, store):
+    """SearchOptions.termination_factor overrides the collection default for
+    ONE query: factor=0 can never satisfy kth <= 0*EMA, so every segment is
+    visited even though the collection config would terminate early."""
+    from vstream_spark.config import SearchOptions
+
+    conf = VectorIndexConf(
+        dim=8,
+        termination_lower_bound=0.0,
+        termination_factor=1e9,
+        termination_threshold=1.0,
+    )
+    searcher = SegmentSearcher(store, conf)
+    q = _queries(spark, store, n=3)
+    searcher.search(q, k=2, options=SearchOptions(termination_factor=0.0))
+    assert len(searcher.temperature) == len(store.segments())  # no early stop
+    # and with the aggressive default, the next search stops after one
+    searcher2 = SegmentSearcher(store, conf)
+    searcher2.search(q, k=2)
+    assert len(searcher2.temperature) == 1
+
+
 def test_index_cache_reused(spark, store):
     # the cache lives in each Python worker process; exercise the build-or-
     # fetch path directly (same code the mapInPandas closure runs)

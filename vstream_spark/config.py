@@ -87,6 +87,9 @@ class SearchOptions:
     search_sst: bool = True
     trigger_sort: bool = True
     is_evict: bool = False
+    # per-query early-termination aggressiveness override (None = the
+    # collection default VectorIndexConf.termination_factor)
+    termination_factor: float | None = None
 
 
 @dataclass(frozen=True)

@@ -162,7 +162,7 @@ class SegmentSearcher:
         (the FilterSeqTs analog). ``options`` carries the per-query
         ``VectorSearchOptions`` toggles (``vector_options.h:79-95``):
         k/ef_search overrides, memtable-only search, temperature-ordering
-        bypass, eviction-on-search.
+        bypass, eviction-on-search, per-query termination_factor.
         """
         from pyspark.sql import Window
         from pyspark.sql import functions as F
@@ -233,7 +233,12 @@ class SegmentSearcher:
                 .drop("_v", "_r")
             )
             merged = cur.localCheckpoint(eager=True)
-            if self._should_terminate(merged, k, searched, len(segs)):
+            tf = (
+                options.termination_factor
+                if options is not None and options.termination_factor is not None
+                else conf.termination_factor
+            )
+            if self._should_terminate(merged, k, searched, len(segs), tf):
                 break
 
         # final materialization: O(queries x k) rows — the result itself
@@ -273,7 +278,12 @@ class SegmentSearcher:
         )
 
     def _should_terminate(
-        self, merged: DataFrame, k: int, searched: int, total: int
+        self,
+        merged: DataFrame,
+        k: int,
+        searched: int,
+        total: int,
+        termination_factor: float | None = None,
     ) -> bool:
         """version_set.cc:2643-2649: enough files searched AND the current
         kth distance is under factor x EMA threshold for every query. The
@@ -297,7 +307,13 @@ class SegmentSearcher:
         if row["n_q"] == 0 or row["min_n"] < k:
             return False
         return bool(
-            row["max_kth"] <= self.conf.termination_factor * self.termination_threshold
+            row["max_kth"]
+            <= (
+                termination_factor
+                if termination_factor is not None
+                else self.conf.termination_factor
+            )
+            * self.termination_threshold
         )
 
     def _search_one(
