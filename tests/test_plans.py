@@ -139,3 +139,22 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     docs = load_table(spark, SF, "documents")
     df = decontaminate(docs, docs.filter(F.col("doc_id") % 20 == 7), n=3)
     assert_plan_contains(df, "BroadcastHashJoin")
+
+
+def test_small_qty_revenue_broadcast_prune(spark):
+    from vstream_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["rel_small_qty_revenue"]
+    df = fn(spark, SF)
+    # brand partkeys broadcast-semi-prune lineitem before the window shuffle
+    assert_plan_contains(df, "BroadcastHashJoin", "LeftSemi")
+    assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython", "CartesianProduct")
+
+
+def test_pii_redact_pure_codegen(spark):
+    from vstream_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["text_pii_redact"]
+    df = fn(spark, SF)
+    assert count_exchanges(df) == 0
+    assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython")

@@ -116,3 +116,32 @@ def test_decontaminate_flags_only_overlapping_docs(spark):
     got = {r.doc_id: r.is_contaminated for r in decontaminate(train, eval_docs, n=3).collect()}
     # docs 1 and 3 share the 3-gram 'quick brown fox'; doc 2 shares nothing
     assert got == {1: True, 2: False, 3: True}
+
+
+def test_redact_pii_patterns(spark):
+    from vstream_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@sub.example.org now"),
+            (2, "host 192.168.1.254 and id 123-45-6789"),
+            (3, "clean text 12.3 v1.2.3 a@b no match"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.c for r in df.select("doc_id", redact_pii("text").alias("c")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "host <IP> and id <ID>"
+    # near-misses survive: short decimals, versions, no-TLD at-signs
+    assert got[3] == "clean text 12.3 v1.2.3 a@b no match"
+
+
+def test_token_histogram_buckets(spark):
+    from vstream_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["text_token_histogram"]
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    n_docs = sum(r.n_docs for r in rows)
+    assert n_docs == 500 and all(r.bucket >= 0 for r in rows)
+    # buckets are 16 tokens wide; corpus docs are 10..99 tokens
+    assert {r.bucket for r in rows} <= set(range(0, 7))

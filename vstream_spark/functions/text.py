@@ -225,6 +225,37 @@ def chunk_tokens(
     )
 
 
+# --- PII redaction (training-corpus scrub) -----------------------------------
+#
+# Patterns are restricted to the Java-regex ∩ RE2 common subset (character
+# classes, bounded repetition, \b word boundaries — no lookaround, no
+# backrefs) so the Spark and DuckDB redactions agree byte-for-byte.
+
+_PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    (r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails, SSN-shaped ids, and IPv4 addresses with typed
+    placeholders. A chain of JVM-side ``regexp_replace`` — codegen, no
+    Python, applied in one projection over the corpus scan."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in _PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def redact_pii_sql(expr: str) -> str:
+    """DuckDB twin of ``redact_pii`` ('g' flag: DuckDB replaces only the
+    first match by default, Spark replaces all)."""
+    for pat, repl in _PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
 def chunk_tokens_sql(
     chunk_size: int = 32,
     stride: int | None = None,

@@ -1519,3 +1519,144 @@ def q_rel_order_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("P_n"), F.lit(0)).alias("n_p"),
         F.col("F_price").alias("price_f"),
     )
+
+
+# --- PII redaction (corpus scrub) -------------------------------------------
+# The synthetic documents carry no real PII, so the query injects a
+# deterministic email / SSN-shaped id / IPv4 per document (same concat on
+# both engines) and redacts it — the hash-match then verifies the full regex
+# chain, not a no-op pass-through.
+
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com "
+    "from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ref 123-45-' || "
+    "CAST(1000 + doc_id % 9000 AS VARCHAR)"
+)
+
+_PII_ORACLE = f"""
+SELECT doc_id,
+       {T.redact_pii_sql(f"text || {_PII_SUFFIX_SQL}")} AS clean_text
+FROM documents
+"""
+
+
+@register("text_pii_redact", _PII_ORACLE)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/ID/IP redaction over the corpus — one codegen projection of
+    chained JVM regexp_replace (patterns in the Java∩RE2 subset)."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ref 123-45-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    return docs.select("doc_id", T.redact_pii(injected).alias("clean_text"))
+
+
+# --- Token-count histogram (corpus length profile) ---------------------------
+
+_TOKEN_HIST_ORACLE = f"""
+SELECT CAST(floor({T.token_count_sql('text')} / 16.0) AS INT) AS bucket,
+       count(*) AS n_docs,
+       CAST(sum({T.token_count_sql('text')}) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("text_token_histogram", _TOKEN_HIST_ORACLE)
+def q_text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: doc counts + token mass per 16-token bucket —
+    one map-side-combined aggregation over a shared token-count expression
+    (integer-exact bucketing, no float-boundary flakiness)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = F.expr(T.token_count_sql("text"))
+    return (
+        docs.select(F.floor(tc / 16.0).cast("int").alias("bucket"), tc.alias("_tc"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tc").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+# --- Anti-join: customers with no urgent order (TPC-H q22 shape) -------------
+
+_CUST_INACTIVE_ORACLE = """
+SELECT c_mktsegment AS mktsegment,
+       count(*) AS n_customers,
+       CAST(round(sum(c_acctbal), 2) AS DOUBLE) AS total_bal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+@register("rel_customer_inactive", _CUST_INACTIVE_ORACLE)
+def q_rel_customer_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment rollup of customers with no urgent order — a LEFT ANTI
+    hash join shuffled on custkey (the orders side is too big to broadcast
+    at scale; the filter prunes it before the exchange), then one small
+    aggregation."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).cast("double").alias("total_bal"),
+        )
+    )
+
+
+# --- Correlated small-quantity revenue (TPC-H q17 shape) ---------------------
+
+_SMALL_QTY_ORACLE = """
+WITH brand AS (
+  SELECT l_partkey, l_quantity, l_extendedprice,
+         avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#13')
+SELECT CAST(round(sum(l_extendedprice) / 7.0, 2) AS DOUBLE) AS avg_yearly
+FROM brand WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+@register("rel_small_qty_revenue", _SMALL_QTY_ORACLE)
+def q_rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q17 shape: revenue from below-20%-of-average-quantity lineitems of
+    one brand. The brand's partkeys broadcast-semi-prune lineitem BEFORE the
+    per-part window, so the only shuffle is on the pruned subset. The
+    threshold (0.2 * avg of integer quantities) is float-exact on both
+    engines, so the boundary filter cannot flake."""
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    from pyspark.sql import Window
+
+    pruned = li.join(
+        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"), "left_semi"
+    )
+    w = Window.partitionBy("l_partkey")
+    flagged = pruned.select(
+        "l_extendedprice",
+        (F.col("l_quantity") < 0.2 * F.avg("l_quantity").over(w)).alias("_small"),
+    )
+    return flagged.filter("_small").agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).cast("double").alias("avg_yearly")
+    )
