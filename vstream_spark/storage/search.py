@@ -73,7 +73,9 @@ def _segment_index(seg: dict, conf: VectorIndexConf, metric: str):
         else:
             import pyarrow.parquet as pq
 
-            cols = ["id", "emb", "event_time"]
+            int8 = seg.get("codec") == "int8"
+            emb_cols = ["emb_q", "emb_scale"] if int8 else ["emb"]
+            cols = ["id", *emb_cols, "event_time"]
             schema_names = pq.read_schema(
                 __import__("glob").glob(seg["path"] + "/*.parquet")[0]
             ).names
@@ -84,7 +86,14 @@ def _segment_index(seg: dict, conf: VectorIndexConf, metric: str):
                 ins = pdf[pdf["op"] == "I"]
             else:
                 ins = pdf
-            vecs = np.stack(ins["emb"].to_numpy()).astype(np.float32)
+            if int8:
+                # same IEEE ops as the Catalyst dequantize projection:
+                # float32(double(q) * double(scale)) — bitwise identical
+                codes = np.stack(ins["emb_q"].to_numpy()).astype(np.float64)
+                scales = ins["emb_scale"].to_numpy().astype(np.float64)
+                vecs = (codes * scales[:, None]).astype(np.float32)
+            else:
+                vecs = np.stack(ins["emb"].to_numpy()).astype(np.float32)
             ids = ins["id"].to_numpy().astype(np.int64)
             ts = ins["event_time"].to_numpy().astype(np.int64)
             if kind == "ivf":

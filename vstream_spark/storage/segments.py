@@ -37,12 +37,31 @@ from vstream_spark.storage.manifest import ManifestLog
 _META = "segments.json"
 
 
+def _dequantize_segment_df(df: DataFrame) -> DataFrame:
+    """(emb_scale, emb_q ARRAY<TINYINT>) -> emb ARRAY<FLOAT> (C5 int8 codec)."""
+    emb = F.transform(
+        F.col("emb_q"), lambda x: (x.cast("double") * F.col("emb_scale")).cast("float")
+    )
+    cols = [c for c in df.columns if c not in ("emb_q", "emb_scale")]
+    return df.select(*cols, emb.alias("emb"))
+
+
 class SegmentStore:
     """Append-only segmented vector store with TTL pruning + compaction."""
 
-    def __init__(self, spark: SparkSession, base_dir: str):
+    def __init__(self, spark: SparkSession, base_dir: str, codec: str | None = None):
+        if codec not in (None, "int8"):
+            raise ValueError(f"unsupported segment codec: {codec!r}")
         self.spark = spark
         self.base_dir = base_dir
+        # C5 vector compression (README "Vector compression";
+        # compression/compression.cc): codec='int8' stores segments as
+        # per-vector symmetric scalar-quantized (scale, q ARRAY<TINYINT>)
+        # instead of ARRAY<FLOAT> — ~4x smaller at rest and over the wire.
+        # read() dequantizes transparently, so every consumer (search,
+        # compaction, index build) is codec-agnostic. Lossy by round(127
+        # levels) — the ANN-tolerant trade the reference's design assumes.
+        self.codec = codec
         os.makedirs(base_dir, exist_ok=True)
         # log-structured manifest: O(1) per flush (SCALE.md; the single-file
         # JSON rewrite was O(segments) per append — pathological at the
@@ -83,6 +102,14 @@ class SegmentStore:
         # Spark's vectorized parquet reader throws "Unsupported encoding:
         # BYTE_STREAM_SPLIT" — BSS segments would break store.read(), so
         # zstd stands as the supported path (COVERAGE.md C5).
+        if self.codec == "int8" and "emb" in vectors.columns:
+            from vstream_spark.operators.quantize import quantize_expr
+
+            scale, q = quantize_expr(F.col("emb"))
+            others = [c for c in vectors.columns if c != "emb"]
+            vectors = vectors.select(
+                *others, scale.alias("emb_scale"), q.alias("emb_q")
+            )
         vectors.write.mode("errorifexists").option("compression", "zstd").parquet(path)
         seg = {
             "id": seg_id,
@@ -91,6 +118,8 @@ class SegmentStore:
             "min_event_time": int(stats["tmin"]),
             "max_event_time": int(stats["tmax"]),
         }
+        if self.codec:
+            seg["codec"] = self.codec
         self.manifest.append(seg)
         return seg
 
@@ -172,6 +201,8 @@ class SegmentStore:
 
         cols = ["id", "emb", "event_time"]
         full = self.spark.read.parquet(path)
+        if seg.get("codec") == "int8":
+            full = _dequantize_segment_df(full)
         if "op" in full.columns:
             cols.append("op")
         df = full.select(*cols)
@@ -240,11 +271,27 @@ class SegmentStore:
         segs = self.prune(min_event_time, max_event_time)
         if not segs:
             return None
-        df = self.spark.read.parquet(*[s["path"] for s in segs])
+        df = self._read_segments(segs)
         if min_event_time is not None:
             df = df.filter(F.col("event_time") >= min_event_time)
         if max_event_time is not None:
             df = df.filter(F.col("event_time") <= max_event_time)
+        return df
+
+    def _read_segments(self, segs: list[dict]) -> DataFrame:
+        """Union of segments with the float embedding surface restored —
+        int8 segments dequantize in the scan projection (one codegen
+        transform, no shuffle), so every consumer stays codec-agnostic."""
+        plain = [s["path"] for s in segs if not s.get("codec")]
+        quant = [s["path"] for s in segs if s.get("codec") == "int8"]
+        parts = []
+        if plain:
+            parts.append(self.spark.read.parquet(*plain))
+        if quant:
+            parts.append(_dequantize_segment_df(self.spark.read.parquet(*quant)))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         return df
 
     # -- maintenance ---------------------------------------------------------
@@ -263,7 +310,25 @@ class SegmentStore:
         segs = self.segments()
         if len(segs) <= 1:
             return segs
-        df = self.spark.read.parquet(*[s["path"] for s in segs])
+        codecs = {s.get("codec") for s in segs}
+        if len(codecs) == 1:
+            # uniform schema: merge at-rest bytes as-is — int8 segments stay
+            # int8 with NO requantization loss (codes copied, not recoded)
+            out_codec = codecs.pop()
+            df = self.spark.read.parquet(*[s["path"] for s in segs])
+        else:
+            # mixed store (e.g. codec flipped mid-life): normalize to the
+            # store's configured codec via the float surface (one recode)
+            out_codec = self.codec
+            df = self._read_segments(segs)
+            if out_codec == "int8" and "emb" in df.columns:
+                from vstream_spark.operators.quantize import quantize_expr
+
+                scale, q = quantize_expr(F.col("emb"))
+                others = [c for c in df.columns if c != "emb"]
+                df = df.select(
+                    *others, scale.alias("emb_scale"), q.alias("emb_q")
+                )
         total = df.count()
         n_out = max(1, -(-total // max_rows_per_segment))
         old_paths = [s["path"] for s in segs]
@@ -305,15 +370,16 @@ class SegmentStore:
         )
         new_segs = []
         for r in sorted(stats, key=lambda r: int(r["cbkt"])):
-            new_segs.append(
-                {
-                    "id": f"seg-compact-{uuid.uuid4().hex[:8]}",
-                    "path": os.path.join(staging, f"cbkt={int(r['cbkt'])}"),
-                    "count": int(r["n"]),
-                    "min_event_time": int(r["tmin"]),
-                    "max_event_time": int(r["tmax"]),
-                }
-            )
+            seg = {
+                "id": f"seg-compact-{uuid.uuid4().hex[:8]}",
+                "path": os.path.join(staging, f"cbkt={int(r['cbkt'])}"),
+                "count": int(r["n"]),
+                "min_event_time": int(r["tmin"]),
+                "max_event_time": int(r["tmax"]),
+            }
+            if out_codec:
+                seg["codec"] = out_codec
+            new_segs.append(seg)
         self.manifest.replace(new_segs)
         # remove old segment data best-effort (local fs; on object stores this
         # is the VACUUM step)
