@@ -1660,3 +1660,50 @@ def q_rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.filter("_small").agg(
         F.round(F.sum("l_extendedprice") / 7.0, 2).cast("double").alias("avg_yearly")
     )
+
+
+# --- Search over the compressed surface (C5 accuracy contract) ---------------
+
+_KNN_QUANT_ORACLE = f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+  FROM embeddings),
+deq AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(CAST(CASE WHEN scale > 0.0
+                  THEN CAST(round(x::DOUBLE / scale) AS TINYINT)
+                  ELSE CAST(0 AS TINYINT) END AS DOUBLE) * scale AS FLOAT)) AS emb
+  FROM s),
+scored AS (
+  SELECT q.vec_id AS qid, v.vec_id AS neighbor_id,
+         {D.distance_sql("q.embedding", "v.emb", "l2")} AS distance
+  FROM deq v
+  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 25 = 0) q),
+ranked AS (
+  SELECT qid, neighbor_id, distance,
+         CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY distance ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT qid, neighbor_id, distance, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register("knn_quantized", _KNN_QUANT_ORACLE)
+def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact search over the int8-compressed vector surface — the same
+    quantize -> dequantize arithmetic `SegmentStore(codec='int8')` applies
+    at flush/scan (bitwise-identical IEEE ops, so this hash-match IS the
+    codec's search-accuracy contract). Full-precision queries, compressed
+    collection — the asymmetric setup every SQ deployment runs."""
+    from vstream_spark.operators.quantize import quantize_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale, codes = quantize_expr(F.col("embedding"))
+    deq = F.transform(codes, lambda x: (x.cast("double") * scale).cast("float"))
+    vectors = emb.select(F.col("vec_id").alias("id"), deq.alias("emb"))
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
+    )
+    return knn_exact(vectors, queries, k=10, metric="l2")
