@@ -123,3 +123,25 @@ def test_dedup_components_clusters(docs):
 
     loose = {r.doc_id: r for r in dc(docs, bands=32, threshold=0.3).collect()}
     assert loose[3].component == 0 and loose[0].cluster_size >= 3
+
+
+def test_dup_spans_planted_duplicates(spark):
+    from vstream_spark.operators.dedup import dup_spans
+
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, shared + " tail a b c"),
+            (2, "head x y " + shared),
+            (3, "all unique words here nothing repeats at all ok"),
+            (4, "short doc"),  # < 8 tokens -> no windows
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in dup_spans(df, n=8).collect()}
+    # the shared 8-gram appears in docs 1 and 2 -> both have >=1 dup window
+    assert got[1].n_dup >= 1 and got[2].n_dup >= 1
+    assert got[3].n_dup == 0 and got[3].n_windows == 2
+    assert got[4].n_windows == 0 and got[4].dup_fraction == 0.0
+    for r in got.values():
+        assert 0.0 <= r.dup_fraction <= 1.0

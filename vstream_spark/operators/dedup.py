@@ -462,3 +462,60 @@ def dedup_components(
         labeled.withColumn("cluster_size", F.count("*").over(w))
         .withColumn("is_canonical", F.col("doc_id") == F.col("component"))
     )
+
+
+def dup_spans(
+    docs: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact substring duplication across documents (the Lee et al.
+    "Deduplicating Training Data" signal): every n-token window is
+    fingerprinted (md5); a window is *duplicated* if its fingerprint occurs
+    in more than one document. Returns per-document
+    (doc_id, n_windows, n_dup, dup_fraction).
+
+    Scale shape: one explode (a row per token position), one fingerprint
+    groupBy, one semi join back, one per-doc count — all shuffles key on
+    md5 fingerprints (uniform, skew-free) or doc_id. No driver state; AQE
+    may broadcast the duplicated-fingerprint side when it is small.
+    """
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    # docs shorter than n tokens contribute no windows (sequence() would
+    # run DESCENDING for negative spans — filter first)
+    w = base.filter(F.size("_t") >= n).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - n),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_t"), i + 1, n))),
+            )
+        ).alias("fp"),
+    )
+    dup_fps = (
+        w.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("fp")
+    )
+    hits = (
+        w.join(dup_fps, "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    n_windows = F.greatest(F.size(toks) - (n - 1), F.lit(0)).cast("long")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), n_windows.alias("n_windows"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.round(F.coalesce("n_dup", F.lit(0)) / F.col("n_windows"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("double")
+            .alias("dup_fraction"),
+        )
+    )

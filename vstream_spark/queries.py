@@ -1707,3 +1707,31 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
     )
     return knn_exact(vectors, queries, k=10, metric="l2")
+
+
+# --- Exact substring duplication (Lee et al. dedup signal) -------------------
+
+_DUP_SPANS_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+w AS (SELECT doc_id, md5(array_to_string(t[i+1:i+8], ' ')) AS fp
+      FROM toks, unnest(range(0, greatest(len(t) - 8 + 1, 0))) AS u(i)),
+d AS (SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) > 1),
+hits AS (SELECT doc_id, count(*) AS n_dup FROM w JOIN d USING (fp) GROUP BY doc_id)
+SELECT tk.doc_id,
+       greatest(len(tk.t) - 7, 0) AS n_windows,
+       coalesce(h.n_dup, 0) AS n_dup,
+       CAST(CASE WHEN len(tk.t) >= 8
+            THEN round(coalesce(h.n_dup, 0) / (len(tk.t) - 7.0), 6)
+            ELSE 0.0 END AS DOUBLE) AS dup_fraction
+FROM toks tk LEFT JOIN hits h ON tk.doc_id = h.doc_id
+"""
+
+
+@register("text_dup_spans", _DUP_SPANS_ORACLE)
+def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact 8-token-window duplication fraction — the
+    substring-level dedup signal complementing MinHash (document-level)."""
+    from vstream_spark.operators.dedup import dup_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_spans(docs, n=8)
