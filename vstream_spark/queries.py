@@ -1735,3 +1735,96 @@ def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dup_spans(docs, n=8)
+
+
+# --- Watermark late-data semantics (deterministic 3-batch replay) ------------
+# Batch 0: on-time events before the split. Batch 1: the post-split
+# remainder (advances the watermark past every pre-split window). Batch 2:
+# the "late" slice — pre-split events arriving two batches after their
+# windows closed. Spark applies the PREVIOUS batch's watermark to filter
+# late input (watermarkForData) and the current batch's to evict/emit state
+# (watermarkForEviction) — so the late batch is filtered against
+# max(batch-0 ts) - delay, and final emission against max(all ts) - delay.
+# Both are deterministic functions of the fixture; the DuckDB oracle
+# replays exactly those two rules. Late rows falling in windows ending
+# after the data watermark still aggregate (in-threshold lateness); the
+# rest are dropped.
+
+_LATE_ROLLUP_SRC: dict[str, str] = {}
+_LATE_SPLIT = "2024-01-20 00:00:00"
+_LATE_DELAY_S = 7201  # != multiple of 1h; event µs jitter keeps wm unaligned
+
+_LATE_ROLLUP_ORACLE = f"""
+WITH b0 AS (
+  SELECT * FROM events WHERE ts < TIMESTAMP '{_LATE_SPLIT}' AND event_id % 7 != 3),
+late AS (
+  SELECT * FROM events WHERE ts < TIMESTAMP '{_LATE_SPLIT}' AND event_id % 7 = 3),
+b1 AS (
+  SELECT * FROM events WHERE ts >= TIMESTAMP '{_LATE_SPLIT}'),
+wmd AS (SELECT max(ts) - INTERVAL {_LATE_DELAY_S} SECOND AS w FROM b0),
+wmf AS (SELECT max(ts) - INTERVAL {_LATE_DELAY_S} SECOND AS w FROM events),
+kept AS (
+  SELECT ts, event_type, value FROM b0
+  UNION ALL
+  SELECT ts, event_type, value FROM b1
+  UNION ALL
+  SELECT ts, event_type, value FROM late
+  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wmd))
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+FROM kept
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wmf)
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_late_rollup", _LATE_ROLLUP_ORACLE)
+def q_streaming_late_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked rollup under real late data: append-mode emission with a
+    {_LATE_DELAY_S}s watermark over a deterministic 3-micro-batch replay.
+    Hash-matching the oracle proves the drop rule (late rows to expired
+    windows discarded, in-threshold late rows aggregated) and the append
+    emission rule (only watermark-closed windows emitted)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from vstream_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_event_rollup,
+    )
+
+    src = _LATE_ROLLUP_SRC.get(sf_dir)
+    if src is None or not __import__("os").path.isdir(src):
+        ev = load_table(spark, sf_dir, "events")
+        on_time = F.col("event_id") % 7 != 3
+        pre = F.col("ts") < _LATE_SPLIT
+        src = tempfile.mkdtemp(prefix="late-rollup-")
+        try:
+            ev.filter(pre & on_time).coalesce(1).write.parquet(f"{src}/b000")
+            ev.filter(~pre).coalesce(1).write.parquet(f"{src}/b001")
+            ev.filter(pre & ~on_time).coalesce(1).write.parquet(f"{src}/b002")
+        except Exception:
+            shutil.rmtree(src, ignore_errors=True)
+            raise
+        _LATE_ROLLUP_SRC[sf_dir] = src
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # session tz pinned UTC -> value-preserving reinterpretation
+        # (withWatermark requires TIMESTAMP; rollup emits NTZ back)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    roll = streaming_event_rollup(stream, watermark=f"{_LATE_DELAY_S} seconds")
+    name = f"_late_rollup_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(roll, name, output_mode="append")
+    return spark.table(name).select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value"), 4).cast("double").alias("sum_value"),
+    )
