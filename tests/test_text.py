@@ -145,3 +145,27 @@ def test_token_histogram_buckets(spark):
     assert n_docs == 500 and all(r.bucket >= 0 for r in rows)
     # buckets are 16 tokens wide; corpus docs are 10..99 tokens
     assert {r.bucket for r in rows} <= set(range(0, 7))
+
+
+def test_pack_sequences_conservation(spark):
+    from vstream_spark.functions.text import chunk_tokens, pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(5 + i % 40))) for i in range(60)],
+        "doc_id bigint, text string",
+    )
+    packed = pack_sequences(docs, seq_len=64, chunk_size=8, num_shards=4).collect()
+    chunks = chunk_tokens(docs, 8, 8).collect()
+    # token + chunk mass is conserved through packing
+    assert sum(r.n_tokens for r in packed) == sum(r.n_tokens for r in chunks)
+    assert sum(r.n_chunks for r in packed) == len(chunks)
+    # approx packing: a bin targets seq_len tokens but chunk granularity
+    # lets it run over OR under by < chunk_size (an overrun eats into the
+    # next bin's range); only the last sequence of a shard may be shorter
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.seq_id)
+        for r in rs[:-1]:
+            assert 64 - 8 < r.n_tokens < 64 + 8

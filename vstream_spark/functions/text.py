@@ -281,3 +281,75 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
        len(t[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {chunk_size}]) AS n_tokens
 FROM idx
 """
+
+
+def pack_sequences(
+    docs,
+    seq_len: int = 1024,
+    chunk_size: int = 32,
+    num_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """GPT-style sequence packing: non-overlapping token chunks are
+    concatenated in deterministic order and cut into ``seq_len``-token
+    training sequences via a prefix-sum bin assignment (a chunk belongs to
+    the sequence its first token falls in — the standard approximate
+    packing; bins may run over by < chunk_size).
+
+    Scale shape: packing is embarrassingly parallel ACROSS shards (a
+    deterministic md5 bucket of doc_id — same arithmetic as the sampling
+    family) and a window prefix-sum WITHIN each shard, so no global sort or
+    single-partition bottleneck exists at any corpus size. Returns one row
+    per (shard, seq_id) with chunk/token counts.
+    """
+    from pyspark.sql import Window
+
+    from vstream_spark.operators.sample import _hash_bucket
+
+    chunks = chunk_tokens(docs, chunk_size, chunk_size, text_col, id_col)
+    sharded = chunks.withColumn(
+        "shard", (_hash_bucket(F.col("doc_id"), 7) % num_shards).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    seq = sharded.withColumn(
+        "seq_id", F.floor((cum - F.col("n_tokens")) / seq_len).cast("long")
+    )
+    return seq.groupBy("shard", "seq_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
+def pack_sequences_sql(
+    seq_len: int = 1024,
+    chunk_size: int = 32,
+    num_shards: int = 16,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of ``pack_sequences``."""
+    from vstream_spark.operators.sample import hash_bucket_sql
+
+    chunks = chunk_tokens_sql(chunk_size, chunk_size, table)
+    bucket = hash_bucket_sql("doc_id", 7)
+    return f"""
+WITH chunks AS ({chunks}),
+sharded AS (
+  SELECT *, CAST({bucket} % {num_shards} AS INT) AS shard FROM chunks),
+seq AS (
+  SELECT shard, doc_id, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY shard
+                ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING)
+              - n_tokens) / {seq_len}) AS BIGINT) AS seq_id
+  FROM sharded)
+SELECT shard, seq_id, count(*) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       count(DISTINCT doc_id) AS n_docs
+FROM seq GROUP BY shard, seq_id
+"""

@@ -1828,3 +1828,19 @@ def q_streaming_late_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("sum_value"), 4).cast("double").alias("sum_value"),
     )
+
+
+# --- Sequence packing (training-sequence construction) -----------------------
+
+
+def _pack_oracle() -> str:
+    return T.pack_sequences_sql(seq_len=256, chunk_size=32, num_shards=8)
+
+
+@register("text_pack_sequences", _pack_oracle())
+def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack non-overlapping 32-token chunks into 256-token training
+    sequences, parallel across 8 deterministic shards (prefix-sum binning —
+    no global sort at any scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.pack_sequences(docs, seq_len=256, chunk_size=32, num_shards=8)
