@@ -1844,3 +1844,100 @@ def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     no global sort at any scale)."""
     docs = load_table(spark, sf_dir, "documents")
     return T.pack_sequences(docs, seq_len=256, chunk_size=32, num_shards=8)
+
+
+# --- Per-source quality percentile filter (curation cut) ---------------------
+
+_QUALITY_PCT_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source, {T.quality_score_sql('text')} AS score FROM documents),
+ranked AS (
+  SELECT doc_id, source, score,
+         row_number() OVER (PARTITION BY source ORDER BY score ASC, doc_id ASC)
+           AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM scored)
+SELECT doc_id, source, CAST(round(score, 6) AS DOUBLE) AS score_r,
+       rk > floor(0.25 * n) AS keep
+FROM ranked
+"""
+
+
+@register("text_quality_percentile", _QUALITY_PCT_ORACLE)
+def q_text_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop the bottom quality quartile WITHIN each source domain (per-domain
+    curation — a global cut would gut whole domains). Rank-based threshold:
+    integer arithmetic, deterministic under ties, one shuffle on source."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    score = T.quality_score("text")
+    w = Window.partitionBy("source")
+    ranked = docs.select("doc_id", "source", score.alias("score")).select(
+        "doc_id",
+        "source",
+        "score",
+        F.row_number()
+        .over(w.orderBy(F.col("score").asc(), F.col("doc_id").asc()))
+        .alias("rk"),
+        F.count("*").over(w).alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.round("score", 6).cast("double").alias("score_r"),
+        (F.col("rk") > F.floor(0.25 * F.col("n"))).alias("keep"),
+    )
+
+
+# --- Vocabulary coverage / OOV rate ------------------------------------------
+
+_OOV_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ORDER BY c DESC, tok ASC LIMIT 40))
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                  / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS oov_rate
+FROM toks t LEFT JOIN vocab v USING (tok)
+GROUP BY t.doc_id
+"""
+
+
+@register("text_oov_rate", _OOV_ORACLE)
+def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-40 vocab
+    (tokenizer-coverage signal). The vocab is a TakeOrdered top-k (40 driver
+    rows) broadcast back — no shuffle touches the exploded token stream
+    besides the per-doc count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(40)
+        .select("tok", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("oov_rate"),
+        )
+    )
