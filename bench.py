@@ -27,7 +27,12 @@ BENCH_QUERIES = [
     q
     for q in REGISTRY
     if q
-    not in ("knn_partitioner_recall", "knn_index_recall", "similarity_join_lsh_recall")
+    not in (
+        "knn_partitioner_recall",
+        "knn_index_recall",
+        "similarity_join_lsh_recall",
+        "knn_streaming_ann_recall",
+    )
 ]
 
 

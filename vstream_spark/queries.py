@@ -1078,6 +1078,73 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-process fixture-dir cache for the streaming query (see q_knn_streaming)
 _KNN_STREAMING_SRC: dict[str, str] = {}
 
+_KNN_STREAMING_SCHEMA = (
+    "partition_id int, op string, id bigint, emb array<float>, "
+    "event_time bigint, ttl bigint"
+)
+
+
+def _knn_streaming_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """3-file micro-batch fixture for the streaming search queries: batch 0
+    inserts even ids, batch 1 inserts odd ids + deletes ids ≡3 (mod 10),
+    batch 2 fans every 25th id's query to all partitions with a TTL window
+    cutting event_time < 1000. Files are cached per (process, sf_dir); the
+    STREAM itself (state machine, micro-batch replay, merge) runs fresh on
+    every invocation — only the on-disk input batches are reused."""
+    import shutil
+    import tempfile
+
+    src = _KNN_STREAMING_SRC.get(sf_dir)
+    if src is not None and __import__("os").path.isdir(src):
+        return src
+    num_parts = 4
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        (F.col("vec_id") % num_parts).cast("int").alias("partition_id"),
+        F.lit("I").alias("op"),
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<float>").alias("emb"),
+        (F.col("vec_id") * 10).cast("long").alias("event_time"),
+        F.lit(0).cast("long").alias("ttl"),
+    )
+    deletes = emb.filter(F.col("vec_id") % 10 == 3).select(
+        (F.col("vec_id") % num_parts).cast("int").alias("partition_id"),
+        F.lit("D").alias("op"),
+        F.col("vec_id").alias("id"),
+        F.lit(None).cast("array<float>").alias("emb"),
+        F.lit(10_000_000).cast("long").alias("event_time"),
+        F.lit(0).cast("long").alias("ttl"),
+    )
+    queries = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(num_parts - 1))).alias("pid"),
+        )
+        .select(
+            F.col("pid").cast("int").alias("partition_id"),
+            F.lit("Q").alias("op"),
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<float>").alias("emb"),
+            F.lit(20_000_000).cast("long").alias("event_time"),
+            F.lit(19_999_000).cast("long").alias("ttl"),
+        )
+    )
+    src = tempfile.mkdtemp(prefix="knn-streaming-")
+    try:
+        base.filter(F.col("id") % 2 == 0).coalesce(1).write.parquet(f"{src}/b000")
+        base.filter(F.col("id") % 2 == 1).unionByName(deletes).coalesce(1).write.parquet(
+            f"{src}/b001"
+        )
+        queries.coalesce(1).write.parquet(f"{src}/b002")
+    except Exception:
+        shutil.rmtree(src, ignore_errors=True)
+        raise
+    _KNN_STREAMING_SRC[sf_dir] = src
+    return src
+
+
 _KNN_STREAMING_ORACLE = f"""
 WITH q AS (
   SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 25 = 0),
@@ -1104,67 +1171,16 @@ def q_knn_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     1000. State persists across batches (applyInPandasWithState); the global
     merge is the M1 top-k. Exact mode => hash-matches batch kNN with
     deletes+TTL."""
-    import shutil
-    import tempfile
     import uuid
 
     from vstream_spark.operators.knn import topk
     from vstream_spark.streaming.pipeline import run_stream_to_memory
     from vstream_spark.streaming.stateful import stateful_exact_vector_search
 
-    num_parts = 4
-    emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        (F.col("vec_id") % num_parts).cast("int").alias("partition_id"),
-        F.lit("I").alias("op"),
-        F.col("vec_id").alias("id"),
-        F.col("embedding").cast("array<float>").alias("emb"),
-        (F.col("vec_id") * 10).cast("long").alias("event_time"),
-        F.lit(0).cast("long").alias("ttl"),
-    )
-    deletes = emb.filter(F.col("vec_id") % 10 == 3).select(
-        (F.col("vec_id") % num_parts).cast("int").alias("partition_id"),
-        F.lit("D").alias("op"),
-        F.col("vec_id").alias("id"),
-        F.lit(None).cast("array<float>").alias("emb"),
-        F.lit(10_000_000).cast("long").alias("event_time"),
-        F.lit(0).cast("long").alias("ttl"),
-    )
-    queries = (
-        emb.filter(F.col("vec_id") % 25 == 0)
-        .select("vec_id", "embedding", F.explode(F.sequence(F.lit(0), F.lit(num_parts - 1))).alias("pid"))
-        .select(
-            F.col("pid").cast("int").alias("partition_id"),
-            F.lit("Q").alias("op"),
-            F.col("vec_id").alias("id"),
-            F.col("embedding").cast("array<float>").alias("emb"),
-            F.lit(20_000_000).cast("long").alias("event_time"),
-            F.lit(19_999_000).cast("long").alias("ttl"),
-        )
-    )
-    # fixture files cached per (process, sf_dir): the STREAM itself (state
-    # machine, micro-batch replay, merge) runs fresh on every invocation —
-    # only the on-disk input batches are reused, like any re-read source
-    src = _KNN_STREAMING_SRC.get(sf_dir)
-    if src is None or not __import__("os").path.isdir(src):
-        src = tempfile.mkdtemp(prefix="knn-streaming-")
-        try:
-            base.filter(F.col("id") % 2 == 0).coalesce(1).write.parquet(f"{src}/b000")
-            base.filter(F.col("id") % 2 == 1).unionByName(deletes).coalesce(
-                1
-            ).write.parquet(f"{src}/b001")
-            queries.coalesce(1).write.parquet(f"{src}/b002")
-        except Exception:
-            shutil.rmtree(src, ignore_errors=True)
-            raise
-        _KNN_STREAMING_SRC[sf_dir] = src
+    src = _knn_streaming_fixture(spark, sf_dir)
     name = f"_knn_streaming_{uuid.uuid4().hex[:8]}"
-    schema = (
-        "partition_id int, op string, id bigint, emb array<float>, "
-        "event_time bigint, ttl bigint"
-    )
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(_KNN_STREAMING_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*")
     )
@@ -1940,4 +1956,56 @@ def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("oov_rate"),
         )
+    )
+
+
+# --- Streaming ANN recall gate (HNSW-in-state through the micro-batch flow) --
+
+
+@register(
+    "knn_streaming_ann_recall",
+    "SELECT * FROM (VALUES ('hnsw_stream', true)) t(variant, recall_ok)",
+)
+def q_knn_streaming_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL runtime shape — per-partition HNSW graphs held
+    in streaming state (RocksDBKeyedProcessFunction.processElement), built
+    incrementally across micro-batches, searched approximately — gated on
+    recall@10 >= 0.8 vs the batch exact oracle with the same deletes + TTL
+    window. Complements `knn_streaming` (exact mode, hash-matched)."""
+    import sys
+    import uuid
+
+    from vstream_spark.config import VectorIndexConf
+    from vstream_spark.functions.metrics import mean_recall
+    from vstream_spark.operators.knn import topk
+    from vstream_spark.streaming.pipeline import run_stream_to_memory
+    from vstream_spark.streaming.stateful import stateful_vector_search
+
+    src = _knn_streaming_fixture(spark, sf_dir)
+    name = f"_knn_streaming_ann_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(_KNN_STREAMING_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    iconf = VectorIndexConf(dim=64, m=16, ef_construction=128, ef_search=128)
+    partials = stateful_vector_search(stream, iconf, k=10, metric="l2")
+    run_stream_to_memory(partials, name, output_mode="append")
+    ann = topk(spark.table(name), 10, dedup=False)
+    # batch exact ground truth under the same visibility rules: deletes
+    # (ids ≡3 mod 10) applied, TTL window [1000, 20_000_000] on event_time
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.filter(
+        (F.col("vec_id") % 10 != 3)
+        & (F.col("vec_id") * 10 >= 1000)
+        & (F.col("vec_id") * 10 <= 20_000_000)
+    ).select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
+    )
+    gt = knn_exact(vectors, queries, k=10, metric="l2")
+    r = mean_recall(ann, gt, k=10)
+    print(f"# knn_streaming_ann recall@10={r:.4f} floor=0.8", file=sys.stderr)
+    return spark.createDataFrame(
+        [("hnsw_stream", bool(r >= 0.8))], "variant string, recall_ok boolean"
     )
