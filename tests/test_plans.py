@@ -158,3 +158,34 @@ def test_pii_redact_pure_codegen(spark):
     df = fn(spark, SF)
     assert count_exchanges(df) == 0
     assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython")
+
+
+def test_dup_spans_python_free_fp_shuffle(spark):
+    from vstream_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["text_dup_spans"]
+    df = fn(spark, SF)
+    assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython", "CartesianProduct")
+
+
+def test_pack_sequences_no_global_sort(spark):
+    from vstream_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["text_pack_sequences"]
+    df = fn(spark, SF)
+    # packing must stay shard-parallel: window partitioned by shard, never a
+    # global (empty-partitioning) sort of the chunk stream
+    plan = assert_plan_contains(df, "Window")
+    assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython")
+    import re
+
+    assert not re.search(r"Sort \[doc_id[^\]]*\], true", plan), "global sort leaked"
+
+
+def test_oov_vocab_broadcast(spark):
+    from vstream_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["text_oov_rate"]
+    df = fn(spark, SF)
+    assert_plan_contains(df, "BroadcastHashJoin")
+    assert_plan_lacks(df, "SortMergeJoin", "ArrowEvalPython", "BatchEvalPython")
