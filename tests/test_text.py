@@ -169,3 +169,40 @@ def test_pack_sequences_conservation(spark):
         rs.sort(key=lambda r: r.seq_id)
         for r in rs[:-1]:
             assert 64 - 8 < r.n_tokens < 64 + 8
+
+
+def test_redact_pii_matches_python_re(spark):
+    """The Java-regex patterns must behave identically to the same patterns
+    under Python re (the RE2/Java common-subset claim) on adversarial
+    near-miss inputs."""
+    import re as _re
+
+    from vstream_spark.functions.text import _PII_PATTERNS, redact_pii
+
+    cases = [
+        "a@b.co",
+        "a@b.c",  # 1-char TLD: not an email
+        "x.y+z@sub.domain.example.travel trailing",
+        "1.2.3.4",
+        "1.2.3.4.5",  # 5 octets: first four redact as an IP
+        "255.255.255.255 999.999.999.999",
+        "v1.2.3 build 10.4",  # version strings: no IP
+        "123-45-6789",
+        "1234-45-6789 123-456-6789 123-45-67890",  # wrong group widths
+        "email@192.168.0.1",  # ip-shaped domain is still an email match
+        "double..dots@weird..example.com",
+        "  padded   10.0.0.7  ",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: r.c
+        for r in df.select("doc_id", redact_pii("text").alias("c")).collect()
+    }
+    for i, t in enumerate(cases):
+        want = t
+        for pat, repl in _PII_PATTERNS:
+            want = _re.sub(pat, repl, want)
+        assert got[i] == want, (t, got[i], want)
