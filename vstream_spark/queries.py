@@ -2009,3 +2009,29 @@ def q_knn_streaming_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [("hnsw_stream", bool(r >= 0.8))], "variant string, recall_ok boolean"
     )
+
+
+# --- Exact per-group quantiles (analytics staple) ----------------------------
+
+_QUANTILES_ORACLE = """
+SELECT event_type,
+       CAST(round(quantile_cont(value, 0.5), 6) AS DOUBLE) AS p50,
+       CAST(round(quantile_cont(value, 0.9), 6) AS DOUBLE) AS p90,
+       CAST(round(quantile_cont(value, 0.99), 6) AS DOUBLE) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+@register("rel_event_quantiles", _QUANTILES_ORACLE)
+def q_rel_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated per-type value quantiles — Spark
+    `percentile` and DuckDB `quantile_cont` share the interpolation
+    definition (verified bitwise-equal; rounded anyway). At 100 TB exact
+    percentiles need a per-group sort — the declared form; switch to
+    percentile_approx when a bounded-error sketch is acceptable."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).cast("double").alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).cast("double").alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).cast("double").alias("p99"),
+    )
