@@ -32,6 +32,7 @@ BENCH_QUERIES = [
         "knn_index_recall",
         "similarity_join_lsh_recall",
         "knn_streaming_ann_recall",
+        "knn_epoch_stream_recall",
     )
 ]
 

@@ -2035,3 +2035,90 @@ def q_rel_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9)"), 6).cast("double").alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 6).cast("double").alias("p99"),
     )
+
+
+# --- P5 dynamic epochs in the STREAMING dataflow (recall-gated) --------------
+
+_EPOCH_STREAM_SRC: dict[str, str] = {}
+
+
+@register(
+    "knn_epoch_stream_recall",
+    "SELECT * FROM (VALUES ('lsh+hilbert_epochs', true)) t(variant, recall_ok)",
+)
+def q_knn_epoch_stream_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paper's headline P5 mode end-to-end IN STREAMING: two micro-batch
+    epochs flow through StreamingCurveIngest, which re-learns quantile
+    boundaries per epoch (LSHashSpaceFillingPartitioner.java:118-145) and
+    routes each batch by its OWN epoch; queries fan to all fresh epochs and
+    the merged top-10 must clear recall@10 >= 0.4 vs exact (floor set ~0.15
+    below the sf0.01 measurement, consistent with the batch lsh+hilbert
+    gate)."""
+    import shutil
+    import sys
+    import tempfile
+
+    from vstream_spark.functions.metrics import mean_recall
+    from vstream_spark.operators.knn import topk
+    from vstream_spark.partitioners.epochs import EpochCurvePartitioner
+    from vstream_spark.streaming.pipeline import StreamingCurveIngest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    interval = (n * 10 + 1) // 2  # event_time = vec_id*10 -> exactly 2 epochs
+    vectors = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<float>").alias("emb"),
+        (F.col("vec_id") * 10).cast("long").alias("event_time"),
+    )
+    src = _EPOCH_STREAM_SRC.get(sf_dir)
+    if src is None or not __import__("os").path.isdir(src):
+        src = tempfile.mkdtemp(prefix="epoch-stream-")
+        try:
+            vectors.filter(F.col("event_time") < interval).coalesce(1).write.parquet(
+                f"{src}/b000"
+            )
+            vectors.filter(F.col("event_time") >= interval).coalesce(1).write.parquet(
+                f"{src}/b001"
+            )
+        except Exception:
+            shutil.rmtree(src, ignore_errors=True)
+            raise
+        _EPOCH_STREAM_SRC[sf_dir] = src
+    conf = PartitionerConf(
+        kind="lsh+hilbert", num_partitions=8, num_hashes=4, bucket_width=2.0,
+        sfc_bits=7, replication_factor=2, update_interval=interval,
+    )
+    part = EpochCurvePartitioner(conf, curve="hilbert", use_lsh=True)
+    routed = tempfile.mkdtemp(prefix="epoch-routed-")
+    ckpt = tempfile.mkdtemp(prefix="epoch-ckpt-")
+    stream = (
+        spark.readStream.schema("id bigint, emb array<float>, event_time bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = StreamingCurveIngest(part, routed).start(stream, ckpt)
+    q.awaitTermination()
+    pv = spark.read.parquet(routed).select("partition_id", "id", "emb")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<float>").alias("emb"),
+        F.lit(n * 10).cast("long").alias("event_time"),
+    )
+    pq = part.partition_queries(queries).select(
+        "partition_id", "qid", F.col("emb").alias("qemb")
+    )
+    cand = pv.join(pq, "partition_id").select(
+        "qid",
+        F.col("id").alias("neighbor_id"),
+        D.distance_expr(F.col("emb"), F.col("qemb"), "l2").alias("distance"),
+    )
+    ann = topk(cand, 10)  # replication_factor=2 -> dedup needed
+    gt = knn_exact(
+        vectors.select("id", "emb"), queries.select("qid", "emb"), k=10, metric="l2"
+    )
+    r = mean_recall(ann, gt, k=10)
+    print(f"# knn_epoch_stream recall@10={r:.4f} floor=0.4", file=sys.stderr)
+    return spark.createDataFrame(
+        [("lsh+hilbert_epochs", bool(r >= 0.4))], "variant string, recall_ok boolean"
+    )
