@@ -220,3 +220,34 @@ def test_streaming_ingest_builds_index_on_flush(spark, tmp_path):
         assert os.path.basename(s["index_file"]) == "_ivf-l2.idx"
         assert os.path.exists(s["index_file"])
 
+
+
+def test_streaming_interval_join_equals_batch(spark):
+    """Stream-stream interval join drained with availableNow equals the batch
+    interval join (inner, two-sided time bound, same-user)."""
+    from vstream_spark.sources.tables import load_table
+    from vstream_spark.streaming.pipeline import streaming_interval_join
+
+    ev = read_event_stream(spark, SF)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    j = streaming_interval_join(purchases, clicks, lookback="1 hour")
+    run_stream_to_memory(j, "ij_test", output_mode="append")
+    got = {
+        (r.l_id, r.r_id) for r in spark.sql("select * from ij_test").collect()
+    }
+    b = load_table(spark, SF, "events")
+    bp = b.filter(F.col("event_type") == "purchase").alias("p")
+    bc = b.filter(F.col("event_type") == "click").alias("c")
+    exp = {
+        (r.l_id, r.r_id)
+        for r in bp.join(
+            bc,
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c.ts") <= F.col("p.ts")),
+        )
+        .select(F.col("p.event_id").alias("l_id"), F.col("c.event_id").alias("r_id"))
+        .collect()
+    }
+    assert got == exp

@@ -1,0 +1,92 @@
+"""Embedding-space clustering operators (corpus curation / coarse quantizer).
+
+Training-data pipelines cluster document embeddings to (a) balance topic
+mixture, (b) drop degenerate clusters, (c) build IVF coarse quantizers
+(``index/ivf.py`` trains its own centroids with the same assignment rule;
+reference analog: the kmeans partitioner, ``KMeansPartitioner.java`` — routing
+a vector to its nearest centroid is exactly this operator at R=1).
+
+Everything here is pure Catalyst: centroids are broadcast into a nested-loop
+join, the argmin is a rank-1 window, and the Lloyd mean update is a
+``posexplode`` + per-(cluster, dim) partial aggregation — one shuffle keyed by
+(cluster_id, dim), which at 100 TB is K*D cells of double accumulators, i.e.
+map-side combine reduces the shuffle to O(K*D) per task regardless of row
+count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vstream_spark.functions.distance import distance_expr
+
+
+def assign_nearest(
+    df: DataFrame,
+    centroids: DataFrame,
+    metric: str = "l2",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    centroid_id_col: str = "cluster_id",
+    centroid_emb_col: str = "cemb",
+) -> DataFrame:
+    """Assign every row to its nearest centroid.
+
+    Returns (id_col, cluster_id, distance). Ties break to the smaller
+    cluster_id (same tiebreak as the kNN merge, M1). The centroid table is
+    broadcast — the big side never shuffles; the only exchange is the rank-1
+    window, partitioned by the (high-cardinality) row id, so it re-uses the
+    scan partitioning under AQE and never skews.
+    """
+    pairs = df.alias("v").join(F.broadcast(centroids.alias("c")), F.lit(True), "inner")
+    scored = pairs.select(
+        F.col(f"v.{id_col}").alias(id_col),
+        F.col(f"c.{centroid_id_col}").alias("cluster_id"),
+        distance_expr(
+            F.col(f"v.{emb_col}"), F.col(f"c.{centroid_emb_col}"), metric
+        ).alias("distance"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("distance").asc(), F.col("cluster_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def lloyd_step(
+    df: DataFrame,
+    centroids: DataFrame,
+    metric: str = "l2",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """One Lloyd iteration: assign to nearest centroid, then per-dimension
+    mean of the members. Returns (cluster_id, dim, centroid, n_members) in
+    long form — K*D cells, the shape a driver-side ``collect`` can afford at
+    any scale (K*D doubles, independent of row count).
+
+    The mean runs as a single groupBy(cluster_id, dim) over posexploded
+    elements: partial aggregation (sum, count) happens map-side, so the
+    shuffle volume is O(K * D * tasks), not O(rows * D).
+    """
+    assigned = assign_nearest(df, centroids, metric=metric, id_col=id_col, emb_col=emb_col)
+    members = assigned.select(id_col, "cluster_id").join(
+        df.select(id_col, emb_col), id_col
+    )
+    flat = members.select(
+        "cluster_id",
+        F.posexplode(F.col(emb_col)).alias("dim", "_val"),
+    ).select("cluster_id", "dim", F.col("_val").cast("double").alias("_val"))
+    out = flat.groupBy("cluster_id", "dim").agg(
+        F.avg("_val").alias("centroid"), F.count("*").alias("n_members")
+    )
+    if round_dp is not None:
+        out = out.withColumn(
+            "centroid", F.round(F.col("centroid"), round_dp).cast("double")
+        )
+    return out

@@ -124,6 +124,43 @@ def lsh_similarity_join(
     return pairs.dropDuplicates(["id_a", "id_b"])
 
 
+def range_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    metric: str = "l2",
+    id_col: str = "id",
+    qid_col: str = "qid",
+    emb_col: str = "emb",
+) -> DataFrame:
+    """Radius (range) search: every vector within ``radius`` of each query —
+    the second core query type of a vector store next to top-k (hnswlib
+    exposes the same pair of entry points). Returns (qid, neighbor_id,
+    distance) with distance <= radius; result size is data-dependent, so no
+    rank column.
+
+    Plan: identical broadcast-NLJ shape as knn_exact, but the radius predicate
+    replaces the top-k window — there is NO shuffle at all: the filter runs
+    inside whole-stage codegen on the scan side, and at 100 TB the output per
+    partition streams straight to the sink. This is strictly cheaper than
+    top-k (which needs the per-qid exchange)."""
+    from vstream_spark.functions.distance import distance_expr
+
+    pairs = vectors.alias("v").join(
+        F.broadcast(queries.alias("q")), F.lit(True), "inner"
+    )
+    return (
+        pairs.select(
+            F.col(f"q.{qid_col}").alias("qid"),
+            F.col(f"v.{id_col}").alias("neighbor_id"),
+            distance_expr(
+                F.col(f"q.{emb_col}"), F.col(f"v.{emb_col}"), metric
+            ).alias("distance"),
+        )
+        .filter(F.col("distance") <= F.lit(float(radius)))
+    )
+
+
 def ann_topk_ivf(
     vectors: DataFrame,
     queries: DataFrame,

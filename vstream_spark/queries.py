@@ -2122,3 +2122,458 @@ def q_knn_epoch_stream_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [("lsh+hilbert_epochs", bool(r >= 0.4))], "variant string, recall_ok boolean"
     )
+
+
+# ===========================================================================
+# Round-4 additions, part 2: range search, clustering, dim reduction,
+# n-gram LM stats, sketch-accuracy gates, stream-stream interval join.
+# ===========================================================================
+
+# --- Radius (range) search ---------------------------------------------------
+# The second vector-store query type next to top-k (hnswlib exposes
+# searchKnn AND a range entry point; range search is the dedup primitive
+# "everything within eps"). No shuffle at all: codegen filter on the scan.
+
+_RANGE_RADIUS = 1.4  # l2sq; ~1% of pairs at the testdata's distance scale
+
+_KNN_RANGE_ORACLE = f"""
+SELECT q.vec_id AS qid, v.vec_id AS neighbor_id,
+       {D.distance_sql("q.embedding", "v.embedding", "l2")} AS distance
+FROM embeddings v
+CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 25 = 0) q
+WHERE {D.distance_sql("q.embedding", "v.embedding", "l2")} <= {_RANGE_RADIUS}
+"""
+
+
+@register("knn_range_search", _KNN_RANGE_ORACLE)
+def q_knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search: all vectors within l2sq <= 1.4 of each query. The plan
+    has ZERO exchanges (broadcast NLJ + codegen filter) — strictly cheaper
+    than top-k, and the shape scan-heavy 100 TB dedup sweeps want."""
+    from vstream_spark.operators.similarity import range_search
+
+    vectors, queries = _emb_pair(spark, sf_dir)
+    return range_search(vectors, queries, radius=_RANGE_RADIUS, metric="l2")
+
+
+# --- Embedding clustering (assignment + one Lloyd step) ----------------------
+# Corpus curation clusters embeddings to balance topics / drop degenerate
+# clusters; the same assignment rule is the IVF coarse quantizer and the
+# kmeans partitioner's routing step (KMeansPartitioner.java analog).
+
+_CLUSTER_ASSIGN_ORACLE = f"""
+WITH c AS (SELECT vec_id AS cluster_id, embedding AS cemb
+           FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT e.vec_id, c.cluster_id,
+         {D.distance_sql("e.embedding", "c.cemb", "l2")} AS distance
+  FROM embeddings e CROSS JOIN c)
+SELECT vec_id, cluster_id, distance FROM (
+  SELECT vec_id, cluster_id, distance,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY distance ASC, cluster_id ASC) AS rn
+  FROM scored) WHERE rn = 1
+"""
+
+
+def _centroid_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cemb")
+    )
+
+
+@register("emb_cluster_assign", _CLUSTER_ASSIGN_ORACLE)
+def q_emb_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (broadcast centroids, rank-1 window):
+    every embedding labeled with its cluster — deterministic tiebreak, exact,
+    hash-matches the cross-join argmin oracle."""
+    from vstream_spark.operators.cluster import assign_nearest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return assign_nearest(emb, _centroid_fixture(spark, sf_dir), metric="l2")
+
+
+_KMEANS_STEP_ORACLE = f"""
+WITH c AS (SELECT vec_id AS cluster_id, embedding AS cemb
+           FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT e.vec_id, c.cluster_id,
+         {D.distance_sql("e.embedding", "c.cemb", "l2")} AS distance
+  FROM embeddings e CROSS JOIN c),
+a1 AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY distance ASC, cluster_id ASC) AS rn
+    FROM scored) WHERE rn = 1),
+cells AS (
+  SELECT a1.cluster_id, CAST(r.range AS INT) AS dim,
+         CAST(e.embedding[CAST(r.range AS INT) + 1] AS DOUBLE) AS val
+  FROM a1 JOIN embeddings e ON e.vec_id = a1.vec_id
+  CROSS JOIN range(64) r)
+SELECT cluster_id, dim,
+       CAST(round(avg(val), 6) AS DOUBLE) AS centroid,
+       count(*) AS n_members
+FROM cells GROUP BY cluster_id, dim
+"""
+
+
+@register("emb_kmeans_step", _KMEANS_STEP_ORACLE)
+def q_emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd iteration: assign + per-(cluster, dim) mean in
+    long form (K*D cells — driver-collectable at any scale; the shuffle
+    carries only map-side-combined (sum, count) pairs). avg() is rounded to
+    6dp on both engines: summation order differs across engines in the last
+    ulp, the round masks it (values O(1), error O(1e-15))."""
+    from vstream_spark.operators.cluster import lloyd_step
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lloyd_step(emb, _centroid_fixture(spark, sf_dir), metric="l2")
+
+
+# --- Random sign projection (Johnson-Lindenstrauss dim reduction) ------------
+# 64 -> 8 dims with a deterministic +/-1 matrix (Achlioptas sign projection;
+# signs derived from md5(d_j) at module import, embedded literally in BOTH
+# the Column expression and the oracle SQL, so the fold order and every
+# float op are identical). Dim reduction is the standard pre-ANN shrink for
+# 100 TB embedding sweeps: 8x less shuffle volume for the bucketing stage.
+
+import hashlib as _hashlib  # noqa: E402
+
+_RP_IN, _RP_OUT = 64, 8
+
+
+def _rp_sign(d: int, j: int) -> int:
+    h = _hashlib.md5(f"{d}_{j}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+def _rp_oracle() -> str:
+    cols = []
+    for j in range(_RP_OUT):
+        terms = ""
+        for d in range(_RP_IN):
+            t = f"CAST(embedding[{d + 1}] AS DOUBLE)"
+            if d == 0:
+                terms = t if _rp_sign(d, j) > 0 else f"(0.0 - {t})"
+            else:
+                terms += (" + " if _rp_sign(d, j) > 0 else " - ") + t
+        cols.append(f"CAST(round(({terms}) / 8.0, 6) AS DOUBLE) AS p{j}")
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+@register("emb_random_projection", _rp_oracle())
+def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign projection 64->8 as a pure-Catalyst expression (left-assoc
+    +/- chain per output dim, bitwise-identical to the oracle's expansion;
+    /8.0 = /sqrt(64) is exact). No Python, no shuffle — map-only codegen."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = [F.col("vec_id")]
+    for j in range(_RP_OUT):
+        expr = None
+        for d in range(_RP_IN):
+            t = F.col("embedding").getItem(d).cast("double")
+            if expr is None:
+                expr = t if _rp_sign(d, j) > 0 else (F.lit(0.0) - t)
+            else:
+                expr = (expr + t) if _rp_sign(d, j) > 0 else (expr - t)
+        out.append(F.round(expr / F.lit(8.0), 6).cast("double").alias(f"p{j}"))
+    return emb.select(*out)
+
+
+# --- Bigram LM statistics ----------------------------------------------------
+
+_BIGRAM_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+                               p -> p[1] || ' ' || p[2])) AS bigram
+  FROM toks WHERE len(t) >= 2),
+counted AS (
+  SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS df
+  FROM bi GROUP BY bigram)
+SELECT bigram, n, df FROM (
+  SELECT bigram, n, df,
+         row_number() OVER (ORDER BY n DESC, bigram ASC) AS rn
+  FROM counted) WHERE rn <= 30
+"""
+
+
+@register("text_bigram_counts", _BIGRAM_ORACLE)
+def q_text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram table (term + doc frequency, top-30 deterministic):
+    the n-gram LM / tokenizer-training statistic. Pure Catalyst: slice +
+    arrays_zip + explode, one partial-aggregated groupBy — the shuffle
+    carries only (bigram, partial counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), " ")
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1).alias("a"),
+        F.slice(t, 2, F.size(t) - 1).alias("b"),
+    )
+    bi = (
+        docs.filter(F.size(t) >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.concat_ws(" ", F.col("p.a"), F.col("p.b")).alias("bigram"))
+    )
+    counted = bi.groupBy("bigram").agg(
+        F.count("*").alias("n"), F.countDistinct("doc_id").alias("df")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 30)
+        .select("bigram", "n", "df")
+    )
+
+
+# --- Sketch-accuracy gates (HLL distinct, quantile sketch) -------------------
+# At 100 TB exact COUNT(DISTINCT) / exact quantiles are a full extra shuffle
+# of the key universe; the production path is the sketch. These gates run the
+# sketch AND the exact computation and assert the sketch lands within
+# tolerance — same harness shape as the ANN recall gates, but expressed as a
+# real SQL oracle (the group keys come from the data, the booleans must all
+# be true).
+
+_APPROX_DISTINCT_ORACLE = """
+SELECT event_type, TRUE AS distinct_ok FROM events GROUP BY event_type
+"""
+
+
+@register("approx_distinct_gate", _APPROX_DISTINCT_ORACLE)
+def q_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user count per event_type vs exact: relative
+    error must be within 15% (3x the configured rsd=0.05). The sketch is the
+    scale path: mergeable, O(1) memory per group, no second shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("_approx"),
+        F.countDistinct("user_id").alias("_exact"),
+    )
+    ok = (
+        F.abs(F.col("_approx") - F.col("_exact"))
+        <= 0.15 * F.col("_exact")
+    )
+    return agg.select("event_type", ok.alias("distinct_ok"))
+
+
+_APPROX_QUANTILE_ORACLE = """
+SELECT event_type, TRUE AS q50_ok, TRUE AS q95_ok FROM events GROUP BY event_type
+"""
+
+
+@register("approx_quantile_gate", _APPROX_QUANTILE_ORACLE)
+def q_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch) vs exact percentile for
+    p50/p95 of events.value per type: each must land within 2% of the
+    group's value range. The sketch aggregates map-side in O(accuracy)
+    memory — the only way to do quantiles in one pass over 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("_ap"),
+        F.expr("percentile(value, array(0.5D, 0.95D))").alias("_ex"),
+        (F.max("value") - F.min("value")).alias("_range"),
+    )
+    tol = 0.02 * F.col("_range")
+    return agg.select(
+        "event_type",
+        (F.abs(F.col("_ap")[0] - F.col("_ex")[0]) <= tol).alias("q50_ok"),
+        (F.abs(F.col("_ap")[1] - F.col("_ex")[1]) <= tol).alias("q95_ok"),
+    )
+
+
+# --- Stream-stream interval join ---------------------------------------------
+
+_INTERVAL_JOIN_ORACLE = """
+SELECT p.event_id AS l_id, p.user_id, p.ts AS l_ts,
+       c.event_id AS r_id, c.ts AS r_ts, c.value AS r_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+"""
+
+
+@register("streaming_interval_join", _INTERVAL_JOIN_ORACLE)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run as a REAL streaming query: purchases
+    joined to the same user's clicks in the preceding hour. Watermarks on
+    both sides + two-sided time bounds let Spark evict join state (O(window)
+    state, runnable forever); a drained availableNow run equals the batch
+    join, so the batch SQL oracle hash-matches."""
+    from vstream_spark.streaming.pipeline import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_interval_join,
+    )
+
+    ev = read_event_stream(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    j = streaming_interval_join(purchases, clicks, lookback="1 hour")
+    run_stream_to_memory(j, "_streaming_ij_result", output_mode="append")
+    return spark.table("_streaming_ij_result")
+
+
+# --- Conversion funnel (sequential event analytics) --------------------------
+
+_FUNNEL_ORACLE = """
+WITH s AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type='signup' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s ON e.user_id = s.user_id
+      AND e.ts >= s.t0 AND e.ts <= s.t0 + INTERVAL 24 HOUR
+      WHERE e.event_type='click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN c ON e.user_id = c.user_id
+      AND e.ts >= c.t1 AND e.ts <= c.t1 + INTERVAL 1 HOUR
+      WHERE e.event_type='purchase' GROUP BY e.user_id)
+SELECT 'signup' AS stage, count(*) AS n_users FROM s
+UNION ALL SELECT 'click_after_signup', count(*) FROM c
+UNION ALL SELECT 'purchase_after_click', count(*) FROM p
+"""
+
+
+@register("events_funnel", _FUNNEL_ORACLE)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> click (24h) -> purchase (1h):
+    per-stage first-occurrence joins, all keyed by user_id so the three
+    groupBys and both joins share ONE hash partitioning (no extra
+    exchanges after the first shuffle; AQE keeps them co-partitioned)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .alias("e")
+        .join(
+            s.alias("s"),
+            (F.col("e.user_id") == F.col("s.user_id"))
+            & (F.col("e.ts") >= F.col("s.t0"))
+            & (F.col("e.ts") <= F.col("s.t0") + F.expr("INTERVAL 24 HOUR")),
+        )
+        .groupBy(F.col("e.user_id").alias("user_id"))
+        .agg(F.min("e.ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .alias("e")
+        .join(
+            c.alias("c"),
+            (F.col("e.user_id") == F.col("c.user_id"))
+            & (F.col("e.ts") >= F.col("c.t1"))
+            & (F.col("e.ts") <= F.col("c.t1") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("e.user_id").alias("user_id"))
+        .agg(F.min("e.ts").alias("t2"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_users")).select(F.lit("signup").alias("stage"), "n_users")
+        .unionAll(
+            c.agg(F.count("*").alias("n_users")).select(
+                F.lit("click_after_signup").alias("stage"), "n_users"
+            )
+        )
+        .unionAll(
+            p.agg(F.count("*").alias("n_users")).select(
+                F.lit("purchase_after_click").alias("stage"), "n_users"
+            )
+        )
+    )
+
+
+# --- TF-IDF over a top-V vocabulary ------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+vocab AS (SELECT tok, df FROM (
+    SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok ASC) AS rn FROM dfreq
+  ) WHERE rn <= 50),
+tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+dlen AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id),
+nd AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.tok AS token,
+       CAST(round(
+         (CAST(tf.c AS DOUBLE) / dlen.n)
+         * (ln((nd.n_docs + 1.0) / (vocab.df + 1.0)) + 1.0), 6) AS DOUBLE) AS tfidf
+FROM tf JOIN vocab ON tf.tok = vocab.tok
+JOIN dlen ON tf.doc_id = dlen.doc_id
+CROSS JOIN nd
+"""
+
+
+@register("text_tfidf", _TFIDF_ORACLE)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF over the corpus top-50-df vocabulary (the sparse
+    retrieval / lexical-feature standard). The vocab + doc count are tiny
+    aggregates broadcast back over the token stream; the only big shuffle is
+    the (doc_id, tok) partial count. ln() differs across libm in the last
+    ulp -> round 6dp on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    from pyspark.sql import Window
+
+    vocab = (
+        dfreq.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("df").desc(), F.col("tok").asc())),
+        )
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    dlen = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    n_docs = docs.count()
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(F.broadcast(vocab), "tok")
+        .join(dlen, "doc_id")
+        .select(
+            "doc_id",
+            F.col("tok").alias("token"),
+            F.round((F.col("c").cast("double") / F.col("n")) * idf, 6)
+            .cast("double")
+            .alias("tfidf"),
+        )
+    )
+
+
+# --- Exact media dedup (binary content hash) ---------------------------------
+
+_MEDIA_DEDUP_ORACLE_TMPL = """
+WITH {media_sql},
+hashed AS (SELECT doc_id, md5(hex(content)) AS content_md5 FROM media)
+SELECT content_md5, count(*) AS n_copies, min(doc_id) AS keeper_doc_id
+FROM hashed GROUP BY content_md5
+"""
+
+
+def _media_dedup_oracle() -> str:
+    from vstream_spark.operators.multimodal import MEDIA_FIXTURE_SQL
+
+    return _MEDIA_DEDUP_ORACLE_TMPL.format(media_sql=MEDIA_FIXTURE_SQL)
+
+
+@register("media_exact_dedup", _media_dedup_oracle())
+def q_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the opaque BINARY media column: md5 of the raw bytes,
+    one hash-groupBy (the blob itself reduces to a 16-byte key map-side —
+    at 100 TB the shuffle carries hashes, never content)."""
+    from vstream_spark.operators.multimodal import media_fixture
+
+    media = media_fixture(load_table(spark, sf_dir, "documents"))
+    # md5 over the HEX of the bytes (not the raw blob): duckdb's md5 is
+    # VARCHAR-only, and hex is uppercase in both engines — same digest
+    return (
+        media.select("doc_id", F.md5(F.hex(F.col("content"))).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+    )

@@ -87,6 +87,50 @@ def streaming_dedup_keys(events: DataFrame, keys: list[str]) -> DataFrame:
     return events.select(*keys).dropDuplicates(keys)
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER join: each left event pairs with the same user's
+    right events in ``[left.ts - lookback, left.ts]`` — the attribution shape
+    (purchase joined to the clicks that preceded it).
+
+    Both sides carry watermarks and the join condition bounds event time on
+    both sides, so Spark can EVICT join state once the watermark passes —
+    state is O(lookback x rate), not O(stream length); this is the property
+    that makes a stream-stream join runnable forever at production rates.
+    Output is append-mode and, for a fully-drained availableNow run, equals
+    the batch join — the oracle.
+    """
+    lhs = left.select(
+        F.col("event_id").alias("l_id"),
+        F.col("user_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("value").alias("l_value"),
+    ).withWatermark("l_ts", watermark)
+    rhs = right.select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+    )
+    return lhs.join(rhs, cond, "inner").select(
+        "l_id",
+        "user_id",
+        F.col("l_ts").cast("timestamp_ntz").alias("l_ts"),
+        "r_id",
+        F.col("r_ts").cast("timestamp_ntz").alias("r_ts"),
+        "r_value",
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain a streaming DF with availableNow into an in-memory table; returns
     the query handle after completion (test/debug sink)."""
