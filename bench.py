@@ -117,10 +117,17 @@ def main() -> None:
             "id", F.col("id") + (F.col("event_time") / 10**9).cast("long") * 10**9
         )
         n_vec = n_emb = emb.count() * loops
-        store = SegmentStore(spark, tmp)
-        t0 = time.perf_counter()
-        store.upsert_batch(big)
-        derived["insert_vec_per_s"] = round(n_vec / (time.perf_counter() - t0), 1)
+        # best-of-N on the derived axes too: single-shot numbers swing 2-3x
+        # with python-worker spawn + JIT state (observed 62->216 q/s across
+        # back-to-back reps of the identical dataflow)
+        best_ins = None
+        for rep in range(repeats):
+            store = SegmentStore(spark, tmp + f"/r{rep}")
+            t0 = time.perf_counter()
+            store.upsert_batch(big)
+            dt = time.perf_counter() - t0
+            best_ins = dt if best_ins is None else min(best_ins, dt)
+        derived["insert_vec_per_s"] = round(n_vec / best_ins, 1)
 
         queries = emb.select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
@@ -130,9 +137,13 @@ def main() -> None:
         conf = PartitionerConf(
             kind="lsh", num_partitions=8, num_families=2, num_hashes=4, bucket_width=2.0
         )
-        t0 = time.perf_counter()
-        knn_partitioned_worker(stored, queries, conf, k=10, metric="l2").count()
-        derived["query_per_s"] = round(n_q / (time.perf_counter() - t0), 1)
+        best_q = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            knn_partitioned_worker(stored, queries, conf, k=10, metric="l2").count()
+            dt = time.perf_counter() - t0
+            best_q = dt if best_q is None else min(best_q, dt)
+        derived["query_per_s"] = round(n_q / best_q, 1)
     except Exception as e:  # noqa: BLE001 - derived metrics are best-effort
         errors["derived"] = f"{type(e).__name__}: {e}"[:300]
         print(f"# derived: ERROR {errors['derived']}", file=sys.stderr)

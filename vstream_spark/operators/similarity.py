@@ -161,6 +161,52 @@ def range_search(
     )
 
 
+def maxsim_topk(
+    query_members: DataFrame,
+    doc_members: DataFrame,
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Multi-vector late-interaction retrieval (ColBERT MaxSim): a query is a
+    GROUP of vectors, a document is a group of vectors, and
+
+        score(Q, D) = sum_{q in Q} max_{d in D} cos_sim(q, d)
+
+    ``query_members``: (gid, mid, emb); ``doc_members``: (dgid, id, emb).
+    Returns (gid, dgid, score, rank) — top-k doc groups per query group.
+
+    Plan: broadcast the query members into a BNLJ (member-level sims stay in
+    codegen), then TWO partial-aggregated groupBys — max over doc members,
+    sum over query members — and a final per-gid top-k window. Shuffle keys
+    step down (gid, mid, dgid) -> (gid, dgid) -> gid, so AQE reuses/coalesces
+    the exchanges; nothing driver-side. Scores are rounded (default 6dp) on
+    the SUM — cross-engine partial-agg float order differs in the last ulp
+    and ranking must see identical values."""
+    from pyspark.sql import Window
+
+    from vstream_spark.functions.distance import cosine_similarity
+
+    pairs = doc_members.alias("d").join(
+        F.broadcast(query_members.alias("q")), F.lit(True), "inner"
+    )
+    sims = pairs.select(
+        F.col("q.gid").alias("gid"),
+        F.col("q.mid").alias("mid"),
+        F.col("d.dgid").alias("dgid"),
+        cosine_similarity(F.col("q.emb"), F.col("d.emb")).alias("sim"),
+    )
+    best = sims.groupBy("gid", "mid", "dgid").agg(F.max("sim").alias("best"))
+    scores = best.groupBy("gid", "dgid").agg(
+        F.round(F.sum("best"), round_dp).cast("double").alias("score")
+    )
+    w = Window.partitionBy("gid").orderBy(F.col("score").desc(), F.col("dgid").asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("gid", "dgid", "score", "rank")
+    )
+
+
 def ann_topk_ivf(
     vectors: DataFrame,
     queries: DataFrame,

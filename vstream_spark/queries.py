@@ -2321,14 +2321,10 @@ def q_text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = bi.groupBy("bigram").agg(
         F.count("*").alias("n"), F.countDistinct("doc_id").alias("df")
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
-    return (
-        counted.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 30)
-        .select("bigram", "n", "df")
-    )
+    # orderBy+limit compiles to TakeOrderedAndProject — a distributed
+    # per-partition top-30 merged on the driver, NOT a single-partition
+    # global sort (at corpus scale the bigram vocabulary is ~100M rows)
+    return counted.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(30)
 
 
 # --- Sketch-accuracy gates (HLL distinct, quantile sketch) -------------------
@@ -2519,16 +2515,8 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
     )
     dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    from pyspark.sql import Window
-
-    vocab = (
-        dfreq.withColumn(
-            "rn",
-            F.row_number().over(Window.orderBy(F.col("df").desc(), F.col("tok").asc())),
-        )
-        .filter(F.col("rn") <= 50)
-        .drop("rn")
-    )
+    # distributed top-V (TakeOrderedAndProject), not a global 1-partition window
+    vocab = dfreq.orderBy(F.col("df").desc(), F.col("tok").asc()).limit(50)
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
     dlen = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
     n_docs = docs.count()
@@ -2576,4 +2564,86 @@ def q_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         media.select("doc_id", F.md5(F.hex(F.col("content"))).alias("content_md5"))
         .groupBy("content_md5")
         .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+# --- Multi-vector late-interaction retrieval (ColBERT MaxSim) ----------------
+# Queries and documents are GROUPS of vectors; score(Q,D) = sum_q max_d
+# cos(q,d). Groups are derived deterministically from embeddings: query
+# groups = every-25th vector bucketed by hundreds, doc groups = vec_id % 50.
+
+_MAXSIM_ORACLE = f"""
+WITH qm AS (
+  SELECT CAST(floor(vec_id / 100.0) AS INT) AS gid, vec_id AS mid, embedding
+  FROM embeddings WHERE vec_id % 25 = 0),
+dm AS (
+  SELECT CAST(vec_id % 50 AS INT) AS dgid, vec_id AS id, embedding
+  FROM embeddings),
+sims AS (
+  SELECT qm.gid, qm.mid, dm.dgid,
+         {D.cosine_sim_sql("qm.embedding", "dm.embedding")} AS sim
+  FROM dm CROSS JOIN qm),
+best AS (
+  SELECT gid, mid, dgid, max(sim) AS best FROM sims GROUP BY gid, mid, dgid),
+scores AS (
+  SELECT gid, dgid, CAST(round(sum(best), 6) AS DOUBLE) AS score
+  FROM best GROUP BY gid, dgid)
+SELECT gid, dgid, score, rank FROM (
+  SELECT gid, dgid, score,
+         CAST(row_number() OVER (PARTITION BY gid
+                                 ORDER BY score DESC, dgid ASC) AS INTEGER) AS rank
+  FROM scores) WHERE rank <= 5
+"""
+
+
+@register("knn_maxsim", _MAXSIM_ORACLE)
+def q_knn_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim: top-5 doc groups per multi-vector query group.
+    Member-level sims in codegen (broadcast BNLJ), then max/sum partial aggs
+    stepping down the key space, final per-gid top-k window. The sum is
+    rounded 6dp on BOTH engines before ranking (cross-engine float-order)."""
+    from vstream_spark.operators.similarity import maxsim_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qm = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.floor(F.col("vec_id") / 100.0).cast("int").alias("gid"),
+        F.col("vec_id").alias("mid"),
+        F.col("embedding").alias("emb"),
+    )
+    dm = emb.select(
+        (F.col("vec_id") % 50).cast("int").alias("dgid"),
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("emb"),
+    )
+    return maxsim_topk(qm, dm, k=5)
+
+
+# --- Skew-mitigation salted join ---------------------------------------------
+
+_SALTED_JOIN_ORACLE = """
+SELECT o.o_orderpriority AS orderpriority, count(*) AS n_items,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("rel_salted_join", _SALTED_JOIN_ORACLE)
+def q_rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-side salted join (8 buckets, whole-row hash salt, forced
+    shuffled-hash) — the manual skew weapon for joins AQE can't split.
+    Result is bitwise the plain join: salting is a physical rewrite only."""
+    from vstream_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, on="l_orderkey", n_salts=8)
+    return joined.groupBy(F.col("o_orderpriority").alias("orderpriority")).agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("_rev"), 2).cast("double").alias("revenue"),
     )

@@ -18,6 +18,12 @@ from pyspark.sql import SparkSession
 # below keep individual tasks in the 100-200MB range so no single task spills;
 # AQE re-coalesces small post-shuffle partitions and splits skewed ones.
 _DEFAULT_CONF: dict[str, str] = {
+    # local-mode JVM sizing: the driver IS the executor for all 32 task
+    # threads, and Spark's 1g default heap leaves them GC-thrashing (observed:
+    # late-suite queries degrade 2-3x once broadcast/plan state accumulates).
+    # Only applies at JVM launch — a real cluster sizes executors via the
+    # resource manager instead.
+    "spark.driver.memory": "48g",
     "spark.sql.adaptive.enabled": "true",
     # Pin the session tz: makes TIMESTAMP_NTZ <-> TIMESTAMP casts (needed for
     # streaming watermarks over the driver's NTZ parquet) value-preserving
