@@ -133,3 +133,39 @@ def test_mixture_sample_deterministic(spark):
         for r in mixture_sample(df.repartition(7), {"a": 0.5, "b": 0.5}, "source").collect()
     }
     assert kept1 == kept2 and kept1
+
+
+def test_temperature_sample_flattens_shares(spark):
+    import math
+
+    from vstream_spark.operators.sample import temperature_sample
+
+    rows = (
+        [(i, "big") for i in range(1600)]
+        + [(10_000 + i, "mid") for i in range(400)]
+        + [(20_000 + i, "small") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = temperature_sample(df, alpha=0.5, stratum_col="source")
+    counts = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    # closed form: keep rate = sqrt(c_min/c_g) -> expected 400, 200, 100
+    assert counts["small"] == 100  # smallest stratum kept whole
+    for src, c, exp in (("big", 1600, 400), ("mid", 400, 200)):
+        assert abs(counts[src] - exp) <= exp * 0.2, (src, counts)
+    # post-sample shares follow count^0.5 (4:2:1), not raw counts (16:4:1)
+    assert counts["big"] < 1600 * 0.35
+
+
+def test_temperature_sample_deterministic_and_alpha1_identity(spark):
+    from vstream_spark.operators.sample import temperature_sample
+
+    rows = [(i, "a" if i % 4 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    kept1 = {r.doc_id for r in temperature_sample(df, 0.5, "source").collect()}
+    kept2 = {
+        r.doc_id
+        for r in temperature_sample(df.repartition(5), 0.5, "source").collect()
+    }
+    assert kept1 == kept2 and kept1
+    # alpha=1 -> rate 1 everywhere: identity
+    assert temperature_sample(df, 1.0, "source").count() == 400

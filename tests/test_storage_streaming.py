@@ -251,3 +251,30 @@ def test_streaming_interval_join_equals_batch(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_streaming_sliding_rollup_equals_batch(spark):
+    """Sliding windows (1h / 15min): each event lands in exactly 4 windows;
+    the drained stream equals the batch replication."""
+    from vstream_spark.sources.tables import load_table
+    from vstream_spark.streaming.pipeline import streaming_sliding_rollup
+
+    roll = streaming_sliding_rollup(read_event_stream(spark, SF))
+    run_stream_to_memory(roll, "slide_test")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in spark.sql("select * from slide_test").collect()
+    }
+    ev = load_table(spark, SF, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("ws"), "event_type", "n", "s"
+        )
+    )
+    exp = {(r.ws, r.event_type): (r.n, round(r.s, 4)) for r in batch.collect()}
+    assert got == exp and len(got) > 0
+    # every event contributes to exactly window/slide = 4 windows
+    n_events = ev.count()
+    assert sum(v[0] for v in got.values()) == 4 * n_events

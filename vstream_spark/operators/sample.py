@@ -195,3 +195,69 @@ def cap_per_group(
         .filter(F.col("_rk") <= max_rows)
         .drop("_rk")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float,
+    stratum_col: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-scaled rebalancing: output stratum shares follow
+    count^alpha (alpha<1 flattens the source distribution — the multilingual
+    / multi-domain upsampling rule). Downsample-only; the closed form is
+
+        rate_g = (min_h count_h / count_g) ** (1 - alpha)
+
+    (the share normalizer cancels against T = min_h count_h/share_h, so no
+    cross-stratum float sum exists — with alpha=0.5 the power is a sqrt,
+    which is IEEE-exact and bitwise identical on every engine). One counting
+    aggregation, O(strata) driver floats, then a pushed-down hash filter."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    counts = {
+        r[0]: r[1] for r in df.groupBy(stratum_col).count().collect()
+    }
+    if not counts:
+        return df
+    import math
+
+    c_min = min(counts.values())
+    threshold = F.lit(0)
+    for g in sorted(counts):
+        # alpha=0.5 -> sqrt: IEEE-exact (pow(x, .5) is libm-dependent)
+        ratio = c_min / counts[g]
+        rate = (
+            math.sqrt(ratio) if alpha == 0.5 else ratio ** (1.0 - alpha)
+        )
+        threshold = F.when(
+            F.col(stratum_col) == g, F.lit(int(rate * _DENOM))
+        ).otherwise(threshold)
+    return df.filter(_hash_bucket(F.col(key_col), seed) < threshold)
+
+
+def temperature_sample_sql(
+    alpha: float,
+    stratum_col: str,
+    table: str = "documents",
+    key_sql: str = "doc_id",
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of ``temperature_sample`` (same closed-form arithmetic)."""
+    ratio = f"(CAST((SELECT m FROM cmin) AS DOUBLE) / c)"
+    powed = (
+        f"sqrt({ratio})" if alpha == 0.5 else f"pow({ratio}, {1.0 - alpha!r})"
+    )
+    return f"""
+WITH counts AS (
+  SELECT {stratum_col} AS stratum, count(*) AS c FROM {table} GROUP BY 1),
+cmin AS (SELECT min(c) AS m FROM counts),
+rates AS (
+  SELECT stratum,
+         CAST(floor({powed} * {_DENOM}) AS BIGINT) AS thr
+  FROM counts)
+SELECT d.* FROM {table} d
+JOIN rates r ON d.{stratum_col} = r.stratum
+WHERE {hash_bucket_sql(key_sql, seed)} < r.thr
+"""

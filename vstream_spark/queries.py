@@ -2647,3 +2647,174 @@ def q_rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.round(F.sum("_rev"), 2).cast("double").alias("revenue"),
     )
+
+
+# --- Sliding-window streaming rollup ----------------------------------------
+# Each event contributes to window/slide = 4 overlapping windows; the oracle
+# replays that replication with an explicit k in 0..3 shift of the 15-minute
+# bucket (time_bucket and Spark's window() share the epoch-aligned origin).
+
+_SLIDING_ROLLUP_ORACLE = """
+WITH slid AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - (k.range * INTERVAL 15 MINUTE) AS wstart,
+         event_type, value
+  FROM events CROSS JOIN range(4) k)
+SELECT wstart AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+FROM slid GROUP BY wstart, event_type
+"""
+
+
+@register("streaming_sliding_rollup", _SLIDING_ROLLUP_ORACLE)
+def q_streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding every 15min, run as a real availableNow stream:
+    the overlap replication happens map-side; state = one aggregate per open
+    (window, type), watermark-evicted."""
+    from vstream_spark.streaming.pipeline import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_sliding_rollup,
+    )
+
+    roll = streaming_sliding_rollup(read_event_stream(spark, sf_dir)).select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value"), 4).cast("double").alias("sum_value"),
+    )
+    run_stream_to_memory(roll, "_streaming_sliding_result")
+    return spark.table("_streaming_sliding_result")
+
+
+# --- Cohort retention matrix -------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH cohort AS (
+  SELECT user_id, strftime(date_trunc('week', min(ts)), '%Y-%m-%d') AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+act AS (
+  SELECT DISTINCT e.user_id, strftime(date_trunc('week', e.ts), '%Y-%m-%d') AS active_week
+  FROM events e)
+SELECT c.cohort_week, a.active_week, count(*) AS n_users
+FROM cohort c JOIN act a
+  ON c.user_id = a.user_id AND a.active_week >= c.cohort_week
+GROUP BY c.cohort_week, a.active_week
+"""
+
+
+@register("events_retention", _RETENTION_ORACLE)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (signup week x active week, distinct users).
+    cohort + activity + join all keyed user_id — one partitioning reused;
+    the output is O(weeks^2) cells regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    # ISO week-start STRINGS (not DATE): pandas-side a Spark DATE collects as
+    # python date objects while duckdb's DATE arrives datetime64 — same
+    # values, different dtype, hash-mismatch. Strings compare identically
+    # (and >= ordering on ISO strings == date ordering).
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.date_format(F.date_trunc("week", F.min("ts")), "yyyy-MM-dd").alias(
+                "cohort_week"
+            )
+        )
+    )
+    act = ev.select(
+        "user_id",
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+            "active_week"
+        ),
+    ).distinct()
+    return (
+        cohort.join(act, "user_id")
+        .filter(F.col("active_week") >= F.col("cohort_week"))
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+# --- Bigram LM document scoring ----------------------------------------------
+# Self-trained add-one-smoothed bigram LM: score(doc) = avg log P(w2 | w1).
+# The perplexity-flavored fluency signal of C4/CCNet-style curation, using
+# only corpus statistics (no external model).
+
+_BIGRAM_LM_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+                               p -> p[1] || ' ' || p[2])) AS bigram,
+         unnest(t[1:len(t)-1]) AS w1
+  FROM toks WHERE len(t) >= 2),
+bc AS (SELECT bigram, count(*) AS c2 FROM bi GROUP BY bigram),
+uc AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+v AS (SELECT count(DISTINCT bigram) AS nv FROM bi)
+SELECT bi.doc_id,
+       CAST(round(avg(ln((bc.c2 + 1.0) / (uc.c1 + v.nv))), 6) AS DOUBLE) AS avg_logp,
+       count(*) AS n_bigrams
+FROM bi JOIN bc USING (bigram) JOIN uc USING (w1) CROSS JOIN v
+GROUP BY bi.doc_id
+"""
+
+
+@register("text_bigram_lm", _BIGRAM_LM_ORACLE)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained smoothed bigram LM fluency score per document. Two
+    count aggregations keyed by bigram/w1 joined back to the token stream;
+    the vocab size is ONE driver scalar. avg(ln) rounded 6dp (cross-engine
+    float order + libm ln ulp)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), " ")
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1).alias("a"),
+        F.slice(t, 2, F.size(t) - 1).alias("b"),
+    )
+    bi = (
+        docs.filter(F.size(t) >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("p.a"), F.col("p.b")).alias("bigram"),
+            F.col("p.a").alias("w1"),
+        )
+    )
+    bc = bi.groupBy("bigram").agg(F.count("*").alias("c2"))
+    uc = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    nv = bi.select("bigram").distinct().count()
+    return (
+        bi.join(bc, "bigram")
+        .join(uc, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(float(nv))))), 6
+            )
+            .cast("double")
+            .alias("avg_logp"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+
+
+# --- Temperature-scaled mixture sampling -------------------------------------
+
+from vstream_spark.operators.sample import (  # noqa: E402
+    temperature_sample,
+    temperature_sample_sql,
+)
+
+
+@register(
+    "sample_temperature",
+    temperature_sample_sql(0.5, "source", table="documents", key_sql="doc_id"),
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha=0.5 temperature rebalancing across document sources (the
+    multilingual upsampling rule): output shares follow count^alpha.
+    Closed-form per-stratum keep rate sqrt(c_min/c_g) — IEEE-exact on both
+    engines — then the usual md5-threshold keep decision (zero shuffles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_sample(docs, alpha=0.5, stratum_col="source")

@@ -76,6 +76,29 @@ def streaming_event_rollup(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def streaming_sliding_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """SLIDING-window rollup (each event lands in window/slide overlapping
+    windows — here 4). Spark materializes the overlap by replicating each
+    row per window map-side; state per key is still one aggregate per open
+    window, evicted by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_dedup_keys(events: DataFrame, keys: list[str]) -> DataFrame:
     """Stateful exact dedup on a streaming source: first occurrence of each
     key combination is kept in the state store, later duplicates are dropped
