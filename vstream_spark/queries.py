@@ -2818,3 +2818,130 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — then the usual md5-threshold keep decision (zero shuffles)."""
     docs = load_table(spark, sf_dir, "documents")
     return temperature_sample(docs, alpha=0.5, stratum_col="source")
+
+
+# --- Two-stage retrieval: quantized candidates -> full-precision re-rank -----
+# THE production ANN serving pattern (SQ/PQ first pass, exact re-rank of a
+# small candidate set): 4x less memory bandwidth in the scan stage, exactness
+# restored where it matters. Deterministic end to end, so it hash-matches.
+
+_RERANK_CAND_K, _RERANK_K = 50, 10
+
+_KNN_RERANK_ORACLE = f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+  FROM embeddings),
+deq AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(CAST(CASE WHEN scale > 0.0
+                  THEN CAST(round(x::DOUBLE / scale) AS TINYINT)
+                  ELSE CAST(0 AS TINYINT) END AS DOUBLE) * scale AS FLOAT)) AS emb
+  FROM s),
+stage1 AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT q.vec_id AS qid, v.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {D.distance_sql("q.embedding", "v.emb", "l2")} ASC,
+                      v.vec_id ASC) AS rn
+    FROM deq v
+    CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 25 = 0) q
+  ) WHERE rn <= {_RERANK_CAND_K}),
+rescored AS (
+  SELECT s1.qid, s1.neighbor_id,
+         {D.distance_sql("q.embedding", "v.embedding", "l2")} AS distance
+  FROM stage1 s1
+  JOIN embeddings v ON v.vec_id = s1.neighbor_id
+  JOIN embeddings q ON q.vec_id = s1.qid)
+SELECT qid, neighbor_id, distance, rank FROM (
+  SELECT qid, neighbor_id, distance,
+         CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY distance ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM rescored) WHERE rank <= {_RERANK_K}
+"""
+
+
+@register("knn_rerank", _KNN_RERANK_ORACLE)
+def q_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage search: int8-quantized first pass selects 50 candidates per
+    query (cheap scan surface), full-precision re-rank cuts to 10. The
+    re-rank join touches only Q x 50 rows — the expensive exact fold runs on
+    0.1% of the pairs the one-stage exact search would."""
+    from vstream_spark.operators.knn import topk
+    from vstream_spark.operators.quantize import quantize_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale, codes = quantize_expr(F.col("embedding"))
+    deq = F.transform(codes, lambda x: (x.cast("double") * scale).cast("float"))
+    coarse = emb.select(F.col("vec_id").alias("id"), deq.alias("emb"))
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
+    )
+    cands = knn_exact(coarse, queries, k=_RERANK_CAND_K, metric="l2").select(
+        "qid", "neighbor_id"
+    )
+    full = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_vemb")
+    )
+    qfull = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("_qemb")
+    )
+    rescored = (
+        cands.join(full, "neighbor_id")
+        .join(F.broadcast(qfull), "qid")
+        .select(
+            "qid",
+            "neighbor_id",
+            D.distance_expr(F.col("_qemb"), F.col("_vemb"), "l2").alias("distance"),
+        )
+    )
+    return topk(rescored, _RERANK_K, dedup=False).select(
+        "qid", "neighbor_id", "distance", "rank"
+    )
+
+
+# --- Power iteration (top principal component, covariance-free) --------------
+# One distributed step of v <- X^T (X v): the building block of PCA /
+# spectral methods at 100 TB — X never materializes a covariance matrix;
+# each row contributes x * (x . v) and only D doubles per task survive the
+# map-side combine.
+
+_POWER_ITER_ORACLE = """
+WITH p AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(embedding, x -> x::DOUBLE)) * 0.125 AS xv
+  FROM embeddings),
+cells AS (
+  SELECT CAST(r.range AS INT) AS dim,
+         CAST(p.embedding[CAST(r.range AS INT) + 1] AS DOUBLE) * p.xv AS contrib
+  FROM p CROSS JOIN range(64) r)
+SELECT dim, CAST(round(sum(contrib), 4) AS DOUBLE) AS component,
+       count(*) AS n_rows
+FROM cells GROUP BY dim
+"""
+
+
+@register("emb_power_iteration", _POWER_ITER_ORACLE)
+def q_emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the top principal component with
+    v0 = (1/8,...,1/8): per-row dot product x.v0 in a codegen fold, then a
+    posexplode + per-dim sum whose shuffle is D map-side-combined doubles
+    per task. Rounded 4dp (cross-engine summation order over all rows)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xv = (
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        * F.lit(0.125)
+    )
+    p = emb.select("vec_id", "embedding", xv.alias("xv"))
+    cells = p.select(
+        F.posexplode(F.col("embedding")).alias("dim", "_val"), F.col("xv")
+    ).select("dim", (F.col("_val").cast("double") * F.col("xv")).alias("contrib"))
+    return cells.groupBy("dim").agg(
+        F.round(F.sum("contrib"), 4).cast("double").alias("component"),
+        F.count("*").alias("n_rows"),
+    )
