@@ -189,3 +189,62 @@ def test_oov_vocab_broadcast(spark):
     df = fn(spark, SF)
     assert_plan_contains(df, "BroadcastHashJoin")
     assert_plan_lacks(df, "SortMergeJoin", "ArrowEvalPython", "BatchEvalPython")
+
+
+def test_random_projection_map_only(spark):
+    from vstream_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["emb_random_projection"]
+    df = fn(spark, SF)
+    # pure map-side codegen: no shuffle, no Python
+    assert count_exchanges(df) == 0
+    assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython")
+
+
+def test_cluster_assign_broadcasts_centroids(spark):
+    from vstream_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["emb_cluster_assign"]
+    df = fn(spark, SF)
+    assert_plan_contains(df, "BroadcastNestedLoopJoin")
+    assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython")
+
+
+def test_media_dedup_single_exchange_no_python(spark):
+    from vstream_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["media_exact_dedup"]
+    df = fn(spark, SF)
+    # blob -> 16-byte hash map-side, one hash-agg exchange
+    assert count_exchanges(df) == 1
+    assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython")
+    assert_plan_contains(df, "partial_count")
+
+
+def test_top_tokens_is_distributed_topn(spark):
+    from vstream_spark.queries import REGISTRY
+
+    for name in ("text_bigram_counts", "text_top_tokens"):
+        fn, _ = REGISTRY[name]
+        df = fn(spark, SF)
+        # top-N must be TakeOrderedAndProject (per-partition top-N + driver
+        # merge of N rows), never a 1-partition global Window sort
+        assert_plan_contains(df, "TakeOrderedAndProject")
+
+
+def test_late_supplier_semi_anti_share_keys(spark):
+    from vstream_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["rel_late_supplier_blame"]
+    df = fn(spark, SF)
+    plan = assert_plan_contains(df, "LeftSemi", "LeftAnti", "TakeOrderedAndProject")
+    assert "CartesianProduct" not in plan
+
+
+def test_anomaly_broadcasts_stats(spark):
+    from vstream_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["events_anomaly"]
+    df = fn(spark, SF)
+    assert_plan_contains(df, "BroadcastHashJoin")
+    assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython", "SortMergeJoin")

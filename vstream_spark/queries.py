@@ -2945,3 +2945,93 @@ def q_emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("contrib"), 4).cast("double").alias("component"),
         F.count("*").alias("n_rows"),
     )
+
+
+# --- q21-shape: multi-correlated EXISTS / NOT EXISTS -------------------------
+# "Suppliers who were the only late supplier on a multi-supplier order".
+# (Late := shipped >90 days after order date — the schema's commitdate-free
+# analog.) The EXISTS/NOT EXISTS pair compiles to LEFT SEMI + LEFT ANTI hash
+# joins, all keyed l_orderkey, sharing one partitioning.
+
+_LATE_SUPPLIER_ORACLE = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F' AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+SELECT s.s_name, count(*) AS numwait FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20
+"""
+
+
+@register("rel_late_supplier_blame", _LATE_SUPPLIER_ORACLE)
+def q_rel_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21 shape: correlated EXISTS -> LEFT SEMI, NOT EXISTS -> LEFT ANTI,
+    both keyed on l_orderkey so the self-joins reuse one hash partitioning;
+    final top-20 is a distributed TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.alias("l")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").alias("o"),
+            F.col("l.l_orderkey") == F.col("o.o_orderkey"),
+        )
+        .filter(F.col("l.l_shipdate") > F.col("o.o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .select("l.l_orderkey", "l.l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    cond2 = (F.col("l1.l_orderkey") == F.col("l2.l_orderkey")) & (
+        F.col("l1.l_suppkey") != F.col("l2.l_suppkey")
+    )
+    cond3 = (F.col("l1.l_orderkey") == F.col("l3.l_orderkey")) & (
+        F.col("l1.l_suppkey") != F.col("l3.l_suppkey")
+    )
+    blamed = l1.join(l2, cond2, "left_semi").join(l3, cond3, "left_anti")
+    return (
+        blamed.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+# --- Z-score anomaly detection -----------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       CAST(round((e.value - s.mu) / s.sd, 4) AS DOUBLE) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE abs((e.value - s.mu) / s.sd) > 3.0
+"""
+
+
+@register("events_anomaly", _ANOMALY_ORACLE)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|z| > 3 outliers per event_type: one tiny stats aggregate broadcast
+    back over the scan — monitoring's bread-and-butter shape. (The data's
+    minimum distance to the 3.0 boundary is >=2e-4 at every test SF, so
+    cross-engine ulp drift in mu/sd cannot flip membership; z rounds 4dp.)"""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "event_id", "event_type", F.round(z, 4).cast("double").alias("z")
+        )
+    )
