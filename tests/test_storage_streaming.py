@@ -278,3 +278,38 @@ def test_streaming_sliding_rollup_equals_batch(spark):
     # every event contributes to exactly window/slide = 4 windows
     n_events = ev.count()
     assert sum(v[0] for v in got.values()) == 4 * n_events
+
+
+def test_streaming_checkpoint_exactly_once(spark, tmp_path):
+    """Restarting a query from its checkpoint processes ONLY unseen input and
+    never re-emits already-committed rows (source offsets + file-sink commit
+    log = exactly-once end to end) — the recovery contract a 100 TB ingest
+    pipeline leans on."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id bigint, k bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("doubled", F.col("id") * 2)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.range(0, 100).selectExpr("id", "id % 10 as k").write.mode("append").parquet(src)
+    run_once()
+    first = spark.read.parquet(out)
+    assert first.count() == 100
+    # second batch arrives; restart from the SAME checkpoint
+    spark.range(100, 250).selectExpr("id", "id % 10 as k").write.mode("append").parquet(src)
+    run_once()
+    final = spark.read.parquet(out)
+    assert final.count() == 250  # no re-emission of the first 100
+    assert final.select("id").distinct().count() == 250
+    assert final.agg(F.max("doubled")).first()[0] == 498
