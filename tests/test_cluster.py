@@ -113,3 +113,55 @@ def test_random_projection_query_shape(spark):
         s = 1 if int(hashlib.md5(f"{d}_0".encode()).hexdigest()[0], 16) % 2 == 0 else -1
         acc = acc + vec[d] if s > 0 else acc - vec[d]
     assert abs(row.p0 - round(acc / 8.0, 6)) < 1e-9
+
+
+def test_lloyd_iterations_reduce_sse(spark, emb):
+    """Iterating assign->mean must monotonically reduce the k-means SSE
+    (Lloyd's convergence guarantee) — exercises the operator as an actual
+    clustering loop, long-form centroids round-tripping to the next fit."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    ids, mat = _np_mat(emb)
+    cids, cmat = _np_mat(emb.filter(F.col("vec_id") % 25 == 0))
+
+    def sse(cm):
+        d2 = ((mat[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        return d2.min(axis=1).sum()
+
+    sses = [sse(cmat)]
+    cur = cmat.copy()
+    for _ in range(3):
+        cdf = spark.createDataFrame(
+            [(int(i), [float(x) for x in row]) for i, row in enumerate(cur)],
+            "cluster_id int, cemb array<double>",
+        )
+        cells = lloyd_step(emb, cdf, metric="l2", round_dp=None).collect()
+        nxt = cur.copy()
+        for r in cells:
+            nxt[r.cluster_id, r.dim] = r.centroid
+        cur = nxt
+        sses.append(sse(cur))
+    assert all(b <= a + 1e-9 for a, b in zip(sses, sses[1:])), sses
+    assert sses[-1] < sses[0]  # strictly improved over the run
+
+
+def test_range_search_radius_monotonicity(spark, emb):
+    from pyspark.sql import functions as F
+
+    vectors = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
+    )
+    small = {
+        (r.qid, r.neighbor_id)
+        for r in range_search(vectors, queries, 1.0, metric="l2").collect()
+    }
+    big = {
+        (r.qid, r.neighbor_id)
+        for r in range_search(vectors, queries, 1.5, metric="l2").collect()
+    }
+    assert small <= big and len(big) > len(small)
+    # reflexivity: every query finds itself at distance 0
+    qids = {r.qid for r in queries.collect()}
+    assert {(q, q) for q in qids} <= small
