@@ -184,16 +184,22 @@ def maxsim_topk(
     and ranking must see identical values."""
     from pyspark.sql import Window
 
-    from vstream_spark.functions.distance import cosine_similarity
+    from vstream_spark.functions.distance import dot, norm
 
-    pairs = doc_members.alias("d").join(
-        F.broadcast(query_members.alias("q")), F.lit(True), "inner"
-    )
+    # hoist each side's norm out of the O(|Q| x |D|) pair loop: one fold per
+    # pair (the dot) instead of three — identical IEEE ops and results, the
+    # norms are just computed once per member instead of once per pair
+    qm = query_members.withColumn("_qn", norm(F.col("emb")))
+    dm = doc_members.withColumn("_dn", norm(F.col("emb")))
+    pairs = dm.alias("d").join(F.broadcast(qm.alias("q")), F.lit(True), "inner")
+    denom = F.col("q._qn") * F.col("d._dn")
     sims = pairs.select(
         F.col("q.gid").alias("gid"),
         F.col("q.mid").alias("mid"),
         F.col("d.dgid").alias("dgid"),
-        cosine_similarity(F.col("q.emb"), F.col("d.emb")).alias("sim"),
+        F.when(denom != 0.0, dot(F.col("q.emb"), F.col("d.emb")) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("sim"),
     )
     best = sims.groupBy("gid", "mid", "dgid").agg(F.max("sim").alias("best"))
     scores = best.groupBy("gid", "dgid").agg(
