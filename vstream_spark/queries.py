@@ -3040,3 +3040,45 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "event_type", F.round(z, 4).cast("double").alias("z")
         )
     )
+
+
+# --- Search over a compacted store (C2/C6 semantics contract) ----------------
+# The insert/delete stream is upserted in three micro-batch slices (per-batch
+# LWW annihilation, surviving delete markers flushed as tombstones), then
+# size-tiered compaction merges the segments — and the TTL+LWW search over
+# the compacted store must hash-match the SAME oracle as knn_ttl_delete:
+# compaction is a physical rewrite with zero semantic drift.
+
+_COMPACTED_STORES: dict[str, object] = {}
+
+
+def _compacted_store(spark: SparkSession, sf_dir: str):
+    from vstream_spark.storage.segments import SegmentStore
+
+    store = _COMPACTED_STORES.get(sf_dir)
+    if store is None:
+        import tempfile
+
+        store = SegmentStore(spark, tempfile.mkdtemp(prefix="knn-compact-store-"))
+        vectors = vectors_fixture(spark, sf_dir)
+        for slot in range(3):
+            store.upsert_batch(vectors.filter(F.col("id") % 3 == slot))
+        assert len(store.segments()) == 3
+        store.compact()
+        _COMPACTED_STORES[sf_dir] = store
+    store.spark = spark
+    return store
+
+
+@register("knn_compacted", _KNN_TTL_ORACLE)
+def q_knn_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL + delete search over an upserted-then-COMPACTED segment store:
+    same oracle as knn_ttl_delete — proving the LSM maintenance path
+    (per-batch annihilation, tombstone persistence, event-time-ranged
+    compaction) never changes query results."""
+    store = _compacted_store(spark, sf_dir)
+    vectors = store.read()  # (id, emb, event_time, op) across compacted segs
+    queries = queries_fixture(spark, sf_dir)
+    return knn_exact(
+        vectors, queries, k=None, metric="l2", honor_ttl=True, honor_deletes=True
+    )
