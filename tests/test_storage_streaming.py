@@ -313,3 +313,38 @@ def test_streaming_checkpoint_exactly_once(spark, tmp_path):
     assert final.count() == 250  # no re-emission of the first 100
     assert final.select("id").distinct().count() == 250
     assert final.agg(F.max("doubled")).first()[0] == 498
+
+
+def test_bounded_dedup_evicts_and_reemits(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: dups inside the watermark window are
+    dropped; once the watermark passes a key's expiry its state is EVICTED
+    and a later re-occurrence is emitted again (bounded state, by design)."""
+    import time as _t
+
+    from vstream_spark.streaming.pipeline import streaming_dedup_keys_bounded
+
+    src = str(tmp_path / "src")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, ts timestamp")
+    b0 = [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:30:00"), (2, "2024-01-01 10:15:00")]
+    b1 = [(3, "2024-01-01 13:00:00")]  # advances the watermark to 12:00
+    # watermark takes effect one batch later; b2 is a spacer during which the
+    # 12:00 watermark evicts k=1 (expiry 11:00)
+    b2 = [(4, "2024-01-01 13:10:00")]
+    b3 = [(1, "2024-01-01 13:30:00")]  # k=1 re-emits after eviction
+    for i, rows in enumerate((b0, b1, b2, b3)):
+        mk([(k, __import__("datetime").datetime.fromisoformat(ts)) for k, ts in rows]) \
+            .coalesce(1).write.parquet(f"{src}/b{i:03d}")
+        _t.sleep(1.1)  # distinct mtimes => deterministic batch order
+    stream = (
+        spark.readStream.schema("k bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    ded = streaming_dedup_keys_bounded(stream, ["k"], watermark="1 hour")
+    run_stream_to_memory(ded, "bounded_dedup_test", output_mode="append")
+    out = spark.sql("select * from bounded_dedup_test").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r.ts)
+    assert len(by_key[1]) == 2, by_key  # once in b0 (dup dropped), again in b3
+    assert len(by_key[2]) == 1 and len(by_key[3]) == 1 and len(by_key[4]) == 1

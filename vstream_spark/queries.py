@@ -3082,3 +3082,52 @@ def q_knn_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_exact(
         vectors, queries, k=None, metric="l2", honor_ttl=True, honor_deletes=True
     )
+
+
+# --- Bounded-state streaming dedup (dropDuplicatesWithinWatermark) -----------
+
+_STREAMING_DEDUP_BOUNDED_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@register("streaming_dedup_bounded", _STREAMING_DEDUP_BOUNDED_ORACLE)
+def q_streaming_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production streaming dedup: ``dropDuplicatesWithinWatermark`` keeps
+    state only for the watermark window (evicted after, re-occurrences
+    re-emit — proven in test_bounded_dedup_evicts_and_reemits) instead of
+    the unbounded key universe ``streaming_dedup`` holds. Declared here with
+    a watermark covering the fixture's span, so the drained availableNow run
+    equals DISTINCT and hash-matches; projection to the key columns makes
+    the result processing-order-independent."""
+    from vstream_spark.streaming.pipeline import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_dedup_keys_bounded,
+    )
+
+    ded = streaming_dedup_keys_bounded(
+        read_event_stream(spark, sf_dir), ["user_id", "event_type"],
+        watermark="40 days",
+    ).select("user_id", "event_type")
+    run_stream_to_memory(ded, "_streaming_dedup_bounded", output_mode="append")
+    return spark.table("_streaming_dedup_bounded")
+
+
+# --- Odyssey (P8) in EXACT mode with a full hash-match oracle ----------------
+# Odyssey replicates data to every member of its SAX group and sends each
+# query to exactly one member per group — complete coverage by construction,
+# so unlike the pruning partitioners its dataflow result is EXACT and can be
+# held to the same bitwise oracle as brute force (upgrade over the recall
+# gate, which still covers its skew-relief variants).
+
+
+@register("knn_odyssey_exact", _knn_oracle("l2"))
+def q_knn_odyssey_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_partitioned (Catalyst fold distances — the worker's numpy matmul
+    differs in the last ulp and flips near-ties) through the odyssey
+    exchange: the hash-match proves group replication + one-member-per-group
+    query routing covers every vector exactly once."""
+    vectors, queries = _emb_pair(spark, sf_dir)
+    conf = PartitionerConf(kind="odyssey", num_partitions=8)
+    return knn_partitioned(vectors, queries, conf, k=10, metric="l2")

@@ -110,6 +110,20 @@ def streaming_dedup_keys(events: DataFrame, keys: list[str]) -> DataFrame:
     return events.select(*keys).dropDuplicates(keys)
 
 
+def streaming_dedup_keys_bounded(
+    events: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Bounded-state streaming dedup (``dropDuplicatesWithinWatermark``): a
+    duplicate is dropped only if it arrives within the watermark delay of
+    the first occurrence, and state for a key is EVICTED once the watermark
+    passes it. This is the production variant of ``streaming_dedup_keys``
+    (whose state grows with the key universe forever): state is O(keys per
+    watermark window). The trade: re-occurrences separated by more than the
+    delay are emitted again — exactly the contract log/event pipelines want
+    (dedup retries, keep genuine repeats)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def streaming_interval_join(
     left: DataFrame,
     right: DataFrame,
