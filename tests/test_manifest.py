@@ -101,3 +101,52 @@ def test_legacy_segments_json_migration(tmp_path, spark):
     # a second open does not re-migrate
     st2 = SegmentStore(spark, str(base))
     assert len(st2.segments()) == 2
+
+
+def test_snapshot_as_of_replays_history(tmp_path):
+    log = ManifestLog(str(tmp_path), checkpoint_interval=4)
+    versions = {}
+    for i in range(10):
+        versions[i] = log.append(_seg(i))
+    log.remove(["seg-0003"])
+    # each historical version re-materializes exactly
+    for i in range(10):
+        snap = log.snapshot(as_of=versions[i])
+        assert [s["id"] for s in snap] == [f"seg-{j:04d}" for j in range(i + 1)]
+    # as_of past the end clamps to latest (post-remove state)
+    assert len(log.snapshot(as_of=10**6)) == 9
+    # time-travel across a checkpoint boundary: version 3 predates ckpt at 4
+    assert len(log.snapshot(as_of=3)) == 4
+    # latest-read caching still sees new mutations after a time-travel read
+    log.append(_seg(77))
+    assert log.snapshot()[-1]["id"] == "seg-0077"
+
+
+def test_snapshot_as_of_before_replace(tmp_path):
+    log = ManifestLog(str(tmp_path))
+    for i in range(3):
+        log.append(_seg(i))
+    v_pre = log.version()
+    log.replace([_seg(42)])
+    assert [s["id"] for s in log.snapshot()] == ["seg-0042"]
+    # logical history before the compaction checkpoint is still replayable
+    assert [s["id"] for s in log.snapshot(as_of=v_pre)] == [
+        "seg-0000", "seg-0001", "seg-0002",
+    ]
+
+
+def test_store_read_as_of_pins_flush(tmp_path, spark):
+    from vstream_spark.storage.segments import SegmentStore
+
+    st = SegmentStore(spark, str(tmp_path / "tt-store"))
+    rows1 = [(i, [float(i), 0.0], 1000 + i, 10**9, "I") for i in range(5)]
+    rows2 = [(i + 100, [float(i), 1.0], 2000 + i, 10**9, "I") for i in range(5)]
+    schema = "id long, emb array<float>, event_time long, ttl long, op string"
+    st.upsert_batch(spark.createDataFrame(rows1, schema))
+    v1 = st.manifest.version()
+    st.upsert_batch(spark.createDataFrame(rows2, schema))
+    assert st.read().count() == 10
+    pinned = st.read(as_of=v1)
+    assert sorted(r.id for r in pinned.select("id").collect()) == [0, 1, 2, 3, 4]
+    # pruning composes with the pin
+    assert st.read(min_event_time=2000, as_of=v1) is None

@@ -3131,3 +3131,75 @@ def q_knn_odyssey_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors, queries = _emb_pair(spark, sf_dir)
     conf = PartitionerConf(kind="odyssey", num_partitions=8)
     return knn_partitioned(vectors, queries, conf, k=10, metric="l2")
+
+
+# --- Snapshot (time-travel) search over the manifest log ---------------------
+# RocksDB hands every open snapshot a SequenceNumber-pinned Version
+# (db/version_set.cc); the Spark-native analog is a manifest-version-pinned
+# read: the log only ever ADDS files, so any committed version can be
+# re-materialized. The declared query flushes the fixture stream in two
+# slices, pins the version after the FIRST flush, and proves a search through
+# the pinned snapshot sees exactly the first slice — while the same store's
+# latest read serves both.
+
+_SNAPSHOT_STORES: dict[str, tuple[object, int]] = {}
+
+
+def _snapshot_store(spark: SparkSession, sf_dir: str):
+    from vstream_spark.storage.segments import SegmentStore
+
+    entry = _SNAPSHOT_STORES.get(sf_dir)
+    if entry is None:
+        import tempfile
+
+        store = SegmentStore(spark, tempfile.mkdtemp(prefix="knn-snap-store-"))
+        vectors = vectors_fixture(spark, sf_dir)
+        store.upsert_batch(vectors.filter(F.col("id") % 2 == 0))
+        v_pin = store.manifest.version()
+        store.upsert_batch(vectors.filter(F.col("id") % 2 == 1))
+        entry = (store, v_pin)
+        _SNAPSHOT_STORES[sf_dir] = entry
+    entry[0].spark = spark
+    return entry
+
+
+_KNN_SNAPSHOT_ORACLE = f"""
+WITH all_vectors AS ({VECTORS_FIXTURE_SQL}),
+vectors AS (SELECT * FROM all_vectors WHERE id % 2 = 0),
+queries AS ({QUERIES_FIXTURE_SQL}),
+inserts AS (SELECT * FROM vectors WHERE op = 'I'),
+deletes AS (SELECT * FROM vectors WHERE op = 'D'),
+live AS (
+  SELECT i.* FROM inserts i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM deletes d WHERE d.id = i.id AND d.event_time > i.event_time
+  )
+),
+scored AS (
+  SELECT q.qid, v.id AS neighbor_id, {D.l2sq_sql("q.emb", "v.emb")} AS distance, q.k AS k
+  FROM live v
+  JOIN queries q
+    ON v.event_time >= q.event_time - q.ttl AND v.event_time <= q.event_time
+),
+ranked AS (
+  SELECT qid, neighbor_id, distance, k,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY distance ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, neighbor_id, distance, rank FROM ranked WHERE rank <= k
+"""
+
+
+@register("knn_snapshot", _KNN_SNAPSHOT_ORACLE)
+def q_knn_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL + delete search through a PINNED manifest version: the store has
+    flushed a second slice since, but the snapshot read re-materializes the
+    first flush exactly (oracle = the TTL/LWW search restricted to slice 1).
+    Same guarantee RocksDB gives a reader holding GetSnapshot() across
+    later writes."""
+    store, v_pin = _snapshot_store(spark, sf_dir)
+    vectors = store.read(as_of=v_pin)
+    queries = queries_fixture(spark, sf_dir)
+    return knn_exact(
+        vectors, queries, k=None, metric="l2", honor_ttl=True, honor_deletes=True
+    )

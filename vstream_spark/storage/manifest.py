@@ -74,33 +74,46 @@ class ManifestLog:
                 continue
         return v
 
-    def _last_checkpoint_version(self) -> int:
-        try:
-            with open(os.path.join(self.dir, _LAST)) as f:
-                v = int(f.read().strip())
-            if os.path.exists(self._ckpt_path(v)):
-                return v
-        except (OSError, ValueError):
-            pass
-        # fall back to scanning (pointer missing or stale)
+    def _last_checkpoint_version(self, as_of: int | None = None) -> int:
+        if as_of is None:
+            try:
+                with open(os.path.join(self.dir, _LAST)) as f:
+                    v = int(f.read().strip())
+                if os.path.exists(self._ckpt_path(v)):
+                    return v
+            except (OSError, ValueError):
+                pass
+        # fall back to scanning (pointer missing/stale, or time-travel read:
+        # the newest checkpoint at-or-before as_of)
         best = -1
         for name in os.listdir(self.dir):
             if name.endswith(".checkpoint.json"):
-                best = max(best, int(name.split(".")[0]))
+                v = int(name.split(".")[0])
+                if as_of is None or v <= as_of:
+                    best = max(best, v)
         return best
 
-    def snapshot(self) -> list[dict]:
-        """Current segment list, append order preserved."""
+    def snapshot(self, as_of: int | None = None) -> list[dict]:
+        """Segment list at version ``as_of`` (default: latest), append order
+        preserved. Time travel is the RocksDB GetSnapshot / SequenceNumber
+        read analog (``db/version_set.cc`` keeps superseded Versions alive
+        for open snapshots): any committed version can be re-materialized by
+        replaying the log, because mutations only ever ADD files. Physical
+        availability mirrors Delta/Iceberg semantics — a version is readable
+        until maintenance (compact/evict) vacuums the data files it
+        references."""
         latest = self.version()
-        if latest == self._cache_version:
-            return [dict(s) for s in self._cache]
-        ckpt = self._last_checkpoint_version()
+        if as_of is None or as_of >= latest:
+            as_of = latest
+            if latest == self._cache_version:
+                return [dict(s) for s in self._cache]
+        ckpt = self._last_checkpoint_version(as_of=as_of)
         segs: list[dict] = []
         if ckpt >= 0:
             with open(self._ckpt_path(ckpt)) as f:
                 segs = json.load(f)
         by_id = {s["id"]: s for s in segs}
-        for v in range(ckpt + 1, latest + 1):
+        for v in range(ckpt + 1, as_of + 1):
             path = self._delta_path(v)
             if not os.path.exists(path):
                 continue  # v was a checkpoint-only version
@@ -123,8 +136,9 @@ class ManifestLog:
                         cur = by_id.get(upd["id"])
                         if cur is not None:
                             cur.update({k: v2 for k, v2 in upd.items() if k != "id"})
-        self._cache_version = latest
-        self._cache = [dict(s) for s in segs]
+        if as_of == latest:
+            self._cache_version = latest
+            self._cache = [dict(s) for s in segs]
         return [dict(s) for s in segs]
 
     # -- write side ----------------------------------------------------------

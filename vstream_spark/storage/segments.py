@@ -75,8 +75,13 @@ class SegmentStore:
 
     # -- manifest ------------------------------------------------------------
 
-    def segments(self) -> list[dict]:
-        return self.manifest.snapshot()
+    def segments(self, as_of: int | None = None) -> list[dict]:
+        """Segment list at manifest version ``as_of`` (default latest) —
+        snapshot reads, the SequenceNumber-pinned Version the reference's LSM
+        hands each open snapshot (db/version_set.cc). ``manifest.version()``
+        after a flush is the token a caller pins to read that exact state
+        later, regardless of subsequent flushes."""
+        return self.manifest.snapshot(as_of)
 
     def _write_manifest(self, segs: list[dict]) -> None:
         self.manifest.replace(segs)
@@ -250,11 +255,16 @@ class SegmentStore:
 
     # -- read path -----------------------------------------------------------
 
-    def prune(self, min_event_time: int | None = None, max_event_time: int | None = None) -> list[dict]:
+    def prune(
+        self,
+        min_event_time: int | None = None,
+        max_event_time: int | None = None,
+        as_of: int | None = None,
+    ) -> list[dict]:
         """Segments whose [min,max] event-time range intersects the window
         (C6: skip SSTs with latest_key_time < query freshness bound)."""
         out = []
-        for seg in self.segments():
+        for seg in self.segments(as_of):
             if min_event_time is not None and seg["max_event_time"] < min_event_time:
                 continue
             if max_event_time is not None and seg["min_event_time"] > max_event_time:
@@ -263,12 +273,18 @@ class SegmentStore:
         return out
 
     def read(
-        self, min_event_time: int | None = None, max_event_time: int | None = None
+        self,
+        min_event_time: int | None = None,
+        max_event_time: int | None = None,
+        as_of: int | None = None,
     ) -> DataFrame | None:
         """Union of pruned segments as one DataFrame (None if nothing
         survives pruning). The event-time predicate is re-applied so parquet
-        row-group pruning also kicks in below the segment skip."""
-        segs = self.prune(min_event_time, max_event_time)
+        row-group pruning also kicks in below the segment skip. ``as_of``
+        pins the read to an earlier manifest version (time travel): segments
+        flushed after that version are invisible, exactly like an LSM read
+        through an old SequenceNumber snapshot."""
+        segs = self.prune(min_event_time, max_event_time, as_of=as_of)
         if not segs:
             return None
         df = self._read_segments(segs)
