@@ -3203,3 +3203,93 @@ def q_knn_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_exact(
         vectors, queries, k=None, metric="l2", honor_ttl=True, honor_deletes=True
     )
+
+
+# --- Semantic dedup (SemDeDup shape: cluster, then near-dup within cluster) --
+# At corpus scale all-pairs cosine is impossible; the published recipe
+# (SemDeDup, Abbas et al. 2023) clusters embeddings with k-means and only
+# compares WITHIN a cluster — O(sum c_i^2) instead of O(N^2). Declared with a
+# deterministic centroid pick (the 8 vectors with smallest md5(vec_id) — the
+# same seeding both engines can compute) so the full pipeline — assignment
+# argmin + intra-cluster pairs — is exactly reproducible and hash-matched.
+
+_DEDUP_SEMANTIC_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cluster_id, embedding AS cemb FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cluster_id,
+         {D.l2sq_sql("e.embedding", "c.cemb")} AS d
+  FROM embeddings e CROSS JOIN cent c),
+assign AS (
+  SELECT vec_id, embedding, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster_id ASC) AS rn
+    FROM scored) WHERE rn = 1),
+pairs AS (
+  SELECT CAST(a.cluster_id AS BIGINT) AS cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+         {D.cosine_sim_sql("a.embedding", "b.embedding")} AS cosine_sim
+  FROM assign a JOIN assign b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
+SELECT cluster_id, id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.4
+"""
+
+
+@register("dedup_semantic", _DEDUP_SEMANTIC_ORACLE)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: nearest-centroid assignment (broadcast centroids, rank-1
+    window) then cosine near-dup pairs ONLY within a cluster — the pair join
+    shuffles on cluster_id, so pair work is sum-of-squared-cluster-sizes,
+    never N^2. All distances are the shared JVM folds, hash-matched against
+    the same pipeline in DuckDB."""
+    from vstream_spark.functions.distance import cosine_similarity
+    from vstream_spark.operators.cluster import assign_nearest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(8)
+        .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cemb"))
+    )
+    assigned = assign_nearest(emb, cent, metric="l2").select("vec_id", "cluster_id")
+    members = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = members.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = members.select(
+        F.col("cluster_id").alias("_cb"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        a.join(b, (F.col("cluster_id") == F.col("_cb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cosine_sim", cosine_similarity(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cosine_sim") >= 0.4)
+        .select("cluster_id", "id_a", "id_b", "cosine_sim")
+    )
+
+
+# --- Mean pooling: group embedding from member embeddings --------------------
+# The standard way a doc/query embedding is built from chunk/token embeddings
+# (and the read side of the Lloyd mean). Long-form output (group, dim, mean)
+# keeps the shuffle at O(groups*dims) map-side-combined cells.
+
+_MEAN_POOL_ORACLE = """
+SELECT label, CAST(t.i AS INTEGER) AS dim,
+       CAST(round(avg(CAST(embedding[t.i + 1] AS DOUBLE)), 6) AS DOUBLE) AS mean_val
+FROM embeddings, range(0, 64) t(i)
+GROUP BY label, t.i
+"""
+
+
+@register("emb_mean_pool", _MEAN_POOL_ORACLE)
+def q_emb_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding via posexplode + partial-aggregated
+    groupBy(label, dim): the exchange carries O(labels*dims) (sum,count)
+    cells, not rows. 6dp round on both engines absorbs partial-agg
+    summation-order ulps."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+    return ex.groupBy("label", "dim").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).cast("double").alias("mean_val")
+    )
