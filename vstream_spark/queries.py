@@ -3293,3 +3293,67 @@ def q_emb_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy("label", "dim").agg(
         F.round(F.avg(F.col("val").cast("double")), 6).cast("double").alias("mean_val")
     )
+
+
+# --- Table profiling (one-pass data-quality stats) ---------------------------
+
+_PROFILE_ORACLE = """
+SELECT 'doc_id' AS column_name, count(*) AS n_rows,
+       count(CASE WHEN doc_id IS NULL THEN 1 END) AS n_null,
+       count(DISTINCT doc_id) AS n_distinct
+FROM documents
+UNION ALL
+SELECT 'lang', count(*), count(CASE WHEN lang IS NULL THEN 1 END),
+       count(DISTINCT lang) FROM documents
+UNION ALL
+SELECT 'source', count(*), count(CASE WHEN source IS NULL THEN 1 END),
+       count(DISTINCT source) FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(CASE WHEN n_chars IS NULL THEN 1 END),
+       count(DISTINCT n_chars) FROM documents
+"""
+
+
+@register("table_profile", _PROFILE_ORACLE)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan profile of the documents table: per-column null count +
+    exact distinct cardinality, computed in a single aggregation and
+    unpivoted via stack — O(columns) result rows at any table size."""
+    from vstream_spark.operators.profile import profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+# --- Stream-static enrichment join -------------------------------------------
+
+_STREAMING_ENRICH_ORACLE = """
+WITH prof AS (
+  SELECT user_id, count(*) AS user_n_events,
+         CAST(round(avg(value), 6) AS DOUBLE) AS user_avg_value
+  FROM events GROUP BY user_id)
+SELECT e.event_id, e.user_id, e.event_type, p.user_n_events, p.user_avg_value
+FROM events e LEFT JOIN prof p ON e.user_id = p.user_id
+"""
+
+
+@register("streaming_enrich", _STREAMING_ENRICH_ORACLE)
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich a live event stream with a static per-user profile table
+    (historical count + mean value): the profile is broadcast into every
+    micro-batch, the stream side never shuffles, and no join state
+    accumulates. Drained availableNow == the batch LEFT JOIN oracle."""
+    from vstream_spark.streaming.pipeline import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_enrich,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    prof = events.groupBy("user_id").agg(
+        F.count("*").alias("user_n_events"),
+        F.round(F.avg("value"), 6).cast("double").alias("user_avg_value"),
+    )
+    enriched = streaming_enrich(read_event_stream(spark, sf_dir), prof)
+    run_stream_to_memory(enriched, "_streaming_enrich", output_mode="append")
+    return spark.table("_streaming_enrich")

@@ -168,6 +168,27 @@ def streaming_interval_join(
     )
 
 
+def streaming_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream joins
+    against a STATIC dimension (here a per-key profile) — the canonical
+    "decorate events with reference data" shape. The static side is
+    broadcast, so the stream never shuffles and no join state accumulates
+    (unlike stream-stream joins, the static side is re-resolved per batch,
+    which is also what makes it safe to swap the dim between batches at
+    scale). Append mode; a drained availableNow run equals the batch join."""
+    return events.join(F.broadcast(dim), key, "left").select(
+        "event_id",
+        key,
+        "event_type",
+        "user_n_events",
+        "user_avg_value",
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain a streaming DF with availableNow into an in-memory table; returns
     the query handle after completion (test/debug sink)."""
