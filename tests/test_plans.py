@@ -248,3 +248,37 @@ def test_anomaly_broadcasts_stats(spark):
     df = fn(spark, SF)
     assert_plan_contains(df, "BroadcastHashJoin")
     assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython", "SortMergeJoin")
+
+
+def test_semantic_dedup_broadcast_assign_cluster_keyed_pairs(spark):
+    from vstream_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["dedup_semantic"]
+    df = fn(spark, SF)
+    # centroid assignment broadcasts; pair join keys on cluster_id (no NLJ
+    # over the full corpus) and distances stay in Catalyst
+    plan = assert_plan_contains(df, "BroadcastNestedLoopJoin")
+    assert "cluster_id" in plan
+    assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython", "CartesianProduct")
+
+
+def test_mean_pool_partial_aggregation(spark):
+    from vstream_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["emb_mean_pool"]
+    df = fn(spark, SF)
+    # posexplode then ONE exchange carrying partial (sum,count) cells
+    assert_plan_contains(df, "Generate", "partial_avg")
+    assert count_exchanges(df) == 1
+    assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython")
+
+
+def test_table_profile_single_pass(spark):
+    from vstream_spark.operators.profile import profile
+    from vstream_spark.sources.tables import load_table
+
+    df = profile(load_table(spark, SF, "documents"), ["doc_id", "lang"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one scan of the table feeds every per-column stat (single-pass claim)
+    assert plan.count("Scan parquet") <= 1
+    assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython")
