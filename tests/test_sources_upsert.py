@@ -99,3 +99,27 @@ def test_embed_text_composes_and_matches_tf(spark):
         assert np.allclose(emb[d], want, atol=1e-6)
     # doc 1 is a one-hot: its norm concentrates in one bucket
     assert (emb[1] > 0).sum() == 1
+
+
+def test_delete_where_masks_and_is_logical(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    from vstream_spark.storage.segments import SegmentStore
+
+    st = SegmentStore(spark, str(tmp_path / "erase"))
+    rows = [(i, [float(i)], 1000 + i, 10**9, "I") for i in range(10)]
+    schema = "id long, emb array<float>, event_time long, ttl long, op string"
+    st.upsert_batch(spark.createDataFrame(rows, schema))
+    n_segs = len(st.segments())
+    seg = st.delete_where(F.col("id") >= 7, event_time=5000)
+    # one NEW tombstone segment; no data segment rewritten
+    assert len(st.segments()) == n_segs + 1 and seg["count"] == 3
+    from vstream_spark.operators.knn import apply_deletes
+
+    visible = apply_deletes(st.read()).select("id")
+    assert sorted(r.id for r in visible.collect()) == list(range(7))
+    # compaction afterwards physically reclaims: erased ids gone at rest
+    st.compact()
+    assert sorted(
+        r.id for r in apply_deletes(st.read()).select("id").collect()
+    ) == list(range(7))

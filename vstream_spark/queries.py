@@ -3357,3 +3357,75 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = streaming_enrich(read_event_stream(spark, sf_dir), prof)
     run_stream_to_memory(enriched, "_streaming_enrich", output_mode="append")
     return spark.table("_streaming_enrich")
+
+
+# --- Bulk erasure (delete-by-predicate maintenance op) -----------------------
+# Beyond per-record stream deletes (W2), a mutable store needs bulk logical
+# erasure: one tombstone segment masks every matching id via LWW, no data
+# rewrite. The oracle replays the identical semantics: the fixture stream
+# plus one synthetic delete marker per erased id, through the same TTL/LWW
+# search.
+
+_GDPR_STORES: dict[str, object] = {}
+
+_GDPR_MARKER_T = "1000 * (SELECT count(*) FROM embeddings) + 500"
+
+_KNN_ERASE_ORACLE = f"""
+WITH base AS ({VECTORS_FIXTURE_SQL}),
+vectors AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT id, emb, CAST({_GDPR_MARKER_T} AS BIGINT) AS event_time, ttl, 'D' AS op
+  FROM base WHERE op = 'I' AND id % 5 = 0
+),
+queries AS ({QUERIES_FIXTURE_SQL}),
+inserts AS (SELECT * FROM vectors WHERE op = 'I'),
+deletes AS (SELECT * FROM vectors WHERE op = 'D'),
+live AS (
+  SELECT i.* FROM inserts i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM deletes d WHERE d.id = i.id AND d.event_time > i.event_time
+  )
+),
+scored AS (
+  SELECT q.qid, v.id AS neighbor_id, {D.l2sq_sql("q.emb", "v.emb")} AS distance, q.k AS k
+  FROM live v
+  JOIN queries q
+    ON v.event_time >= q.event_time - q.ttl AND v.event_time <= q.event_time
+),
+ranked AS (
+  SELECT qid, neighbor_id, distance, k,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY distance ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, neighbor_id, distance, rank FROM ranked WHERE rank <= k
+"""
+
+
+def _gdpr_store(spark: SparkSession, sf_dir: str):
+    from vstream_spark.storage.segments import SegmentStore
+
+    store = _GDPR_STORES.get(sf_dir)
+    if store is None:
+        import tempfile
+
+        store = SegmentStore(spark, tempfile.mkdtemp(prefix="knn-erase-store-"))
+        store.upsert_batch(vectors_fixture(spark, sf_dir))
+        n = load_table(spark, sf_dir, "embeddings").count()
+        store.delete_where(F.col("id") % 5 == 0, event_time=1000 * n + 500)
+        _GDPR_STORES[sf_dir] = store
+    store.spark = spark
+    return store
+
+
+@register("knn_erase", _KNN_ERASE_ORACLE)
+def q_knn_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search after ``delete_where(id % 5 == 0)``: the erased ids are
+    invisible (LWW tombstones win), everything else ranks identically —
+    hash-matched against the stream-delete semantics replayed in SQL."""
+    store = _gdpr_store(spark, sf_dir)
+    vectors = store.read()
+    queries = queries_fixture(spark, sf_dir)
+    return knn_exact(
+        vectors, queries, k=None, metric="l2", honor_ttl=True, honor_deletes=True
+    )

@@ -253,6 +253,31 @@ class SegmentStore:
         )
         return self.append_segment(last)
 
+    def delete_where(self, predicate, event_time: int) -> dict | None:
+        """Bulk erasure: flush delete markers for every LIVE id matching
+        ``predicate`` (the GDPR / right-to-be-forgotten maintenance op a
+        mutable vector store needs beyond per-record stream deletes).
+
+        Logical-first like the stream path: ONE new tombstone segment is
+        appended — no data segment is rewritten — and LWW masks the ids at
+        read time; physical reclamation happens at the next compact/evict.
+        At 100 TB this is a scan + filter + small flush, never a rewrite of
+        the store. ``event_time`` must be later than the victims' inserts
+        (LWW: a delete only wins strictly-later)."""
+        live = self.read()
+        if live is None:
+            return None
+        victims = live.filter(F.col("op") == "I").filter(predicate)
+        markers = victims.select(
+            "id",
+            "emb",
+            F.lit(int(event_time)).cast("long").alias("event_time"),
+            "ttl",
+            F.lit("D").alias("op"),
+        ).dropDuplicates(["id"])
+        return self.append_segment(markers)
+
+
     # -- read path -----------------------------------------------------------
 
     def prune(
