@@ -282,3 +282,15 @@ def test_table_profile_single_pass(spark):
     # one scan of the table feeds every per-column stat (single-pass claim)
     assert plan.count("Scan parquet") <= 1
     assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython")
+
+
+def test_weighted_sample_is_distributed_topn(spark):
+    from vstream_spark.operators.sample import weighted_sample
+    from vstream_spark.sources.tables import load_table
+
+    df = weighted_sample(load_table(spark, SF, "documents"), 10, "n_chars")
+    # top-n via TakeOrdered (per-partition heads, O(n) at the driver) —
+    # never a global Sort+Exchange; key arithmetic is pure codegen
+    assert_plan_contains(df, "TakeOrderedAndProject")
+    assert count_exchanges(df) == 0
+    assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython")

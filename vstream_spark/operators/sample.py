@@ -261,3 +261,50 @@ SELECT d.* FROM {table} d
 JOIN rates r ON d.{stratum_col} = r.stratum
 WHERE {hash_bucket_sql(key_sql, seed)} < r.thr
 """
+
+
+def _es_key(key: Column, weight: Column, seed: int) -> Column:
+    """Efraimidis-Spirakis key u^(1/w): u is a deterministic 48-bit md5
+    uniform (exact in a double), w the row weight. Rounded to 6dp so the
+    cross-engine last-ulp of pow() can never reorder; ties (including
+    rounded collisions) break on the sample key column deterministically."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}|"), key.cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**12))
+    )
+    return F.round(F.pow(u, F.lit(1.0) / weight.cast("double")), 6)
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    the n rows with the largest u^(1/w) keys are exactly a weighted sample
+    — one pass, no replacement bookkeeping. Deterministic like the rest of
+    the family (same rows win on any engine/partitioning), and the top-n is
+    a distributed TakeOrdered (per-partition heads merged at the driver,
+    O(n) rows), never a global sort."""
+    k = _es_key(F.col(key_col), F.col(weight_col), seed)
+    return (
+        df.withColumn("es_key", k.cast("double"))
+        .orderBy(F.col("es_key").desc(), F.col(key_col).asc())
+        .limit(n)
+    )
+
+
+def es_key_sql(key_sql: str, weight_sql: str, seed: int) -> str:
+    """DuckDB twin of ``_es_key``."""
+    return (
+        f"round(pow(CAST(('0x' || substr(md5('{seed}|' || CAST({key_sql} AS VARCHAR)), 1, 12))::BIGINT AS DOUBLE)"
+        f" / {float(16**12)!r}, 1.0 / CAST({weight_sql} AS DOUBLE)), 6)"
+    )

@@ -3429,3 +3429,28 @@ def q_knn_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_exact(
         vectors, queries, k=None, metric="l2", honor_ttl=True, honor_deletes=True
     )
+
+
+# --- Weighted sampling without replacement (Efraimidis-Spirakis) -------------
+
+def _weighted_sample_oracle() -> str:
+    from vstream_spark.operators.sample import es_key_sql
+
+    k = es_key_sql("doc_id", "n_chars", 42)
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, source, CAST({k} AS DOUBLE) AS es_key FROM documents)
+SELECT doc_id, source, es_key FROM keyed
+ORDER BY es_key DESC, doc_id ASC LIMIT 50
+"""
+
+
+@register("sample_weighted", _weighted_sample_oracle())
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus sample (w = n_chars) via the one-pass A-ES
+    top-n — longer docs win proportionally more often, no replacement, and
+    the same 50 docs win on any engine or partitioning."""
+    from vstream_spark.operators.sample import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, 50, "n_chars").select("doc_id", "source", "es_key")
