@@ -1718,7 +1718,13 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     scale, codes = quantize_expr(F.col("embedding"))
     deq = F.transform(codes, lambda x: (x.cast("double") * scale).cast("float"))
-    vectors = emb.select(F.col("vec_id").alias("id"), deq.alias("emb"))
+    # materialize the dequantized floats ONCE PER ROW behind an exchange:
+    # CollapseProject would otherwise fold the 64-element transform into the
+    # BNLJ output and re-evaluate it per PAIR (measured 1.6x slower at sf0.1;
+    # in the real store the scan projection materializes this for free)
+    vectors = emb.select(F.col("vec_id").alias("id"), deq.alias("emb")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     queries = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
     )
@@ -2879,7 +2885,11 @@ def q_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     scale, codes = quantize_expr(F.col("embedding"))
     deq = F.transform(codes, lambda x: (x.cast("double") * scale).cast("float"))
-    coarse = emb.select(F.col("vec_id").alias("id"), deq.alias("emb"))
+    # same materialization barrier as knn_quantized: keep the dequantize
+    # out of the per-pair BNLJ projection
+    coarse = emb.select(F.col("vec_id").alias("id"), deq.alias("emb")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     queries = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
     )
@@ -3239,8 +3249,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     window) then cosine near-dup pairs ONLY within a cluster — the pair join
     shuffles on cluster_id, so pair work is sum-of-squared-cluster-sizes,
     never N^2. All distances are the shared JVM folds, hash-matched against
-    the same pipeline in DuckDB."""
-    from vstream_spark.functions.distance import cosine_similarity
+    the same pipeline in DuckDB. Member norms are hoisted OUT of the pair
+    loop (the MaxSim lesson: one fold per pair instead of three — same IEEE
+    ops per norm, computed once per member, so results stay bitwise)."""
+    from vstream_spark.functions.distance import dot, norm
     from vstream_spark.operators.cluster import assign_nearest
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3250,20 +3262,28 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cemb"))
     )
     assigned = assign_nearest(emb, cent, metric="l2").select("vec_id", "cluster_id")
-    members = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    members = assigned.join(emb.select("vec_id", "embedding"), "vec_id").withColumn(
+        "_n", norm(F.col("embedding"))
+    )
     a = members.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
+        F.col("_n").alias("_na"),
     )
     b = members.select(
         F.col("cluster_id").alias("_cb"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("_n").alias("_nb"),
     )
+    denom = F.col("_na") * F.col("_nb")
+    sim = F.when(
+        denom != 0.0, dot(F.col("emb_a"), F.col("emb_b")) / denom
+    ).otherwise(F.lit(0.0))
     return (
         a.join(b, (F.col("cluster_id") == F.col("_cb")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cosine_sim", cosine_similarity(F.col("emb_a"), F.col("emb_b")))
+        .withColumn("cosine_sim", sim)
         .filter(F.col("cosine_sim") >= 0.4)
         .select("cluster_id", "id_a", "id_b", "cosine_sim")
     )
