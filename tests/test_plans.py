@@ -25,13 +25,17 @@ def test_knn_exact_broadcasts_queries_single_exchange(spark):
     from vstream_spark.operators.knn import knn_exact
 
     vectors, queries = _emb(spark)
-    df = knn_exact(vectors, queries, k=10, metric="l2")
-    # queries broadcast; vector side streams (no shuffle before the join)
+    # pre-widened vector side (the at-scale shape: many input splits) ->
+    # the ONLY exchange knn_exact itself adds is the qid top-k window
+    df = knn_exact(vectors.repartition(32), queries, k=10, metric="l2")
     assert_plan_contains(df, "BroadcastNestedLoopJoin", "WindowGroupLimit")
-    # dedup window skipped -> exactly ONE shuffle exchange (the qid top-k)
-    assert count_exchanges(df) == 1
+    assert count_exchanges(df) == 2  # caller repartition + top-k, nothing else
     # no Python in the scoring path (pure Catalyst distance)
     assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython")
+    # an under-partitioned input (small-file scan) gains exactly the widening
+    # repartition — the BNLJ pair loop must never serialize onto one task
+    df2 = knn_exact(vectors, queries, k=10, metric="l2")
+    assert count_exchanges(df2) == 2
 
 
 def test_relational_pushdown_and_broadcast(spark):

@@ -108,10 +108,19 @@ def knn_exact(
 
     The query side is broadcast (queries are the small side by construction —
     reference fan-out is query-replicated too, P1-P5), so the big vector table
-    never shuffles for the join; the only exchange is the top-k window over
-    candidate rows.
+    never shuffles for the join; the only exchanges are the top-k window over
+    candidate rows and, when the vector side arrives under-partitioned, one
+    widening repartition (see below).
     """
     live = apply_deletes(vectors) if honor_deletes else vectors
+    # BNLJ parallelism trap (same fix as similarity_join_exact): the streamed
+    # side's task count drives the O(N x Q) pair loop, and a small-file scan
+    # (1-2 input splits) serializes it onto one task. Widen to the cluster
+    # when under-partitioned — a no-op on genuinely large inputs, which
+    # already carry enough splits.
+    par = live.sparkSession.sparkContext.defaultParallelism
+    if live.rdd.getNumPartitions() < par:
+        live = live.repartition(par)
     q = queries
     sel_v = [F.col("v.id").alias("neighbor_id"), F.col("v.emb").alias("_vemb")]
     sel_q = [F.col("q.qid"), F.col("q.emb").alias("_qemb")]

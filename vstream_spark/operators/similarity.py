@@ -146,6 +146,11 @@ def range_search(
     top-k (which needs the per-qid exchange)."""
     from vstream_spark.functions.distance import distance_expr
 
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    if vectors.rdd.getNumPartitions() < par:
+        # same BNLJ parallelism trap as similarity_join_exact: the streamed
+        # side's splits drive the pair loop — widen under-partitioned inputs
+        vectors = vectors.repartition(par)
     pairs = vectors.alias("v").join(
         F.broadcast(queries.alias("q")), F.lit(True), "inner"
     )
@@ -191,6 +196,10 @@ def maxsim_topk(
     # norms are just computed once per member instead of once per pair
     qm = query_members.withColumn("_qn", norm(F.col("emb")))
     dm = doc_members.withColumn("_dn", norm(F.col("emb")))
+    par = dm.sparkSession.sparkContext.defaultParallelism
+    if dm.rdd.getNumPartitions() < par:
+        # widen the streamed side of the member-sim BNLJ (parallelism trap)
+        dm = dm.repartition(par)
     pairs = dm.alias("d").join(F.broadcast(qm.alias("q")), F.lit(True), "inner")
     denom = F.col("q._qn") * F.col("d._dn")
     sims = pairs.select(

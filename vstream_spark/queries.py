@@ -1718,13 +1718,7 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     scale, codes = quantize_expr(F.col("embedding"))
     deq = F.transform(codes, lambda x: (x.cast("double") * scale).cast("float"))
-    # materialize the dequantized floats ONCE PER ROW behind an exchange:
-    # CollapseProject would otherwise fold the 64-element transform into the
-    # BNLJ output and re-evaluate it per PAIR (measured 1.6x slower at sf0.1;
-    # in the real store the scan projection materializes this for free)
-    vectors = emb.select(F.col("vec_id").alias("id"), deq.alias("emb")).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    vectors = emb.select(F.col("vec_id").alias("id"), deq.alias("emb"))
     queries = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
     )
@@ -2885,11 +2879,7 @@ def q_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     scale, codes = quantize_expr(F.col("embedding"))
     deq = F.transform(codes, lambda x: (x.cast("double") * scale).cast("float"))
-    # same materialization barrier as knn_quantized: keep the dequantize
-    # out of the per-pair BNLJ projection
-    coarse = emb.select(F.col("vec_id").alias("id"), deq.alias("emb")).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    coarse = emb.select(F.col("vec_id").alias("id"), deq.alias("emb"))
     queries = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
     )
