@@ -1,0 +1,136 @@
+"""Keyword + hybrid retrieval (BM25, reciprocal-rank fusion).
+
+The reference serves dense vector search; the capability every production
+deployment pairs with it is keyword scoring and score fusion — "hybrid
+search". Both halves are deterministic relational pipelines here:
+
+  bm25        — Okapi BM25 (Lucene idf variant: ln(1 + (N-df+.5)/(df+.5)))
+                over the whitespace token stream. All aggregates are exact
+                integers until the final double arithmetic, so the DuckDB
+                twin reproduces scores bitwise (rounded 6dp before ranking).
+  rrf_fuse    — Reciprocal Rank Fusion: sum of 1/(k0 + rank) over input
+                rankings (Cormack et al.): rank arithmetic only, engine-
+                exact, the standard zero-tuning fusion for hybrid search.
+
+Scale shape: BM25 is two token-stream aggregations (tf per (doc, term); dl
+per doc) plus an O(terms) broadcast — the token exchange is the only big
+shuffle and it is map-side combined. RRF joins k-row rankings — trivial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bm25(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """BM25 score of every document against the term set.
+
+    Returns (doc_id, score) for docs matching >= 1 term; score rounded to
+    ``round_dp`` so cross-engine ln()/division last-ulp noise can never
+    reorder a downstream ranking.
+    """
+    n_docs = docs.count()  # O(1) driver scalar, exact
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # avgdl from exact integer sums -> identical double in any engine
+    tot = dl.agg(F.sum("dl").alias("s"), F.count("*").alias("c")).collect()[0]
+    avgdl = float(tot["s"]) / float(tot["c"])
+    tf = (
+        toks.filter(F.col("tok").isin(list(terms)))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t.withColumn("idf", idf).select("tok", "idf")), "tok")
+        .join(dl, "doc_id")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("contrib"), round_dp).cast("double").alias("score")
+    )
+
+
+def bm25_sql(
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB twin of ``bm25`` over the ``documents`` view — identical
+    expression tree, identical rounding."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM dl) AS DOUBLE) AS avgdl),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ({term_list}) GROUP BY doc_id, tok),
+dft AS (
+  SELECT tok, count(*) AS df,
+         ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf
+  FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         dft.idf * (tf.tf * {k1 + 1.0!r}) /
+           (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl.dl / (SELECT avgdl FROM stats))) AS contrib
+  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id))
+SELECT doc_id, CAST(round(sum(contrib), {round_dp}) AS DOUBLE) AS score
+FROM contrib GROUP BY doc_id
+"""
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k0: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion: rrf = sum over rankings of 1/(k0 + rank).
+
+    Each input is (id, rank). A doc missing from a ranking contributes 0
+    (the standard convention). Pure rank arithmetic — exact sums of a few
+    IEEE-identical divisions, so no rounding is needed cross-engine.
+    """
+    parts = [
+        r.select(
+            F.col(id_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col).cast("double"))).alias(
+                "c"
+            ),
+        )
+        for r in rankings
+    ]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    return allc.groupBy("doc_id").agg(F.sum("c").alias("rrf_score"))

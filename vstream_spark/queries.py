@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vstream_spark.config import PartitionerConf
@@ -3464,3 +3464,131 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return weighted_sample(docs, 50, "n_chars").select("doc_id", "source", "es_key")
+
+
+# --- Keyword (BM25) + hybrid RRF retrieval -----------------------------------
+# The capability every dense-vector deployment pairs with: keyword scoring
+# and zero-tuning score fusion. Terms are literals so both engines compute
+# the identical pipeline.
+
+_BM25_TERMS = ["vector", "scan", "merge"]
+
+
+def _bm25_top_oracle(n: int = 20) -> str:
+    from vstream_spark.operators.retrieval import bm25_sql
+
+    return f"""
+WITH scores AS ({bm25_sql(_BM25_TERMS)}),
+top AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id ASC LIMIT {n})
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM top
+"""
+
+
+def _bm25_top(spark: SparkSession, sf_dir: str, n: int = 20) -> DataFrame:
+    from vstream_spark.operators.retrieval import bm25
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = bm25(docs, _BM25_TERMS)
+    top = s.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(n)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+@register("text_bm25", _bm25_top_oracle())
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a literal term set: token-stream tf/dl
+    aggregations + an O(terms) idf broadcast; the top-n is TakeOrdered
+    (the rank window runs on the 20 surviving rows only)."""
+    return _bm25_top(spark, sf_dir)
+
+
+_HYBRID_QTEXT = " ".join(_BM25_TERMS)
+
+
+def _hybrid_oracle(dim: int = 64, n: int = 20, k0: int = 60, k: int = 10) -> str:
+    from vstream_spark.operators.retrieval import bm25_sql
+
+    dist = D.distance_sql("q.emb", "v.emb", "cosine")
+    return f"""
+WITH docs_u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT -1 AS doc_id, '{_HYBRID_QTEXT}' AS text),
+toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM docs_u),
+tfb AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(tok), 1, 15))::BIGINT % {dim} AS INTEGER) AS bucket,
+         count(*) AS tf
+  FROM toks GROUP BY doc_id, bucket),
+m AS (
+  SELECT doc_id, map_from_entries(list(struct_pack(k := bucket, v := tf::DOUBLE))) AS mm
+  FROM tfb GROUP BY doc_id),
+dense AS (
+  SELECT doc_id, list_transform(range(0, {dim}), i -> coalesce(mm[i::INTEGER][1], 0.0)) AS d
+  FROM m),
+normed AS (
+  SELECT doc_id, sqrt(list_sum(list_transform(d, x -> x*x))) AS n, d FROM dense),
+emb_t AS (
+  SELECT doc_id,
+         list_transform(d, x -> CAST(x / (CASE WHEN n > 0 THEN n ELSE 1.0 END) AS FLOAT)) AS emb
+  FROM normed),
+q AS (SELECT emb FROM emb_t WHERE doc_id = -1),
+cos AS (
+  SELECT v.doc_id, {dist} AS distance FROM emb_t v CROSS JOIN q WHERE v.doc_id >= 0),
+cos_top AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY distance ASC, doc_id ASC) AS INTEGER) AS rank
+  FROM (SELECT doc_id, distance FROM cos ORDER BY distance ASC, doc_id ASC LIMIT {n})),
+bm AS ({bm25_sql(_BM25_TERMS)}),
+bm_top AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM (SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id ASC LIMIT {n})),
+rrf AS (
+  SELECT doc_id, sum(1.0 / ({k0} + CAST(rank AS DOUBLE))) AS rrf_score
+  FROM (SELECT * FROM bm_top UNION ALL SELECT * FROM cos_top)
+  GROUP BY doc_id)
+SELECT doc_id, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM (SELECT doc_id, rrf_score FROM rrf ORDER BY rrf_score DESC, doc_id ASC LIMIT {k})
+"""
+
+
+@register("knn_hybrid_rrf", _hybrid_oracle())
+def q_knn_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 top-20 and embedding-cosine top-20 for the same
+    literal query, fused with Reciprocal Rank Fusion (1/(60+rank) sums —
+    pure rank arithmetic, bitwise cross-engine). The final top-10 is the
+    production hybrid-retrieval serving shape."""
+    from vstream_spark.functions.distance import cosine_distance
+    from vstream_spark.operators.embed import embed_text
+    from vstream_spark.operators.retrieval import rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    qdoc = spark.createDataFrame([(-1, _HYBRID_QTEXT)], "doc_id long, text string")
+    emb_all = embed_text(docs.select("doc_id", "text").unionByName(qdoc), dim=64)
+    qemb = emb_all.filter(F.col("doc_id") == -1).select(F.col("emb").alias("qemb"))
+    cos = (
+        emb_all.filter(F.col("doc_id") >= 0)
+        .crossJoin(F.broadcast(qemb))
+        .select(
+            "doc_id",
+            cosine_distance(F.col("qemb"), F.col("emb")).alias("distance"),
+        )
+    )
+    w_cos = Window.orderBy(F.col("distance").asc(), F.col("doc_id").asc())
+    cos_top = (
+        cos.orderBy(F.col("distance").asc(), F.col("doc_id").asc())
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w_cos).cast("int"))
+        .select("doc_id", "rank")
+    )
+    bm_top = _bm25_top(spark, sf_dir).select("doc_id", "rank")
+    fused = rrf_fuse([bm_top, cos_top])
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "rrf_score", "rank")
+    )
