@@ -134,3 +134,58 @@ def rrf_fuse(
     for p in parts[1:]:
         allc = allc.unionByName(p)
     return allc.groupBy("doc_id").agg(F.sum("c").alias("rrf_score"))
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    qid_col: str = "qid",
+    id_col: str = "neighbor_id",
+    emb_col: str = "emb",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998): per
+    query, greedily pick argmax ``lam * rel - (1 - lam) * max_sim_to_
+    selected`` — the standard diversity rerank after a first-stage
+    retrieval. Inherently sequential per query, so it runs as a per-qid
+    ``applyInPandas`` over the CANDIDATE set (first-stage top-N, N ~ tens)
+    — the greedy loop touches N^2 floats per query, never the corpus, and
+    queries parallelize across executors. Deterministic: ties break to the
+    smaller id. Returns (qid, neighbor_id, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[rel_col].to_numpy().astype(np.float64)
+        mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0
+        unit = mat / nrm[:, None]
+        sims = unit @ unit.T
+        order = np.lexsort((ids, -rel))  # rel desc, id asc
+        selected: list[int] = [int(order[0])]
+        remaining = [int(i) for i in order[1:]]
+        while remaining and len(selected) < k:
+            best_i, best_key = None, None
+            for i in remaining:
+                score = lam * rel[i] - (1.0 - lam) * sims[i, selected].max()
+                key = (score, -int(ids[i]))
+                if best_key is None or key > best_key:
+                    best_i, best_key = i, key
+            selected.append(best_i)
+            remaining.remove(best_i)
+        return pd.DataFrame(
+            {
+                qid_col: pdf[qid_col].iloc[: len(selected)].to_numpy()[0].repeat(
+                    len(selected)
+                ),
+                id_col: ids[selected],
+                "rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+            }
+        )
+
+    return candidates.groupBy(qid_col).applyInPandas(
+        pick, schema=f"{qid_col} bigint, {id_col} bigint, rank int"
+    )

@@ -3592,3 +3592,85 @@ def q_knn_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .select("doc_id", "rrf_score", "rank")
     )
+
+
+# --- Diversified rerank gate (MMR) -------------------------------------------
+
+_MMR_GATE_ORACLE = (
+    "SELECT * FROM (VALUES ('k_rows', true), ('subset_and_top1', true), "
+    "('diversity', true)) t(check_name, ok)"
+)
+
+
+@register("knn_mmr_gate", _MMR_GATE_ORACLE)
+def q_knn_mmr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank over first-stage exact top-50: the gate proves
+    (1) exactly k picks per query, (2) picks come from the candidate set
+    with the relevance-best candidate first (MMR's anchor), and (3) the
+    reranked lists are no less diverse than plain top-10 (mean intra-list
+    pairwise cosine does not increase — the operator's entire point)."""
+    from vstream_spark.functions.distance import cosine_similarity
+    from vstream_spark.operators.retrieval import mmr_rerank
+
+    vectors, queries = _emb_pair(spark, sf_dir)
+    # cache the first stage: every check below re-reads it (subset, top-1,
+    # both diversity scans) — without the cache the exact search re-runs 4x
+    cands = knn_exact(vectors, queries, k=50, metric="l2").cache()
+    joined = (
+        cands.join(
+            vectors.select(F.col("id").alias("neighbor_id"), "emb"), "neighbor_id"
+        )
+        .withColumn("rel", -F.col("distance"))
+        .select("qid", "neighbor_id", "emb", "rel")
+    )
+    mmr = mmr_rerank(joined, k=10, lam=0.5).cache()
+    plain = cands.filter(F.col("rank") <= 10).select("qid", "neighbor_id", "rank")
+
+    n_queries = queries.count()
+    k_rows_ok = (
+        mmr.groupBy("qid").count().filter(F.col("count") != 10).count() == 0
+        and mmr.select("qid").distinct().count() == n_queries
+    )
+    n_mmr = mmr.count()
+    subset_ok = (
+        mmr.join(cands.select("qid", "neighbor_id"), ["qid", "neighbor_id"]).count()
+        == n_mmr
+    )
+    top1_ok = (
+        mmr.filter(F.col("rank") == 1)
+        .join(
+            plain.filter(F.col("rank") == 1).withColumnRenamed("neighbor_id", "p1"),
+            "qid",
+        )
+        .filter(F.col("neighbor_id") == F.col("p1"))
+        .count()
+        == n_queries
+    )
+
+    def mean_pairwise_sim(sel: DataFrame) -> float:
+        withe = sel.join(
+            vectors.select(F.col("id").alias("neighbor_id"), "emb"), "neighbor_id"
+        ).select("qid", F.col("neighbor_id").alias("nid"), "emb")
+        a = withe.select("qid", F.col("nid").alias("ia"), F.col("emb").alias("ea"))
+        b = withe.select(
+            F.col("qid").alias("_q"), F.col("nid").alias("ib"), F.col("emb").alias("eb")
+        )
+        pairs = a.join(b, (F.col("qid") == F.col("_q")) & (F.col("ia") < F.col("ib")))
+        row = pairs.agg(
+            F.avg(cosine_similarity(F.col("ea"), F.col("eb"))).alias("m")
+        ).collect()[0]
+        return float(row["m"])
+
+    diversity_ok = mean_pairwise_sim(mmr.select("qid", "neighbor_id")) <= (
+        mean_pairwise_sim(plain.select("qid", "neighbor_id")) + 1e-9
+    )
+    mmr.unpersist()
+    cands.unpersist()
+    return spark.createDataFrame(
+        [
+            ("k_rows", bool(k_rows_ok)),
+            ("subset_and_top1", bool(subset_ok and top1_ok)),
+            ("diversity", bool(diversity_ok)),
+        ],
+        "check_name string, ok boolean",
+    )
