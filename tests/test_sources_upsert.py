@@ -123,3 +123,22 @@ def test_delete_where_masks_and_is_logical(tmp_path, spark):
     assert sorted(
         r.id for r in apply_deletes(st.read()).select("id").collect()
     ) == list(range(7))
+
+
+def test_dim_validation_rejects_mismatch(tmp_path, spark):
+    import pytest
+
+    from vstream_spark.storage.segments import SegmentStore
+
+    st = SegmentStore(spark, str(tmp_path / "dimcheck"), dim=2)
+    schema = "id long, emb array<float>, event_time long, ttl long, op string"
+    ok = spark.createDataFrame([(1, [1.0, 2.0], 10, 10**9, "I")], schema)
+    assert st.upsert_batch(ok)["count"] == 1
+    bad = spark.createDataFrame(
+        [(2, [1.0, 2.0, 3.0], 11, 10**9, "I")], schema
+    )
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        st.upsert_batch(bad)
+    # NULL-emb delete markers are exempt (they carry no vector)
+    marker = spark.createDataFrame([(1, None, 12, 10**9, "D")], schema)
+    assert st.upsert_batch(marker)["count"] == 1

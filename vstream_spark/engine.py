@@ -68,10 +68,16 @@ class VStreamEngine:
 
     # -- storage --------------------------------------------------------------
 
-    def open_store(self, base_dir: str):
+    def open_store(self, base_dir: str, validate_dim: bool = False):
+        """``validate_dim=True`` enforces ``conf.index.dim`` on every flush
+        (§1.3: dimension is config, never inferred)."""
         from vstream_spark.storage.segments import SegmentStore
 
-        return SegmentStore(self.spark, base_dir)
+        return SegmentStore(
+            self.spark,
+            base_dir,
+            dim=self.conf.index.dim if validate_dim else None,
+        )
 
     def searcher(self, store):
         from vstream_spark.storage.search import SegmentSearcher

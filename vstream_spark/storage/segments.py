@@ -49,11 +49,21 @@ def _dequantize_segment_df(df: DataFrame) -> DataFrame:
 class SegmentStore:
     """Append-only segmented vector store with TTL pruning + compaction."""
 
-    def __init__(self, spark: SparkSession, base_dir: str, codec: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        codec: str | None = None,
+        dim: int | None = None,
+    ):
         if codec not in (None, "int8"):
             raise ValueError(f"unsupported segment codec: {codec!r}")
         self.spark = spark
         self.base_dir = base_dir
+        # §1.3 parity: the reference's dimension is CONFIG, never inferred
+        # (Parameters.java vectorDim; vector_options.h dim) — when set, every
+        # flush validates it in the same stats pass (no extra scan)
+        self.dim = dim
         # C5 vector compression (README "Vector compression";
         # compression/compression.cc): codec='int8' stores segments as
         # per-vector symmetric scalar-quantized (scale, q ARRAY<TINYINT>)
@@ -91,13 +101,29 @@ class SegmentStore:
     def append_segment(self, vectors: DataFrame) -> dict | None:
         """Flush a batch of vector rows (id, emb, event_time, ttl, op) as one
         immutable segment. Returns the segment metadata (None for empty)."""
-        stats = vectors.agg(
+        aggs = [
             F.count("*").alias("n"),
             F.min("event_time").alias("tmin"),
             F.max("event_time").alias("tmax"),
-        ).collect()[0]
+        ]
+        check_dim = self.dim is not None and "emb" in vectors.columns
+        if check_dim:
+            # delete markers may legitimately carry no vector (NULL emb)
+            aggs.append(
+                F.sum(
+                    (
+                        F.col("emb").isNotNull() & (F.size("emb") != F.lit(self.dim))
+                    ).cast("long")
+                ).alias("bad_dim")
+            )
+        stats = vectors.agg(*aggs).collect()[0]
         if stats["n"] == 0:
             return None
+        if check_dim and int(stats["bad_dim"] or 0) > 0:
+            raise ValueError(
+                f"dimension mismatch: {int(stats['bad_dim'])} row(s) with "
+                f"size(emb) != {self.dim} (dim is config, never inferred)"
+            )
         seg_id = f"seg-{time.strftime('%Y%m%d%H%M%S')}-{uuid.uuid4().hex[:8]}"
         path = os.path.join(self.base_dir, seg_id)
         # C5 analog: the reference Gorilla-compresses vector blocks
