@@ -3674,3 +3674,46 @@ def q_knn_mmr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "check_name string, ok boolean",
     )
+
+
+# --- Edit-distance-verified near-dup (MinHash candidates -> Levenshtein) -----
+# The verify step real dedup pipelines run after candidate generation:
+# sketch collisions propose, character-level distance confirms. Verification
+# only ever touches CANDIDATE pairs (never all-pairs), and compares bounded
+# 64-char prefixes so per-pair cost is constant.
+
+
+def _editdist_oracle() -> str:
+    cand = _minhash_lsh_oracle()
+    return f"""
+WITH cand AS ({cand})
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) AS INTEGER) AS prefix_dist
+FROM cand c
+JOIN documents a ON a.doc_id = c.doc_a
+JOIN documents b ON b.doc_id = c.doc_b
+WHERE levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) <= 24
+"""
+
+
+@register("dedup_editdist", _editdist_oracle())
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates confirmed by Levenshtein distance over
+    64-char prefixes (<= 24 edits): the propose-then-verify dedup shape —
+    the quadratic character comparison runs on candidate pairs only, with
+    constant per-pair cost."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, threshold=0.5).select("doc_a", "doc_b")
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"), F.substring("text", 1, 64).alias("_pa")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.substring("text", 1, 64).alias("_pb")
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("prefix_dist", F.levenshtein("_pa", "_pb").cast("int"))
+        .filter(F.col("prefix_dist") <= 24)
+        .select("doc_a", "doc_b", "prefix_dist")
+    )
