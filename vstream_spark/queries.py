@@ -3717,3 +3717,50 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prefix_dist") <= 24)
         .select("doc_a", "doc_b", "prefix_dist")
     )
+
+
+# --- End-to-end curation pipeline (filter -> dedup -> split) -----------------
+# The composition story: the same operators declared individually chain into
+# the canonical corpus-curation pipeline, and the WHOLE chain stays
+# hash-matchable because every stage is deterministic. Plan-wise the stages
+# fuse: the quality rules and fingerprint are projections on one scan, the
+# dedup is one window, the split is hash arithmetic — no stage materializes.
+
+
+def _pipeline_curate_oracle() -> str:
+    from vstream_spark.functions.text import fingerprint_sql, quality_keep_sql
+    from vstream_spark.operators.sample import hash_bucket_sql
+
+    b = hash_bucket_sql("doc_id", 42)
+    return f"""
+WITH kept AS (
+  SELECT doc_id, text, source FROM documents
+  WHERE {quality_keep_sql("text", "lang")}),
+canon AS (
+  SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY {fingerprint_sql("text")} ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1)
+SELECT doc_id, source,
+       CASE WHEN {b} < 100000 THEN 'test'
+            WHEN {b} < 900000 THEN 'train'
+            ELSE 'val' END AS split
+FROM canon
+"""
+
+
+@register("pipeline_curate", _pipeline_curate_oracle())
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filter -> exact dedup (smallest-id survivor) -> deterministic
+    train/val/test split, composed from the individually-declared operators
+    — one scan, one window, zero extra materialization."""
+    from vstream_spark.operators.dedup import dedup_exact
+    from vstream_spark.operators.sample import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(F.expr(T.quality_keep_sql("text", "lang")))
+    canon_ids = dedup_exact(kept).filter(F.col("is_canonical")).select("doc_id")
+    canon = canon_ids.join(kept.select("doc_id", "source"), "doc_id")
+    return hash_split(
+        canon, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "source", "split")
