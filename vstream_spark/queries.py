@@ -3764,3 +3764,37 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(
         canon, {"train": 0.8, "val": 0.1, "test": 0.1}
     ).select("doc_id", "source", "split")
+
+
+# --- Heavy-hitter diagnostics ------------------------------------------------
+
+_HEAVY_HITTERS_ORACLE = """
+WITH counts AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+tot AS (SELECT sum(n) AS t FROM counts)
+SELECT user_id, n,
+       CAST(round(CAST(n AS DOUBLE) / (SELECT t FROM tot), 6) AS DOUBLE) AS share,
+       CAST(row_number() OVER (ORDER BY n DESC, user_id ASC) AS INTEGER) AS rank
+FROM (SELECT user_id, n FROM counts ORDER BY n DESC, user_id ASC LIMIT 10)
+"""
+
+
+@register("events_heavy_hitters", _HEAVY_HITTERS_ORACLE)
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hottest keys with traffic share — the skew diagnostic that
+    decides between broadcast, salting, and AQE skew-join for any key.
+    One map-side-combined count agg + a distributed TakeOrdered; the total
+    is an O(1) scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n")).collect()[0][0]
+    top = counts.orderBy(F.col("n").desc(), F.col("user_id").asc()).limit(10)
+    w = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
+    return top.select(
+        "user_id",
+        "n",
+        F.round(F.col("n").cast("double") / F.lit(float(total)), 6)
+        .cast("double")
+        .alias("share"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
