@@ -3798,3 +3798,23 @@ def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("share"),
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+# --- BPE vocabulary induction (iterative; rows-only by design) ---------------
+
+
+@register("text_bpe_merges", None)
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges learned from the corpus (Sennrich et al.): each
+    iteration is a distributed pair-count over the word-vocab table + a
+    pure-Catalyst fold applying the merge; the corpus is scanned once.
+    Iterative -> no SQL oracle (driver records rows-only); determinism and
+    parity with a reference single-node BPE are pinned in test_bpe.py."""
+    from vstream_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=8)
+    rows = [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_rank int, left string, right string, pair_count bigint"
+    )
