@@ -3818,3 +3818,51 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "merge_rank int, left string, right string, pair_count bigint"
     )
+
+
+# --- Embedding outlier detection (cosine to corpus centroid) -----------------
+# The embedding-space data-quality check: vectors far from the corpus
+# centroid are broken/degenerate embeddings (encoder failures, zero rows,
+# wrong-modality content). The centroid is the per-dim mean ROUNDED to 6dp
+# on both engines (partial-agg order differs; rounding pins the bits), so
+# the downstream cosine folds are bitwise-identical.
+
+_EMB_OUTLIERS_ORACLE = f"""
+WITH means AS (
+  SELECT CAST(t.i AS INTEGER) AS dim,
+         CAST(round(avg(CAST(embedding[t.i + 1] AS DOUBLE)), 6) AS DOUBLE) AS mean_val
+  FROM embeddings, range(0, 64) t(i) GROUP BY t.i),
+centroid AS (SELECT list(mean_val ORDER BY dim) AS c FROM means),
+scored AS (
+  SELECT vec_id,
+         {D.cosine_sim_sql("embedding", "(SELECT c FROM centroid)")} AS cos_centroid
+  FROM embeddings)
+SELECT vec_id, cos_centroid,
+       CAST(row_number() OVER (ORDER BY cos_centroid ASC, vec_id ASC) AS INTEGER) AS rank
+FROM (SELECT vec_id, cos_centroid FROM scored ORDER BY cos_centroid ASC, vec_id ASC LIMIT 25)
+"""
+
+
+@register("emb_outliers", _EMB_OUTLIERS_ORACLE)
+def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 25 vectors least aligned with the corpus centroid. The centroid
+    is O(D) driver floats (like every learned-state object here); scoring
+    is one map-only cosine fold per row + a distributed TakeOrdered."""
+    from vstream_spark.functions.distance import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    means = (
+        emb.select(F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+        .orderBy("dim")
+        .collect()
+    )
+    centroid = F.array(*[F.lit(float(r["m"])) for r in means])
+    scored = emb.select(
+        "vec_id",
+        cosine_similarity(F.col("embedding"), centroid).alias("cos_centroid"),
+    )
+    top = scored.orderBy(F.col("cos_centroid").asc(), F.col("vec_id").asc()).limit(25)
+    w = Window.orderBy(F.col("cos_centroid").asc(), F.col("vec_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
