@@ -298,3 +298,23 @@ def test_weighted_sample_is_distributed_topn(spark):
     assert_plan_contains(df, "TakeOrderedAndProject")
     assert count_exchanges(df) == 0
     assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython")
+
+
+def test_bm25_broadcasts_idf_no_python(spark):
+    from vstream_spark.operators.retrieval import bm25
+    from vstream_spark.sources.tables import load_table
+
+    df = bm25(load_table(spark, SF, "documents"), ["vector", "scan"])
+    # O(terms) idf side broadcast; token stream partial-aggregated; no Python
+    assert_plan_contains(df, "BroadcastHashJoin", "partial_count")
+    assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython", "CartesianProduct")
+
+
+def test_apply_bpe_map_only(spark):
+    from vstream_spark.operators.bpe import apply_bpe
+    from vstream_spark.sources.tables import load_table
+
+    df = apply_bpe(load_table(spark, SF, "documents"), [("e", "s"), ("es", "t")])
+    # encode is a pure projection chain: no exchange, no Python
+    assert count_exchanges(df) == 0
+    assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython")
