@@ -2442,47 +2442,48 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-stage first-occurrence joins, all keyed by user_id so the three
     groupBys and both joins share ONE hash partitioning (no extra
     exchanges after the first shuffle; AQE keeps them co-partitioned)."""
+    # SINGLE-PASS funnel: one groupBy(user_id) gathers min signup time and
+    # the per-user click/purchase timestamp arrays (conditional collects,
+    # partial-aggregated map-side); the stage windows are then array
+    # filter/min projections — no joins at all. Exactly two shuffles total
+    # (the user groupBy and the final global count), versus the join chain
+    # that re-evaluated earlier stages per output row.
     ev = load_table(spark, sf_dir, "events")
-    s = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t0"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t0"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+        ).alias("_cl"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("_pu"),
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .alias("e")
-        .join(
-            s.alias("s"),
-            (F.col("e.user_id") == F.col("s.user_id"))
-            & (F.col("e.ts") >= F.col("s.t0"))
-            & (F.col("e.ts") <= F.col("s.t0") + F.expr("INTERVAL 24 HOUR")),
+    t1 = F.array_min(
+        F.filter(
+            F.col("_cl"),
+            lambda x: (x >= F.col("t0"))
+            & (x <= F.col("t0") + F.expr("INTERVAL 24 HOURS")),
         )
-        .groupBy(F.col("e.user_id").alias("user_id"))
-        .agg(F.min("e.ts").alias("t1"))
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .alias("e")
-        .join(
-            c.alias("c"),
-            (F.col("e.user_id") == F.col("c.user_id"))
-            & (F.col("e.ts") >= F.col("c.t1"))
-            & (F.col("e.ts") <= F.col("c.t1") + F.expr("INTERVAL 1 HOUR")),
-        )
-        .groupBy(F.col("e.user_id").alias("user_id"))
-        .agg(F.min("e.ts").alias("t2"))
-    )
-    return (
-        s.agg(F.count("*").alias("n_users")).select(F.lit("signup").alias("stage"), "n_users")
-        .unionAll(
-            c.agg(F.count("*").alias("n_users")).select(
-                F.lit("click_after_signup").alias("stage"), "n_users"
+    staged = per_user.withColumn("t1", t1).withColumn(
+        "t2",
+        F.array_min(
+            F.filter(
+                F.col("_pu"),
+                lambda x: (x >= F.col("t1"))
+                & (x <= F.col("t1") + F.expr("INTERVAL 1 HOUR")),
             )
-        )
-        .unionAll(
-            p.agg(F.count("*").alias("n_users")).select(
-                F.lit("purchase_after_click").alias("stage"), "n_users"
-            )
+        ),
+    )
+    counts = staged.agg(
+        F.count("t0").alias("_n0"),
+        F.count("t1").alias("_n1"),
+        F.count("t2").alias("_n2"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 'signup', _n0, 'click_after_signup', _n1, "
+            "'purchase_after_click', _n2) AS (stage, n_users)"
         )
     )
 
