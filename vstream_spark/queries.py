@@ -3256,6 +3256,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = assigned.join(emb.select("vec_id", "embedding"), "vec_id").withColumn(
         "_n", norm(F.col("embedding"))
     )
+    # both sides of the pair self-join read members: materialize the
+    # assignment ONCE (the rank-1 window is the expensive full-data shuffle;
+    # without this the whole pipeline executes twice — same trick as the
+    # components iteration)
+    members = members.localCheckpoint()
     a = members.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("id_a"),
