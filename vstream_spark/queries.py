@@ -3872,3 +3872,32 @@ def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.col("cos_centroid").asc(), F.col("vec_id").asc()).limit(25)
     w = Window.orderBy(F.col("cos_centroid").asc(), F.col("vec_id").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# --- Disjunctive predicate pushdown (q19 shape) + window-function breadth ----
+
+_REL_EXTRA2: dict[str, str] = {
+    # q19 shape: OR-of-ANDs over a join — Catalyst must push the common
+    # branch predicates into both scans and still broadcast the dim side
+    "rel_disjunctive_revenue": """
+SELECT CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+         AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
+         AND l.l_quantity BETWEEN 10 AND 40)
+""",
+    # lead/lag + cume_dist: per-user event-value deltas and in-user position
+    "rel_user_value_delta": """
+SELECT event_id, user_id,
+       CAST(round(value - (lag(value) OVER w), 6) AS DOUBLE) AS delta_prev,
+       CAST(round((lead(value) OVER w) - value, 6) AS DOUBLE) AS delta_next,
+       CAST(round(cume_dist() OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS DOUBLE) AS pos
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+}
+
+for _name, _sql in _REL_EXTRA2.items():
+    register(_name, _sql)(_make_relational(_sql))
