@@ -3901,3 +3901,62 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 for _name, _sql in _REL_EXTRA2.items():
     register(_name, _sql)(_make_relational(_sql))
+
+
+# --- Time-series resample + forward fill -------------------------------------
+# Gap filling: regularize an irregular event stream onto a daily grid per
+# user and forward-fill missing days — the standard time-series prep step.
+# The calendar is generated per user (sequence/explode), so row count is
+# users x days; the fill is a running last_value IGNORE NULLS window.
+
+_RESAMPLE_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(round(sum(value), 6) AS DOUBLE) AS day_sum
+  FROM events GROUP BY user_id, date_trunc('day', ts)),
+span AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+  FROM events GROUP BY user_id),
+cal AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span)
+SELECT c.user_id, c.day, d.day_sum,
+       last_value(d.day_sum IGNORE NULLS) OVER (
+         PARTITION BY c.user_id ORDER BY c.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+"""
+
+
+@register("events_resample", _RESAMPLE_ORACLE)
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user resample with forward fill: calendar via
+    sequence/explode (no driver loop), daily sums partial-aggregated, fill
+    as a running last-non-null window. Everything keys on user_id, so the
+    join and the window share one partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 6).cast("double").alias("day_sum"))
+    span = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    cal = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cal.join(daily, ["user_id", "day"], "left")
+        .withColumn("filled_sum", F.last("day_sum", ignorenulls=True).over(w))
+        .select(
+            "user_id",
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            "day_sum",
+            "filled_sum",
+        )
+    )
