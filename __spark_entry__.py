@@ -17,8 +17,11 @@ from vstream_spark.queries import REGISTRY
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    fn, _ = REGISTRY["knn_exact_l2"]
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    knn_partitioned_exact IS the reference's end-to-end dataflow: partition
+    exchange -> co-located per-partition search -> global top-k merge."""
+    fn, _ = REGISTRY["knn_partitioned_exact"]
     return fn(spark, "/root/testdata/sf0.001")
 
 
