@@ -150,3 +150,32 @@ def test_store_read_as_of_pins_flush(tmp_path, spark):
     assert sorted(r.id for r in pinned.select("id").collect()) == [0, 1, 2, 3, 4]
     # pruning composes with the pin
     assert st.read(min_event_time=2000, as_of=v1) is None
+
+
+def test_time_travel_cannot_resurrect_erased_data_after_compact(tmp_path, spark):
+    """GDPR interplay: a pinned pre-erasure version stays readable only until
+    compaction VACUUMs the old segment files (Delta semantics) — after that,
+    the logical history remains in the manifest but the data is physically
+    gone, so erased rows cannot be resurrected through as_of."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vstream_spark.storage.segments import SegmentStore
+
+    st = SegmentStore(spark, str(tmp_path / "privacy"))
+    schema = "id long, emb array<float>, event_time long, ttl long, op string"
+    st.upsert_batch(
+        spark.createDataFrame([(i, [float(i)], 100 + i, 10**9, "I") for i in range(6)], schema)
+    )
+    v_pre = st.manifest.version()
+    st.delete_where(F.col("id") >= 3, event_time=9000)
+    # before compaction the pinned version still sees the erased rows
+    assert st.read(as_of=v_pre).count() == 6
+    st.compact()
+    # compaction rewrote + vacuumed: the pre-erasure files are gone
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist|does not exist"):
+        st.read(as_of=v_pre).count()
+    # the live read serves the erased state
+    from vstream_spark.operators.knn import apply_deletes
+
+    assert sorted(r.id for r in apply_deletes(st.read()).select("id").collect()) == [0, 1, 2]
