@@ -3574,8 +3574,13 @@ def q_knn_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdoc = spark.createDataFrame([(-1, _HYBRID_QTEXT)], "doc_id long, text string")
     emb_all = embed_text(docs.select("doc_id", "text").unionByName(qdoc), dim=64)
     qemb = emb_all.filter(F.col("doc_id") == -1).select(F.col("emb").alias("qemb"))
+    # widen the streamed side: the embed pipeline ends in an aggregation
+    # whose AQE-coalesced output would serialize the scoring loop (the same
+    # BNLJ parallelism trap knn_exact guards against internally)
+    par = spark.sparkContext.defaultParallelism
     cos = (
         emb_all.filter(F.col("doc_id") >= 0)
+        .repartition(par)
         .crossJoin(F.broadcast(qemb))
         .select(
             "doc_id",
