@@ -259,9 +259,12 @@ def test_semantic_dedup_broadcast_assign_cluster_keyed_pairs(spark):
 
     fn, _ = REGISTRY["dedup_semantic"]
     df = fn(spark, SF)
-    # centroid assignment broadcasts; pair join keys on cluster_id (no NLJ
-    # over the full corpus) and distances stay in Catalyst
-    plan = assert_plan_contains(df, "BroadcastNestedLoopJoin")
+    # the assignment stage is materialized once (localCheckpoint -> the pair
+    # query reads an ExistingRDD); the pair join keys on cluster_id with the
+    # distances in Catalyst — never a cartesian product or Python eval.
+    # (The broadcast shape of the assignment itself is pinned separately in
+    # test_cluster_assign_broadcasts_centroids.)
+    plan = assert_plan_contains(df, "ExistingRDD")
     assert "cluster_id" in plan
     assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython", "CartesianProduct")
 
