@@ -111,6 +111,8 @@ def main() -> int:
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
             print(f"PASS {name}: rows={len(sdf)} [{t_spark:.1f}s]")
+    checked = len(only) if only else len(REGISTRY)
+    print(f"SUMMARY: {checked - failures}/{checked} ok, {failures} failures [{sf_dir}]")
     spark.stop()
     return 1 if failures else 0
 
