@@ -3965,3 +3965,95 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "filled_sum",
         )
     )
+
+
+# --- Time-series subsequence similarity search -------------------------------
+# The UCR-suite / distributed-TS-search shape (and the SAX partitioner's
+# home domain): find where a z-normalized query pattern best matches inside
+# per-user event-value series. Series are bounded per user (collect is
+# per-key, the same contract as sessionize/funnel); every window distance is
+# a Catalyst fold, so both engines compute identical IEEE values.
+
+_TS_W = 8
+# z-normalized query pattern (a rise-then-fall shape), 6dp literals so both
+# engines fold the exact same constants
+_TS_QZ = [-1.336306, -0.801784, -0.267261, 0.267261, 0.801784, 1.336306,
+          0.534522, -0.534522]
+
+
+def _ts_match_oracle() -> str:
+    qz = "[" + ", ".join(f"{v!r}" for v in _TS_QZ) + "]"
+    w = _TS_W
+    return f"""
+WITH ser AS (
+  SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS v
+  FROM events GROUP BY user_id),
+wins AS (
+  SELECT user_id, v, unnest(generate_series(0, len(v) - {w})) AS st
+  FROM ser WHERE len(v) >= {w}),
+scored AS (
+  SELECT user_id, CAST(st AS INTEGER) AS start_idx,
+         v[st + 1 : st + {w}] AS w8,
+         list_sum(v[st + 1 : st + {w}]) / {w} AS m,
+         list_sum(list_transform(v[st + 1 : st + {w}], x -> x * x)) / {w} AS m2
+  FROM wins),
+dists AS (
+  SELECT user_id, start_idx,
+         CAST(round(list_sum(list_transform(list_zip(w8, {qz}::DOUBLE[]),
+           p -> (((p[1] - m) / (CASE WHEN m2 - m * m > 0 THEN sqrt(m2 - m * m) ELSE 1.0 END)) - p[2])
+              * (((p[1] - m) / (CASE WHEN m2 - m * m > 0 THEN sqrt(m2 - m * m) ELSE 1.0 END)) - p[2]))), 6) AS DOUBLE) AS dist
+  FROM scored)
+SELECT user_id, start_idx, dist,
+       CAST(row_number() OVER (ORDER BY dist ASC, user_id ASC, start_idx ASC) AS INTEGER) AS rank
+FROM (SELECT * FROM dists ORDER BY dist ASC, user_id ASC, start_idx ASC LIMIT 10)
+"""
+
+
+@register("events_ts_match", _ts_match_oracle())
+def q_events_ts_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 best z-normalized matches of a literal query pattern across
+    all users' value series: per-user ordered collect (state bounded by the
+    user's own activity), then every sliding window scores with pure
+    Catalyst folds — mean, variance, and the z-distance are aggregate
+    expressions, no Python, one final distributed TakeOrdered."""
+    w = _TS_W
+    qz = F.array(*[F.lit(v) for v in _TS_QZ])
+    ev = load_table(spark, sf_dir, "events")
+    ser = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda x: x["value"].cast("double"),
+        ).alias("v")
+    )
+    n = F.size("v")
+    wins = ser.filter(n >= w).select(
+        "user_id",
+        "v",
+        F.explode(F.sequence(F.lit(0), n - w)).alias("st"),
+    )
+
+    def dist_expr():
+        w8 = F.slice(F.col("v"), F.col("st") + 1, w)
+        m = F.aggregate(w8, F.lit(0.0), lambda a, x: a + x) / w
+        m2 = F.aggregate(w8, F.lit(0.0), lambda a, x: a + x * x) / w
+        var = m2 - m * m
+        sd = F.when(var > 0, F.sqrt(var)).otherwise(F.lit(1.0))
+        return F.round(
+            F.aggregate(
+                F.zip_with(w8, qz, lambda x, q: ((x - m) / sd - q) * ((x - m) / sd - q)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).cast("double")
+
+    scored = wins.select(
+        "user_id", F.col("st").cast("int").alias("start_idx"), dist_expr().alias("dist")
+    )
+    top = scored.orderBy(
+        F.col("dist").asc(), F.col("user_id").asc(), F.col("start_idx").asc()
+    ).limit(10)
+    wdw = Window.orderBy(
+        F.col("dist").asc(), F.col("user_id").asc(), F.col("start_idx").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(wdw).cast("int"))
