@@ -4057,3 +4057,51 @@ def q_events_ts_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dist").asc(), F.col("user_id").asc(), F.col("start_idx").asc()
     )
     return top.withColumn("rank", F.row_number().over(wdw).cast("int"))
+
+
+# --- Streaming set-similarity join (cross-batch LSH state) -------------------
+
+_DOCS_STREAM_SRC: dict[str, str] = {}
+
+
+def _docs_stream_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """documents split into 3 parquet files (doc_id % 3) so the file stream
+    replays 3 micro-batches; files cached per (process, sf_dir)."""
+    import os
+    import tempfile
+
+    src = _DOCS_STREAM_SRC.get(sf_dir)
+    if src is not None and os.path.isdir(src):
+        return src
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tempfile.mkdtemp(prefix="docs-stream-")
+    for slot in range(3):
+        docs.filter(F.col("doc_id") % 3 == slot).coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+    _DOCS_STREAM_SRC[sf_dir] = out
+    return out
+
+
+@register("streaming_minhash_lsh", _minhash_lsh_oracle())
+def q_streaming_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming set-similarity join drained over a 3-micro-batch
+    document replay: every near-dup pair surfaces exactly once regardless
+    of which batches its members arrived in, and the result hash-matches
+    the BATCH MinHash-LSH oracle — cross-batch bucket state is exactly the
+    batch bucket join, unrolled over time."""
+    from vstream_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_set_similarity,
+    )
+
+    src = _docs_stream_fixture(spark, sf_dir)
+    schema = "doc_id bigint, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pairs = streaming_set_similarity(stream, threshold=0.5)
+    run_stream_to_memory(pairs, "_streaming_mhlsh", output_mode="append")
+    return spark.table("_streaming_mhlsh")

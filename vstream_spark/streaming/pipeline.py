@@ -289,3 +289,81 @@ def search_store(
     return knn_exact(
         vectors, queries, k=k, metric=metric, honor_ttl=True, honor_deletes=True
     )
+
+
+def streaming_set_similarity(
+    docs_stream: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Distributed STREAMING set-similarity join (the ICDE'20 problem shape):
+    documents arrive as a stream; each new arrival pairs with every earlier
+    document sharing an LSH band bucket, then the signature-overlap Jaccard
+    estimate verifies. Keyed state = the bucket's (id, signature) history —
+    per-bucket, so state volume is the banded signature table, never pair
+    space. A pair is emitted exactly once (when its later member arrives) no
+    matter how the stream is batched, so a drained run equals the batch
+    minhash_lsh_candidates bit-for-bit."""
+    import pandas as pd
+
+    from vstream_spark.operators.dedup import minhash_signatures
+
+    if num_perm % bands != 0:
+        raise ValueError("bands must divide num_perm")
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs_stream, n, num_perm, seed)
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.concat_ws(",", F.slice("sig", i * rows + 1, rows)),
+            )
+        ).alias("band", "band_key"),
+    )
+
+    def pair_new_arrivals(key, pdfs, state):
+        import numpy as np
+
+        if state.exists:
+            (ids, sigs_flat) = state.get
+            seen_ids = list(ids)
+            seen_sigs = [list(s) for s in sigs_flat]
+        else:
+            seen_ids, seen_sigs = [], []
+        out_a, out_b, out_e = [], [], []
+        for pdf in pdfs:
+            for did, sig in zip(pdf["doc_id"], pdf["sig"]):
+                did = int(did)
+                sig = [int(x) for x in sig]
+                sv = np.asarray(sig)
+                for oid, osig in zip(seen_ids, seen_sigs):
+                    if oid == did:
+                        continue
+                    a_, b_ = (oid, did) if oid < did else (did, oid)
+                    est = float((np.asarray(osig) == sv).sum()) / num_perm
+                    out_a.append(a_)
+                    out_b.append(b_)
+                    out_e.append(est)
+                seen_ids.append(did)
+                seen_sigs.append(sig)
+        state.update((seen_ids, seen_sigs))
+        yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard_est": out_e})
+
+    pairs = banded.groupBy("band", "band_key").applyInPandasWithState(
+        pair_new_arrivals,
+        outputStructType="doc_a bigint, doc_b bigint, jaccard_est double",
+        stateStructType="ids array<bigint>, sigs array<array<bigint>>",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    # a pair can surface from several bands and several batches: global
+    # streaming dedup (unbounded key state — the keys are candidate pairs,
+    # already a tiny reduced set; bound with the watermark variant if needed)
+    return pairs.filter(F.col("jaccard_est") >= threshold).dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
