@@ -49,6 +49,10 @@ class VectorIndexConf:
     auto_ivf_threshold: int = 65_536
     pq_m: int = 8  # PQ subvectors (dim % pq_m == 0)
     pq_nbits: int = 8  # bits per code (<= 8)
+    # ADC over-fetch factor: the worker rescores refine*k ADC candidates
+    # exactly against the partition's float block (faiss IndexRefineFlat
+    # pattern) — recovers the recall quantization costs at larger shards
+    pq_refine: int = 4
     # Adaptive early termination across segments (db/version_set.cc:2643-2697).
     termination_weight: float = 0.01
     termination_factor: float = 0.8

@@ -159,10 +159,33 @@ def knn_partitioned_worker(
                     ef_construction=index_conf.ef_construction,
                 )
             kk = int(qdf["k"].max()) if per_query_k else k
+            # PQ: over-fetch ADC candidates and rescore them EXACTLY against
+            # the partition's float block (present in this worker anyway) —
+            # the faiss refine pattern; ADC alone loses recall as shard
+            # density grows and quantization error spans true neighbor gaps
+            fetch_k = kk
+            if kind == "pq":
+                fetch_k = min(max(1, index_conf.pq_refine) * kk, len(vids))
+                row_of = {int(lb): i for i, lb in enumerate(vids)}
             out_qid, out_id, out_dist = [], [], []
             for qi, (lbs, ds) in enumerate(
-                idx.search_batch(qmat, kk, max(index_conf.ef_search, kk))
+                idx.search_batch(qmat, fetch_k, max(index_conf.ef_search, fetch_k))
             ):
+                if kind == "pq" and len(lbs):
+                    rows = np.fromiter((row_of[int(l)] for l in lbs), dtype=np.int64)
+                    sub = vmat[rows]
+                    qv = qmat[qi]
+                    if metric == "ip":
+                        ex = 1.0 - sub @ qv
+                    elif metric == "cosine":
+                        denom = np.linalg.norm(sub, axis=1) * np.linalg.norm(qv)
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            ex = 1.0 - np.where(denom > 0, (sub @ qv) / denom, 0.0)
+                    else:
+                        diff = sub - qv
+                        ex = (diff * diff).sum(axis=1)
+                    order = np.lexsort((lbs, ex))[:kk]
+                    lbs, ds = lbs[order], ex[order]
                 out_qid.extend([qids[qi]] * len(lbs))
                 out_id.extend(lbs)
                 out_dist.extend(ds)
