@@ -256,7 +256,7 @@ WHERE l_shipdate >= TIMESTAMP '2024-01-01 00:00:00'
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
        CAST(round(sum(value), 4) AS DOUBLE) AS sum_value,
-       CAST(round(avg(value), 6) AS DOUBLE) AS avg_value
+       CAST(round(round(sum(value), 4) / count(*), 6) AS DOUBLE) AS avg_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 """,
