@@ -79,6 +79,14 @@ class VStreamEngine:
             dim=self.conf.index.dim if validate_dim else None,
         )
 
+    def erase(self, store, predicate, event_time: int):
+        """Bulk logical erasure on a store (delete_where passthrough)."""
+        return store.delete_where(predicate, event_time=event_time)
+
+    def pin_version(self, store) -> int:
+        """Current manifest version — the token for snapshot (as_of) reads."""
+        return store.manifest.version()
+
     def searcher(self, store):
         from vstream_spark.storage.search import SegmentSearcher
 
