@@ -1,0 +1,72 @@
+"""BM25 / RRF / weighted-sampling parity and determinism tests."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from vstream_spark.operators.retrieval import bm25, rrf_fuse
+from vstream_spark.operators.sample import weighted_sample
+
+
+def _ref_bm25(docs, terms, k1=1.2, b=0.75):
+    """Pure-Python Okapi BM25 (Lucene idf variant) over whitespace tokens."""
+    toks = {d: t.split() for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    df = {
+        t: sum(1 for v in toks.values() if t in v)
+        for t in terms
+    }
+    for d, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(v) / avgdl))
+        if s > 0:
+            out[d] = round(s, 6)
+    return out
+
+
+def test_bm25_matches_reference(spark):
+    docs = [
+        (0, "spark vector search engine"),
+        (1, "vector vector stream search"),
+        (2, "engine room no match here"),
+        (3, "search and search and search"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.score for r in bm25(df, ["vector", "search"]).collect()}
+    want = _ref_bm25(docs, ["vector", "search"])
+    assert got == want
+    # doc 2 matches no term -> absent
+    assert 2 not in got
+
+
+def test_rrf_fuse_is_rank_arithmetic(spark):
+    r1 = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    r2 = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank int")
+    got = {r.doc_id: r.rrf_score for r in rrf_fuse([r1, r2]).collect()}
+    assert got[1] == 1.0 / 61
+    assert got[2] == 1.0 / 62 + 1.0 / 61
+    assert got[3] == 1.0 / 62
+    # overlap doc ranks highest
+    assert max(got, key=got.get) == 2
+
+
+def test_weighted_sample_stable_and_weighted(spark):
+    rows = [(i, 1 if i < 90 else 1000) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    top = weighted_sample(df, 10, "w")
+    ids1 = sorted(r.doc_id for r in top.collect())
+    # identical winners under a different partitioning (determinism)
+    ids2 = sorted(
+        r.doc_id for r in weighted_sample(df.repartition(13), 10, "w").collect()
+    )
+    assert ids1 == ids2
+    # the 10 heavy rows (weight 1000 vs 1) dominate the sample
+    heavy = [i for i in ids1 if i >= 90]
+    assert len(heavy) >= 7
