@@ -4105,3 +4105,49 @@ def q_streaming_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = streaming_set_similarity(stream, threshold=0.5)
     run_stream_to_memory(pairs, "_streaming_mhlsh", output_mode="append")
     return spark.table("_streaming_mhlsh")
+
+
+# --- Namespaced (multi-tenant) search ----------------------------------------
+
+_KNN_NAMESPACED_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding, label FROM embeddings WHERE vec_id % 25 = 0),
+scored AS (
+  SELECT q.qid, v.vec_id AS neighbor_id,
+         {D.distance_sql("q.embedding", "v.embedding", "l2")} AS distance
+  FROM embeddings v JOIN q ON v.label = q.label),
+ranked AS (
+  SELECT qid, neighbor_id, distance,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY distance ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT qid, neighbor_id, distance, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register("knn_namespaced", _KNN_NAMESPACED_ORACLE)
+def q_knn_namespaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-tenant isolation: each query searches ONLY its own namespace
+    (label) — the per-collection contract every hosted vector store offers.
+    The namespace equality lands in the join condition, so Catalyst plans a
+    hash join keyed on it (candidates co-locate per tenant) instead of a
+    global NLJ; top-k stays per query."""
+    from vstream_spark.operators.knn import topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb"),
+        F.col("label").alias("ns"),
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"),
+        F.col("label").alias("qns"),
+    )
+    pairs = vectors.join(F.broadcast(queries), F.col("ns") == F.col("qns"))
+    scored = pairs.select(
+        "qid",
+        F.col("id").alias("neighbor_id"),
+        D.distance_expr(F.col("qemb"), F.col("emb"), "l2").alias("distance"),
+    )
+    return topk(scored, 10, dedup=False).select(
+        "qid", "neighbor_id", "distance", "rank"
+    )
