@@ -4151,3 +4151,68 @@ def q_knn_namespaced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk(scored, 10, dedup=False).select(
         "qid", "neighbor_id", "distance", "rank"
     )
+
+
+# --- Sparse dot-product retrieval (inverted-index join) ----------------------
+# The OTHER half of hybrid search engines: sparse term-weight vectors scored
+# by an inverted-index join — score(q, d) = sum over shared terms of
+# w_q * w_d. No dense fold exists anywhere; the shuffle keys on TERM (the
+# posting-list exchange), so work scales with postings, not |Q|x|D|.
+# Weights are integer term frequencies over a top-V vocabulary -> scores
+# are exact integers, no float tolerance anywhere.
+
+_SPARSE_DOT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, sum(tf) AS c FROM tf GROUP BY tok
+    ORDER BY c DESC, tok ASC LIMIT 200)),
+sp AS (SELECT tf.doc_id, tf.tok, tf.tf FROM tf JOIN vocab USING (tok)),
+q AS (SELECT doc_id AS qid, tok, tf AS qtf FROM sp WHERE doc_id % 50 = 0),
+scored AS (
+  SELECT q.qid, sp.doc_id, CAST(sum(q.qtf * sp.tf) AS BIGINT) AS score
+  FROM q JOIN sp ON q.tok = sp.tok
+  GROUP BY q.qid, sp.doc_id),
+ranked AS (
+  SELECT qid, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT qid, doc_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("knn_sparse_dot", _SPARSE_DOT_ORACLE)
+def q_knn_sparse_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse retrieval: top-5 documents per query by the inverted-index
+    dot product over a top-200 vocabulary. The only big exchange keys on
+    the term (posting lists); scoring is a partial-aggregated integer sum —
+    exact, and the execution shape dense search can never produce."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    vocab = (
+        tf.groupBy("tok")
+        .agg(F.sum("tf").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(200)
+        .select("tok")
+    )
+    sp = tf.join(F.broadcast(vocab), "tok")
+    q = sp.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid"), "tok", F.col("tf").alias("qtf")
+    )
+    scored = (
+        q.join(sp, "tok")
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(F.col("qtf") * F.col("tf")).cast("bigint").alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "doc_id", "score", "rank")
+    )
