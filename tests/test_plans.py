@@ -321,3 +321,25 @@ def test_apply_bpe_map_only(spark):
     # encode is a pure projection chain: no exchange, no Python
     assert count_exchanges(df) == 0
     assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython")
+
+
+def test_sparse_dot_is_posting_list_join(spark):
+    from vstream_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["knn_sparse_dot"]
+    df = fn(spark, SF)
+    # vocab broadcasts; the scoring join keys on the term; integer partial agg
+    plan = assert_plan_contains(df, "BroadcastHashJoin", "partial_sum")
+    assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython", "CartesianProduct")
+    assert "BroadcastNestedLoopJoin" not in plan  # never a dense pair loop
+
+
+def test_namespaced_search_joins_on_namespace(spark):
+    from vstream_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["knn_namespaced"]
+    df = fn(spark, SF)
+    # the namespace equality is a hash-join key, not a post-NLJ filter
+    assert_plan_contains(df, "BroadcastHashJoin")
+    assert_plan_lacks(df, "BroadcastNestedLoopJoin", "CartesianProduct",
+                      "ArrowEvalPython", "BatchEvalPython")
