@@ -4216,3 +4216,73 @@ def q_knn_sparse_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("qid", "doc_id", "score", "rank")
     )
+
+
+# --- Graph analytics: PageRank over the near-dup graph -----------------------
+# Connected components already cluster the dedup graph; PageRank ranks
+# WITHIN it (which duplicate is the hub). Three unrolled iterations keep
+# the iterative algorithm SQL-expressible: each iteration is one
+# edges-join-ranks shuffle + a per-node aggregate, with ranks rounded to
+# 9dp on both engines so the next iteration's inputs stay bitwise equal.
+
+
+def _pagerank_oracle(iters: int = 3, damp: float = 0.85) -> str:
+    cand = _minhash_lsh_oracle()
+    base = f"""
+WITH cand AS ({cand}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+n AS (SELECT count(*) AS n_nodes FROM nodes),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT id, CAST(1.0 / (SELECT n_nodes FROM n) AS DOUBLE) AS r FROM nodes)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        base += f""",
+r{i} AS (
+  SELECT e.dst AS id,
+         CAST(round({1.0 - damp!r} / (SELECT n_nodes FROM n)
+               + {damp!r} * sum({prev}.r / deg.d), 9) AS DOUBLE) AS r
+  FROM edges e
+  JOIN {prev} ON {prev}.id = e.src
+  JOIN deg ON deg.src = e.src
+  GROUP BY e.dst)"""
+        prev = f"r{i}"
+    return base + f"""
+SELECT id AS doc_id, r AS pagerank FROM {prev}
+"""
+
+
+@register("graph_pagerank", _pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 PageRank iterations over the symmetric MinHash near-dup graph.
+    Per iteration: one join of the edge list with current ranks (both keyed
+    on the node id — the partitioning reuses) and a partial-aggregated sum;
+    state is the O(nodes) rank table."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, threshold=0.5).select("doc_a", "doc_b")
+    edges = cand.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.localCheckpoint()  # the candidate pipeline feeds every iteration
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    n_nodes = nodes.count()
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ranks = nodes.withColumn("r", F.lit(1.0 / n_nodes))
+    damp = 0.85
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .select("dst", (F.col("r") / F.col("d")).alias("c"))
+        )
+        ranks = contrib.groupBy(F.col("dst").alias("id")).agg(
+            F.round(
+                F.lit((1.0 - damp) / n_nodes) + F.lit(damp) * F.sum("c"), 9
+            )
+            .cast("double")
+            .alias("r")
+        )
+    return ranks.select(F.col("id").alias("doc_id"), F.col("r").alias("pagerank"))
