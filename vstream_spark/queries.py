@@ -4286,3 +4286,58 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r")
         )
     return ranks.select(F.col("id").alias("doc_id"), F.col("r").alias("pagerank"))
+
+
+# --- Contrastive negative mining ---------------------------------------------
+# Training-pair construction: for each anchor document, pick k deterministic
+# "random" negatives. The hash PREFILTER is the scale posture: only ~10% of
+# (anchor, doc) pairs survive the pushed-down bucket predicate before any
+# ranking, and at 100 TB the same predicate bounds the candidate join. Same
+# md5-bucket family as the sampling operators -> reproducible on any engine.
+
+
+def _negatives_oracle(k: int = 5, keep: int = 100_000) -> str:
+    from vstream_spark.operators.sample import hash_bucket_sql
+
+    h = hash_bucket_sql(
+        "CAST(a.qid AS VARCHAR) || ',' || CAST(d.doc_id AS VARCHAR)", 42
+    )
+    return f"""
+WITH anchors AS (SELECT doc_id AS qid FROM documents WHERE doc_id % 50 = 0),
+cand AS (
+  SELECT a.qid, d.doc_id, {h} AS h
+  FROM anchors a CROSS JOIN documents d WHERE d.doc_id <> a.qid),
+pre AS (SELECT * FROM cand WHERE h < {keep}),
+ranked AS (
+  SELECT qid, doc_id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY h ASC, doc_id ASC) AS INTEGER) AS rank
+  FROM pre)
+SELECT qid, doc_id AS neg_id, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("sample_negatives", _negatives_oracle())
+def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 deterministic negatives per anchor: the md5 bucket both FILTERS the
+    candidate pairs (90% never rank) and orders the survivors, so the same
+    negatives are drawn on any engine or partitioning."""
+    from vstream_spark.operators.sample import _hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    anchors = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid")
+    )
+    cand = docs.crossJoin(F.broadcast(anchors)).filter(
+        F.col("doc_id") != F.col("qid")
+    )
+    h = _hash_bucket(
+        F.concat_ws(",", F.col("qid").cast("string"), F.col("doc_id").cast("string")),
+        42,
+    )
+    pre = cand.withColumn("h", h).filter(F.col("h") < 100_000)
+    w = Window.partitionBy("qid").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        pre.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", F.col("doc_id").alias("neg_id"), "rank")
+    )
