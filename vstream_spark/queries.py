@@ -2378,8 +2378,13 @@ def q_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.95], 10000).alias("_ap"),
         F.expr("percentile(value, array(0.5D, 0.95D))").alias("_ex"),
         (F.max("value") - F.min("value")).alias("_range"),
+        F.count("*").alias("_n"),
     )
-    tol = 0.02 * F.col("_range")
+    # 2% of range + a small-group term: the sketch returns an ELEMENT while
+    # exact interpolates, and for n ~ hundreds the local order-stat gap near
+    # p95 (~ range*log(n)/n for uniforms) can exceed 2% of range alone —
+    # observed as a gate flake at sf0.001. The 10/n term vanishes at scale.
+    tol = 0.02 * F.col("_range") + 10.0 * F.col("_range") / F.col("_n")
     return agg.select(
         "event_type",
         (F.abs(F.col("_ap")[0] - F.col("_ex")[0]) <= tol).alias("q50_ok"),
