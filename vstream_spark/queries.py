@@ -52,6 +52,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            # a silent overwrite would shadow a declared operator and shrink
+            # the driver's correctness surface without any visible failure
+            raise ValueError(f"duplicate query registration: {name!r}")
         REGISTRY[name] = (fn, oracle)
         return fn
 
