@@ -4350,3 +4350,20 @@ def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("qid", F.col("doc_id").alias("neg_id"), "rank")
     )
+
+
+# --- q16 shape: distinct-supplier counts with a NOT IN exclusion -------------
+
+_REL_SUPPLIER_VARIETY = """
+SELECT p.p_brand, p.p_type,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size IN (1, 5, 9, 13)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type
+"""
+
+register("rel_supplier_variety", _REL_SUPPLIER_VARIETY)(
+    _make_relational(_REL_SUPPLIER_VARIETY)
+)
