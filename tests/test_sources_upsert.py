@@ -125,6 +125,31 @@ def test_delete_where_masks_and_is_logical(tmp_path, spark):
     ) == list(range(7))
 
 
+def test_delete_where_rejects_stale_event_time(tmp_path, spark):
+    """A delete marker that is not strictly later than every victim insert
+    would be silently masked by LWW — the store must refuse it (ADVICE r4)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vstream_spark.operators.knn import apply_deletes
+    from vstream_spark.storage.segments import SegmentStore
+
+    st = SegmentStore(spark, str(tmp_path / "stale-erase"))
+    rows = [(i, [float(i)], 1000 + i, 10**9, "I") for i in range(5)]
+    schema = "id long, emb array<float>, event_time long, ttl long, op string"
+    st.upsert_batch(spark.createDataFrame(rows, schema))
+    # max victim insert ts is 1004; equal-or-earlier must raise
+    with pytest.raises(ValueError, match="strictly later"):
+        st.delete_where(F.col("id") >= 3, event_time=1004)
+    # omitting event_time defaults to max+1 and the erase takes effect
+    seg = st.delete_where(F.col("id") >= 3)
+    assert seg["count"] == 2 and seg["min_event_time"] == 1005
+    visible = apply_deletes(st.read()).select("id")
+    assert sorted(r.id for r in visible.collect()) == [0, 1, 2]
+    # a no-match predicate is a clean no-op, not an error
+    assert st.delete_where(F.col("id") > 10**6) is None
+
+
 def test_dim_validation_rejects_mismatch(tmp_path, spark):
     import pytest
 

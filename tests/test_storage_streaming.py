@@ -348,3 +348,44 @@ def test_bounded_dedup_evicts_and_reemits(spark, tmp_path):
         by_key.setdefault(r.k, []).append(r.ts)
     assert len(by_key[1]) == 2, by_key  # once in b0 (dup dropped), again in b3
     assert len(by_key[2]) == 1 and len(by_key[3]) == 1 and len(by_key[4]) == 1
+
+
+def test_set_similarity_ttl_bounds_state(spark, tmp_path):
+    """streaming_set_similarity with a TTL: a new arrival only pairs with
+    bucket members inside its TTL window and older members are physically
+    evicted after the batch (r4 What's-wrong #2 — bounded state). With
+    ttl=None the same replay pairs the full history."""
+    import time as _t
+
+    from vstream_spark.streaming.pipeline import streaming_set_similarity
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    batches = [[(1, text, 0)], [(2, text, 10)], [(3, text, 20)]]
+    schema = "doc_id bigint, text string, et bigint"
+
+    def run(name, ttl):
+        src = str(tmp_path / f"src-{name}")
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                f"{src}/b{i:03d}"
+            )
+            _t.sleep(1.1)  # distinct mtimes => deterministic batch order
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        pairs = streaming_set_similarity(
+            stream, threshold=0.5, ttl=ttl,
+            event_time_col="et" if ttl is not None else None,
+        )
+        run_stream_to_memory(pairs, f"setsim_{name}", output_mode="append")
+        return {
+            (r.doc_a, r.doc_b)
+            for r in spark.sql(f"select * from setsim_{name}").collect()
+        }
+
+    # ttl=10: doc 3 (et=20) must NOT pair with doc 1 (et=0) — evicted
+    assert run("ttl", ttl=10) == {(1, 2), (2, 3)}
+    # full history pairs everything
+    assert run("full", ttl=None) == {(1, 2), (1, 3), (2, 3)}

@@ -79,8 +79,11 @@ class VStreamEngine:
             dim=self.conf.index.dim if validate_dim else None,
         )
 
-    def erase(self, store, predicate, event_time: int):
-        """Bulk logical erasure on a store (delete_where passthrough)."""
+    def erase(self, store, predicate, event_time: int | None = None):
+        """Bulk logical erasure on a store (delete_where passthrough).
+        ``event_time=None`` lets the store pick a guaranteed-winning LWW
+        timestamp (max victim insert time + 1); a supplied stale timestamp
+        raises instead of silently leaving rows visible."""
         return store.delete_where(predicate, event_time=event_time)
 
     def pin_version(self, store) -> int:

@@ -103,11 +103,18 @@ class ManifestLog:
         until maintenance (compact/evict) vacuums the data files it
         references."""
         latest = self.version()
-        if as_of is None or as_of >= latest:
+        latest_read = as_of is None or as_of >= latest
+        if latest_read:
             as_of = latest
             if latest == self._cache_version:
                 return [dict(s) for s in self._cache]
-        ckpt = self._last_checkpoint_version(as_of=as_of)
+        # latest reads use the _last_checkpoint pointer (O(1), no directory
+        # scan); only genuine time-travel reads fall back to scanning for the
+        # newest checkpoint at-or-before as_of (ADVICE r4: passing the
+        # normalized as_of made the pointer fast path unreachable)
+        ckpt = self._last_checkpoint_version(as_of=None if latest_read else as_of)
+        if ckpt > as_of:  # stale-pointer guard: never replay past the target
+            ckpt = self._last_checkpoint_version(as_of=as_of)
         segs: list[dict] = []
         if ckpt >= 0:
             with open(self._ckpt_path(ckpt)) as f:

@@ -279,7 +279,7 @@ class SegmentStore:
         )
         return self.append_segment(last)
 
-    def delete_where(self, predicate, event_time: int) -> dict | None:
+    def delete_where(self, predicate, event_time: int | None = None) -> dict | None:
         """Bulk erasure: flush delete markers for every LIVE id matching
         ``predicate`` (the GDPR / right-to-be-forgotten maintenance op a
         mutable vector store needs beyond per-record stream deletes).
@@ -288,12 +288,31 @@ class SegmentStore:
         appended — no data segment is rewritten — and LWW masks the ids at
         read time; physical reclamation happens at the next compact/evict.
         At 100 TB this is a scan + filter + small flush, never a rewrite of
-        the store. ``event_time`` must be later than the victims' inserts
-        (LWW: a delete only wins strictly-later)."""
+        the store.
+
+        LWW only masks strictly-later, so a stale ``event_time`` would
+        silently leave "erased" rows visible. The victims scan therefore
+        computes ``max(event_time)`` of the matched inserts and (a) defaults
+        ``event_time`` to max+1 when the caller omits it, (b) raises
+        ``ValueError`` when the caller supplies one that is not strictly
+        later — erasure can never silently no-op."""
         live = self.read()
         if live is None:
             return None
         victims = live.filter(F.col("op") == "I").filter(predicate)
+        row = victims.agg(F.max("event_time").alias("mx")).collect()[0]
+        if row["mx"] is None:  # predicate matched nothing: nothing to erase
+            return None
+        max_ts = int(row["mx"])
+        if event_time is None:
+            event_time = max_ts + 1
+        elif int(event_time) <= max_ts:
+            raise ValueError(
+                f"delete_where event_time={event_time} is not strictly later "
+                f"than the victims' max insert event_time={max_ts}; LWW would "
+                "silently leave those rows visible. Pass a later timestamp or "
+                "omit event_time to default to max+1."
+            )
         markers = victims.select(
             "id",
             "emb",

@@ -298,6 +298,8 @@ def streaming_set_similarity(
     bands: int = 16,
     seed: int = 42,
     threshold: float = 0.5,
+    ttl: int | None = None,
+    event_time_col: str | None = None,
 ) -> DataFrame:
     """Distributed STREAMING set-similarity join (the ICDE'20 problem shape):
     documents arrive as a stream; each new arrival pairs with every earlier
@@ -306,18 +308,43 @@ def streaming_set_similarity(
     per-bucket, so state volume is the banded signature table, never pair
     space. A pair is emitted exactly once (when its later member arrives) no
     matter how the stream is batched, so a drained run equals the batch
-    minhash_lsh_candidates bit-for-bit."""
+    minhash_lsh_candidates bit-for-bit.
+
+    State is BOUNDED when ``ttl`` is set (the reference's freshness
+    contract, vector TTL in ``VectorSearchOptions``): each bucket member
+    carries its event time (``event_time_col``; row order rank when absent),
+    a new arrival only pairs with members whose event time is within ``ttl``
+    of its own, and older members are physically evicted from the state
+    after each batch — so per-bucket state holds one TTL-window of
+    signatures, not the full history. ``ttl=None`` keeps full history
+    (exact batch parity over a finite replay).
+
+    The signature comparison is numpy-vectorized: the bucket history is
+    stacked once per (key, batch) into an (members × num_perm) matrix and
+    each arrival scores against it in one ``==`` broadcast — no per-member
+    Python loop (r4 What's-wrong #2)."""
     import pandas as pd
 
     from vstream_spark.operators.dedup import minhash_signatures
 
     if num_perm % bands != 0:
         raise ValueError("bands must divide num_perm")
+    if ttl is not None and event_time_col is None:
+        raise ValueError("ttl requires event_time_col")
     rows = num_perm // bands
+    keep = [F.col(event_time_col).cast("long").alias("et")] if event_time_col \
+        else [F.lit(0).cast("long").alias("et")]
     sigs = minhash_signatures(docs_stream, n, num_perm, seed)
+    if event_time_col:
+        sigs = sigs.join(
+            docs_stream.select("doc_id", *keep), "doc_id"
+        )
+    else:
+        sigs = sigs.withColumn("et", F.lit(0).cast("long"))
     banded = sigs.select(
         "doc_id",
         "sig",
+        "et",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -330,34 +357,53 @@ def streaming_set_similarity(
         import numpy as np
 
         if state.exists:
-            (ids, sigs_flat) = state.get
+            (ids, ets, sigs_flat) = state.get
             seen_ids = list(ids)
-            seen_sigs = [list(s) for s in sigs_flat]
+            seen_ets = list(ets)
+            mat = (
+                np.array([list(s) for s in sigs_flat], dtype=np.int64)
+                if sigs_flat
+                else np.empty((0, num_perm), dtype=np.int64)
+            )
         else:
-            seen_ids, seen_sigs = [], []
+            seen_ids, seen_ets = [], []
+            mat = np.empty((0, num_perm), dtype=np.int64)
+        id_arr = np.asarray(seen_ids, dtype=np.int64)
+        et_arr = np.asarray(seen_ets, dtype=np.int64)
         out_a, out_b, out_e = [], [], []
         for pdf in pdfs:
-            for did, sig in zip(pdf["doc_id"], pdf["sig"]):
-                did = int(did)
-                sig = [int(x) for x in sig]
-                sv = np.asarray(sig)
-                for oid, osig in zip(seen_ids, seen_sigs):
-                    if oid == did:
-                        continue
-                    a_, b_ = (oid, did) if oid < did else (did, oid)
-                    est = float((np.asarray(osig) == sv).sum()) / num_perm
-                    out_a.append(a_)
-                    out_b.append(b_)
-                    out_e.append(est)
-                seen_ids.append(did)
-                seen_sigs.append(sig)
-        state.update((seen_ids, seen_sigs))
+            for did, sig, et in zip(pdf["doc_id"], pdf["sig"], pdf["et"]):
+                did, et = int(did), int(et)
+                sv = np.asarray(list(sig), dtype=np.int64)
+                if len(id_arr):
+                    # one vectorized pass over the whole bucket history
+                    live = id_arr != did
+                    if ttl is not None:
+                        live &= et_arr >= et - ttl
+                    if live.any():
+                        oids = id_arr[live]
+                        ests = (mat[live] == sv).sum(axis=1) / num_perm
+                        a_ = np.minimum(oids, did)
+                        b_ = np.maximum(oids, did)
+                        out_a.extend(a_.tolist())
+                        out_b.extend(b_.tolist())
+                        out_e.extend(ests.tolist())
+                id_arr = np.append(id_arr, did)
+                et_arr = np.append(et_arr, et)
+                mat = np.vstack([mat, sv[None, :]])
+        # physical eviction: only the trailing TTL window survives the batch
+        if ttl is not None and len(et_arr):
+            hold = et_arr >= int(et_arr.max()) - ttl
+            id_arr, et_arr, mat = id_arr[hold], et_arr[hold], mat[hold]
+        state.update((id_arr.tolist(), et_arr.tolist(), mat.tolist()))
         yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard_est": out_e})
 
     pairs = banded.groupBy("band", "band_key").applyInPandasWithState(
         pair_new_arrivals,
         outputStructType="doc_a bigint, doc_b bigint, jaccard_est double",
-        stateStructType="ids array<bigint>, sigs array<array<bigint>>",
+        stateStructType=(
+            "ids array<bigint>, ets array<bigint>, sigs array<array<bigint>>"
+        ),
         outputMode="append",
         timeoutConf="NoTimeout",
     )
