@@ -421,6 +421,80 @@ def _exact_knn_links(vecs: np.ndarray, metric: str, m: int, block: int = 1024):
     return out
 
 
+_APPROX_THRESHOLD = 8192
+
+
+def _approx_knn_links(
+    vecs: np.ndarray, metric: str, m: int, seed: int, cell_size: int = 512
+) -> np.ndarray:
+    """Approximate m-NN lists via clustered candidate generation (the
+    faiss/ScaNN two-level pattern): a fast sampled k-means partitions the
+    shard into ~``cell_size``-point cells, every point joins its TWO nearest
+    cells (spill covers cell boundaries), and exact kNN runs only within each
+    cell's member set — O(n * cell_size) distances instead of O(n^2).
+    Deterministic: seeded k-means over label-sorted input, (dist, id)
+    tie-breaks. Returns an (n, m) int64 neighbor matrix (padded with the
+    point's own index when a cell is tiny)."""
+    from vstream_spark.index.ivf import _kmeans, _pairwise
+
+    n = len(vecs)
+    v32 = np.ascontiguousarray(vecs, dtype=np.float32)
+    nlist = max(2, n // cell_size)
+    cents = _kmeans(v32, nlist, seed).astype(np.float32)
+    # top-2 cells per point, chunked
+    top2 = np.empty((n, 2), dtype=np.int64)
+    for lo in range(0, n, 16384):
+        hi = min(lo + 16384, n)
+        d = _pairwise(v32[lo:hi], cents, "l2")
+        part = np.argpartition(d, 1, axis=1)[:, :2]
+        rows = np.arange(hi - lo)[:, None]
+        order = np.argsort(d[rows, part], axis=1, kind="stable")
+        top2[lo:hi] = part[rows, order]
+    # accumulate candidate (point, neighbor, dist) triplets per cell
+    pts_all, nbr_all, d_all = [], [], []
+    membership = np.concatenate([top2[:, 0], top2[:, 1]])
+    owners = np.concatenate([np.arange(n), np.arange(n)])
+    order = np.argsort(membership, kind="stable")
+    membership, owners = membership[order], owners[order]
+    bounds = np.searchsorted(membership, np.arange(nlist + 1))
+    for c in range(nlist):
+        g = owners[bounds[c] : bounds[c + 1]]
+        if len(g) < 2:
+            continue
+        gv = v32[g]
+        k = min(m, len(g) - 1)
+        for lo in range(0, len(g), 2048):
+            hi = min(lo + 2048, len(g))
+            dmat = np.asarray(_pairwise(gv[lo:hi], gv, metric), dtype=np.float32)
+            dmat[np.arange(hi - lo), np.arange(lo, hi)] = np.inf
+            idx = np.argpartition(dmat, k - 1, axis=1)[:, :k]
+            rows = np.arange(hi - lo)[:, None]
+            pts_all.append(np.repeat(g[lo:hi], k))
+            nbr_all.append(g[idx].ravel())
+            d_all.append(dmat[rows, idx].ravel())
+    if not pts_all:  # degenerate: every cell had < 2 members
+        return np.tile(np.arange(n, dtype=np.int64)[:, None], (1, m))
+    pts = np.concatenate(pts_all)
+    nbrs = np.concatenate(nbr_all)
+    ds = np.concatenate(d_all)
+    # per-point top-m by (dist, id): one lexsort over the candidate set.
+    # (Pairs sharing both cells appear twice; the duplicate edge is removed
+    # by _symmetrize_mat's unique pass, so no dedup here.)
+    order = np.lexsort((nbrs, ds, pts))
+    pts, nbrs = pts[order], nbrs[order]
+    starts = np.searchsorted(pts, np.arange(n + 1))
+    # vectorized gather-with-padding: row i takes its first m candidates,
+    # short rows pad with i itself (self edges are dropped downstream)
+    pos = starts[:-1, None] + np.arange(m)[None, :]
+    valid = pos < starts[1:, None]
+    out = np.where(
+        valid,
+        nbrs[np.minimum(pos, max(len(nbrs) - 1, 0))],
+        np.arange(n, dtype=np.int64)[:, None],
+    )
+    return out
+
+
 def build_index_bulk(
     vecs: np.ndarray,
     labels: np.ndarray,
@@ -456,42 +530,82 @@ def build_index_bulk(
         [_level_of(int(lb), seed, idx.m_l) for lb in labels], dtype=np.int64
     )
     idx.links = [[[] for _ in range(levels[i] + 1)] for i in range(n)]
-    dist = _DISTS[metric]
+    v32 = vecs.astype(np.float32)  # graph selection tolerates f32 distances
 
-    def _symmetrize(nbr_lists: list[list[int]], ids: np.ndarray, cap: int):
+    def _rowwise_dist(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        # may clobber ``a`` (callers pass reusable gather buffers)
+        if metric == "l2":
+            np.subtract(a, b, out=a)
+            return np.einsum("ij,ij->i", a, a)
+        if metric == "ip":
+            return -np.einsum("ij,ij->i", a, b)
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        return 1.0 - num / np.where(den > 0, den, 1.0)
+
+    def _symmetrize(nbr_mat: np.ndarray, ids: np.ndarray, cap: int):
         """Add reverse edges (directed kNN graphs route poorly: a hub may be
-        nearest to many nodes that it doesn't link back to), then trim each
-        list to the cap nearest by (dist, id)."""
-        sets = [set(nb) for nb in nbr_lists]
-        for j, nb in enumerate(nbr_lists):
-            for x in nb:
-                sets[x].add(j)
-        out = []
-        for j, s in enumerate(sets):
-            cand = np.fromiter(s, dtype=np.int64)
-            if len(cand) > cap:
-                ds = dist(vecs[ids[cand]], vecs[ids[j]])
-                cand = cand[np.lexsort((cand, ds))[:cap]]
-            else:
-                ds = dist(vecs[ids[cand]], vecs[ids[j]])
-                cand = cand[np.lexsort((cand, ds))]
-            out.append([int(x) for x in cand])
-        return out
+        nearest to many nodes that it doesn't link back to), dedup, then trim
+        each node's list to the cap nearest by (dist, id). Fully vectorized —
+        one unique over the canonical (undirected) edge set, one chunked f32
+        row-distance pass shared by both directions (all three metrics are
+        symmetric), one lexsort (the per-node set/loop version was 25% of the
+        64k build)."""
+        nn = len(nbr_mat)
+        src = np.repeat(np.arange(nn, dtype=np.int64), nbr_mat.shape[1])
+        dst = nbr_mat.ravel().astype(np.int64)
+        keep = src != dst  # drop self-padding
+        src, dst = src[keep], dst[keep]
+        lo_, hi_ = np.minimum(src, dst), np.maximum(src, dst)
+        uniq = np.unique(lo_ * np.int64(nn) + hi_)  # one key per undirected edge
+        ua, ub = uniq // nn, uniq % nn
+        uds = np.empty(len(ua), dtype=np.float32)
+        # small chunks + reused gather buffers: this box page-faults large
+        # fresh allocations at ~100MB/s, so (E, dim) temporaries dominate
+        # the whole build if the chunk is big
+        step = 1 << 16
+        dim_ = v32.shape[1]
+        buf_a = np.empty((step, dim_), dtype=np.float32)
+        buf_b = np.empty((step, dim_), dtype=np.float32)
+        for lo in range(0, len(ua), step):
+            hi = min(lo + step, len(ua))
+            m_ = hi - lo
+            np.take(v32, ids[ua[lo:hi]], axis=0, out=buf_a[:m_])
+            np.take(v32, ids[ub[lo:hi]], axis=0, out=buf_b[:m_])
+            uds[lo:hi] = _rowwise_dist(buf_a[:m_], buf_b[:m_])
+        s2 = np.concatenate([ua, ub])
+        d2 = np.concatenate([ub, ua])
+        ds = np.concatenate([uds, uds])
+        order = np.lexsort((d2, ds, s2))
+        s2, d2 = s2[order], d2[order]
+        starts = np.searchsorted(s2, np.arange(nn + 1))
+        return [
+            d2[starts[j] : min(starts[j + 1], starts[j] + cap)].tolist()
+            for j in range(nn)
+        ]
 
-    # level 0: exact M0-NN graph over everyone, symmetrized
-    l0 = _exact_knn_links(vecs, metric, idx.M0)
+    def _links(v: np.ndarray, m: int) -> np.ndarray:
+        # exact all-pairs below the threshold; clustered-candidate approx
+        # above it (O(n * cell) — the difference between 250s and 5s at a
+        # 64k-vector segment, r4 What's-wrong #4)
+        if len(v) >= _APPROX_THRESHOLD:
+            return _approx_knn_links(v, metric, m, seed)
+        return _exact_knn_links(v, metric, m)
+
+    # level 0: M0-NN graph over everyone, symmetrized
+    l0 = _links(vecs, idx.M0)
     all_ids = np.arange(n)
-    sym0 = _symmetrize([list(map(int, r)) for r in l0], all_ids, idx.M0 + M)
+    sym0 = _symmetrize(l0, all_ids, idx.M0 + M)
     for i in range(n):
         idx.links[i][0] = sym0[i]
-    # upper levels: exact M-NN among nodes of level >= lv, symmetrized
+    # upper levels: M-NN among nodes of level >= lv, symmetrized
     max_level = int(levels.max())
     for lv in range(1, max_level + 1):
         members = np.where(levels >= lv)[0]
         if len(members) < 2:
             break
-        ml = _exact_knn_links(vecs[members], metric, M)
-        local = _symmetrize([list(map(int, r)) for r in ml], members, 2 * M)
+        ml = _links(vecs[members], M)
+        local = _symmetrize(ml, members, 2 * M)
         for j, i in enumerate(members):
             idx.links[i][lv] = [int(members[x]) for x in local[j]]
     # entry: the highest-level node, smallest label for determinism

@@ -45,26 +45,72 @@ def _pairwise(q: np.ndarray, vecs: np.ndarray, metric: str) -> np.ndarray:
     return 1.0 - np.where(denom > 0, (q @ vecs.T) / np.where(denom > 0, denom, 1.0), 0.0)
 
 
-def _kmeans(vecs: np.ndarray, nlist: int, seed: int, iters: int = 10) -> np.ndarray:
+def _assign_chunked(
+    vecs: np.ndarray, centroids: np.ndarray, chunk: int = 16384
+) -> tuple[np.ndarray, np.ndarray]:
+    """argmin assignment + its distance, chunked so the (chunk, nlist)
+    distance matrix stays cache/memory-bounded at any n."""
+    n = len(vecs)
+    assign = np.empty(n, dtype=np.int64)
+    best = np.empty(n, dtype=vecs.dtype)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        d = _pairwise(vecs[lo:hi], centroids, "l2")
+        a = d.argmin(axis=1)
+        assign[lo:hi] = a
+        best[lo:hi] = d[np.arange(hi - lo), a]
+    return assign, best
+
+
+def _kmeans(
+    vecs: np.ndarray,
+    nlist: int,
+    seed: int,
+    iters: int = 10,
+    max_train: int | None = None,
+) -> np.ndarray:
     """Deterministic Lloyd k-means (L2 assignment regardless of search
-    metric — cosine/ip inputs should be pre-normalized by the caller)."""
+    metric — cosine/ip inputs should be pre-normalized by the caller).
+
+    Fully vectorized (the per-cell Python mean loop was the flush-path
+    bottleneck at 250k-vector segments, r4 What's-wrong #4): assignment is
+    chunked float32 BLAS, the centroid update is one bincount per dimension,
+    and training runs on a seeded sample of at most ``max_train`` rows
+    (faiss's pattern — clustering quality saturates at a few hundred points
+    per centroid) with the full set only assigned once by the caller.
+    Deterministic: seeded sample over label-sorted input, fixed iteration
+    count, index-order tie-breaks."""
+    vecs = np.ascontiguousarray(vecs, dtype=np.float32)
     n = len(vecs)
     rng = np.random.RandomState(seed)
-    centroids = vecs[rng.choice(n, size=nlist, replace=False)].copy()
+    if max_train is None:
+        max_train = max(nlist * 256, 4096)
+    if n > max_train:
+        train = vecs[rng.choice(n, size=max_train, replace=False)]
+    else:
+        train = vecs
+    tn = len(train)
+    centroids = train[rng.choice(tn, size=min(nlist, tn), replace=False)].copy()
+    if len(centroids) < nlist:  # degenerate tiny input: pad by repetition
+        reps = -(-nlist // len(centroids))
+        centroids = np.tile(centroids, (reps, 1))[:nlist].copy()
+    dim = train.shape[1]
     for _ in range(iters):
-        d = _pairwise(vecs, centroids, "l2")
-        assign = d.argmin(axis=1)
-        for c in range(nlist):
-            members = assign == c
-            if members.any():
-                centroids[c] = vecs[members].mean(axis=0)
-            else:
-                # deterministic empty-cell repair: steal the point farthest
-                # from its current centroid (lowest index on ties)
-                far = d[np.arange(n), assign].argmax()
-                centroids[c] = vecs[far]
-                assign[far] = c
-    return centroids
+        assign, best = _assign_chunked(train, centroids)
+        counts = np.bincount(assign, minlength=nlist).astype(np.float32)
+        sums = np.empty((nlist, dim), dtype=np.float32)
+        for j in range(dim):  # one bincount per dim: O(tn*dim), no cell loop
+            sums[:, j] = np.bincount(assign, weights=train[:, j], minlength=nlist)
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+        empties = np.where(~nonempty)[0]
+        if len(empties):
+            # deterministic empty-cell repair: hand each empty cell one of
+            # the points farthest from its current centroid (descending
+            # distance, lowest index on ties)
+            far = np.argsort(-best, kind="stable")[: len(empties)]
+            centroids[empties] = train[far]
+    return centroids.astype(np.float64)
 
 
 class IvfIndex:
@@ -231,7 +277,10 @@ def build_ivf(
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         train = vecs / np.where(norms > 0, norms, 1.0)
     idx.centroids = _kmeans(train, nlist, seed)
-    assign = _pairwise(train, idx.centroids, "l2").argmin(axis=1)
+    assign, _ = _assign_chunked(
+        np.ascontiguousarray(train, dtype=np.float32),
+        idx.centroids.astype(np.float32),
+    )
     order2 = np.lexsort((labels, assign))
     idx.vecs = vecs[order2]
     idx.labels = labels[order2]
