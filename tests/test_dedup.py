@@ -145,3 +145,33 @@ def test_dup_spans_planted_duplicates(spark):
     assert got[4].n_windows == 0 and got[4].dup_fraction == 0.0
     for r in got.values():
         assert 0.0 <= r.dup_fraction <= 1.0
+
+
+def test_dedup_embedding_size_gate_switches_to_lsh(spark):
+    """dedup_embedding auto-switches from the broadcast-exact join to the
+    LSH bucketed join above exact_max_rows, so the default path never
+    broadcasts an unbounded table (r4 VERDICT #9)."""
+    import numpy as np
+
+    from vstream_spark.operators.dedup import dedup_embedding
+
+    rng = np.random.RandomState(7)
+    base = rng.rand(20, 8).astype(float)
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    rows += [(100 + i, base[i].tolist()) for i in range(5)]  # exact clones
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    exact = dedup_embedding(df, threshold=0.99)
+    plan_exact = exact._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan_exact
+
+    lsh = dedup_embedding(df, threshold=0.99, exact_max_rows=0)
+    plan_lsh = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan_lsh
+    assert "FlatMapGroupsInPandas" in plan_lsh
+
+    # identical vectors always co-bucket -> the LSH path finds the clones
+    got = {r.vec_id: r for r in lsh.collect()}
+    for i in range(5):
+        assert got[100 + i].is_duplicate and got[100 + i].dup_of == i
+    assert not got[7].is_duplicate

@@ -333,6 +333,7 @@ def dedup_embedding(
     threshold: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    exact_max_rows: int = 200_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate marking (semantic dedup).
 
@@ -340,15 +341,29 @@ def dedup_embedding(
     >= threshold; ``dup_of`` = the smallest such id (deterministic survivor,
     same min-id rule as dedup_exact). Returns (vec_id, is_duplicate, dup_of).
 
-    Built on similarity_join_exact (a pure-Catalyst broadcast NLJ — no
-    driver-side materialization); swap in lsh_similarity_join for the
-    approximate scale path (two big sides, no broadcast).
+    Size-gated (r4 VERDICT #9): at or below ``exact_max_rows`` the pair
+    source is similarity_join_exact (a pure-Catalyst broadcast NLJ — exact,
+    but the broadcast side must fit in executor memory); above it the
+    operator automatically switches to lsh_similarity_join (bucketed
+    candidates + exact verify — approximate but shuffle-partitioned, safe
+    at any scale), so the default path never broadcasts an unbounded table
+    without the caller having to know. Pass ``exact_max_rows=0`` to force
+    the LSH path, or a huge value to force exact.
     """
-    from vstream_spark.operators.similarity import similarity_join_exact
-
-    pairs = similarity_join_exact(
-        vectors, vectors, threshold, left_id=id_col, right_id=id_col, emb_col=emb_col
+    from vstream_spark.operators.similarity import (
+        lsh_similarity_join,
+        similarity_join_exact,
     )
+
+    if exact_max_rows > 0 and vectors.count() <= exact_max_rows:
+        pairs = similarity_join_exact(
+            vectors, vectors, threshold,
+            left_id=id_col, right_id=id_col, emb_col=emb_col,
+        )
+    else:
+        pairs = lsh_similarity_join(
+            vectors, threshold, id_col=id_col, emb_col=emb_col
+        )
     dup_of = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
         F.min("id_a").alias("dup_of")
     )

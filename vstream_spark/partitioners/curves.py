@@ -44,13 +44,47 @@ def gray_index(coords: np.ndarray, bits: int) -> np.ndarray:
 
 
 def hilbert_index(coords: np.ndarray, bits: int) -> np.ndarray:
-    """Hilbert curve index (Skilling 2004 transpose algorithm), n-dim."""
+    """Hilbert curve index (Skilling 2004 transpose algorithm), n-dim.
+
+    Row-vectorized: the per-row Python loop was the last ingest-side hot
+    loop in the partitioner UDF (r4 What's-wrong #5). All bit ops run as
+    numpy elementwise operations over object-dtype columns (indices exceed
+    63 bits when ndim*bits > 63), so cost scales with O(bits*ndim) array
+    passes instead of O(rows) Python iterations. Values are identical to
+    the scalar ``_hilbert_one`` (pinned by tests)."""
     c = _as_coords(coords)
     n, ndim = c.shape
-    out = np.empty(n, dtype=object)
-    for i in range(n):
-        out[i] = _hilbert_one([int(x) for x in c[i]], bits)
-    return out
+    x = [c[:, d].copy() for d in range(ndim)]
+    m = 1 << (bits - 1)
+    # Inverse undo excess work (Skilling's AxestoTranspose)
+    q = m
+    while q > 1:
+        p = q - 1
+        for i in range(ndim):
+            mask = (x[i] & q) != 0
+            if i == 0:
+                x[0] = np.where(mask, x[0] ^ p, x[0])
+            else:
+                t = np.where(mask, 0, (x[0] ^ x[i]) & p)
+                x[0] = np.where(mask, x[0] ^ p, x[0] ^ t)
+                x[i] = x[i] ^ t
+        q >>= 1
+    for i in range(1, ndim):
+        x[i] = x[i] ^ x[i - 1]
+    t = np.zeros(n, dtype=object)
+    q = m
+    while q > 1:
+        mask = (x[ndim - 1] & q) != 0
+        t = np.where(mask, t ^ (q - 1), t)
+        q >>= 1
+    for i in range(ndim):
+        x[i] = x[i] ^ t
+    # Interleave transposed bits into a single index (MSB first across dims)
+    h = np.zeros(n, dtype=object)
+    for b in range(bits - 1, -1, -1):
+        for i in range(ndim):
+            h = (h << 1) | ((x[i] >> b) & 1)
+    return h
 
 
 def _hilbert_one(point: list[int], bits: int) -> int:
@@ -99,11 +133,24 @@ def peano_index(coords: np.ndarray, bits: int) -> np.ndarray:
     levels = max(1, int(np.ceil(bits * np.log(2) / np.log(3))))
     side2 = 1 << bits
     side3 = 3**levels
-    out = np.empty(n, dtype=object)
-    for i in range(n):
-        pt = [int(c[i, d]) * side3 // side2 for d in range(ndim)]
-        out[i] = _peano_one(pt, ndim, levels)
-    return out
+    # row-vectorized (same values as the scalar _peano_one, pinned by
+    # tests): ternary digits, reflection parity and the running index are
+    # all elementwise object/int column ops
+    pt = [c[:, d] * side3 // side2 for d in range(ndim)]
+    idx = np.zeros(n, dtype=object)
+    flip = [np.zeros(n, dtype=np.int64) for _ in range(ndim)]
+    for l in range(levels):
+        tpow = 3 ** (levels - 1 - l)
+        for d in range(ndim):
+            dig = (pt[d] // tpow) % 3
+            dig = np.where(flip[d] % 2 == 1, 2 - dig, dig)
+            idx = idx * 3 + dig
+            # digits 0/2 keep orientation, digit 1 reflects subsequent axes
+            is1 = (dig == 1).astype(np.int64)
+            for d2 in range(ndim):
+                if d2 != d:
+                    flip[d2] += is1
+    return idx
 
 
 def _peano_one(pt: list[int], ndim: int, levels: int) -> int:

@@ -206,12 +206,18 @@ class SegmentSearcher:
         )
         merged: DataFrame | None = None
         searched = 0
+        searched_ids: list[str] = []
         for seg in segs:
-            part = self._search_one(seg, queries, k, metric, min_event_time, ef)
+            # tag each hit with its segment of origin so temperature (C7)
+            # derives from the final merged frame in the SAME materialization
+            # instead of a per-segment count() job (r4 What's-wrong #3:
+            # 2 jobs per segment -> S + O(1) jobs per search)
+            part = self._search_one(
+                seg, queries, k, metric, min_event_time, ef
+            ).withColumn("_seg", F.lit(seg["id"]))
             # pin the partial on executors + truncate lineage: later rounds
             # must not re-run earlier segments' searches
             part = part.localCheckpoint(eager=True)
-            hits = part.count()
             if tombs is not None:
                 # cross-segment deletes: drop hits whose id carries a delete
                 # marker strictly newer than the hit's insert time
@@ -228,7 +234,7 @@ class SegmentSearcher:
                     .drop("id", "del_time")
                 )
             searched += 1
-            self._update_temperature(seg["id"], hits=hits)
+            searched_ids.append(seg["id"])
             cur = part if merged is None else merged.unionByName(part)
             # M1 running merge (distributed): duplicate ids across segments
             # resolve to the NEWEST version (last-writer-wins, the
@@ -261,8 +267,17 @@ class SegmentSearcher:
                 if self.termination_threshold > 0.0
                 else float(kth.mean())
             )
-        if "neighbor_ts" in out.columns:
-            out = out.drop(columns=["neighbor_ts"])
+        # C7 temperature from the merged result: a segment's heat is the
+        # number of its hits that SURVIVED the merge (segments that keep
+        # winning the top-k stay hot; zero-contribution segments decay)
+        seg_hits = (
+            out.groupby("_seg").size().to_dict()
+            if "_seg" in out.columns and len(out)
+            else {}
+        )
+        for sid in searched_ids:
+            self._update_temperature(sid, hits=int(seg_hits.get(sid, 0)))
+        out = out.drop(columns=[c for c in ("neighbor_ts", "_seg") if c in out.columns])
         out = out.sort_values(["qid", "distance", "neighbor_id"], kind="stable").reset_index(drop=True)
         out["rank"] = out.groupby("qid").cumcount().astype("int32") + 1
         return out
