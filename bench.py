@@ -44,6 +44,7 @@ BENCH_QUERIES = [
         "similarity_join_lsh_recall",
         "knn_streaming_ann_recall",
         "knn_epoch_stream_recall",
+        "knn_epoch_batch_recall",
         "knn_mmr_gate",
     )
 ]

@@ -153,3 +153,53 @@ def test_worker_per_query_k(spark):
         assert got[got.qid == 0].iloc[0]["neighbor_id"] == 3
         with _pytest.raises(ValueError):
             fn(vectors, queries.drop("k"), conf, k=None)
+
+
+def test_worker_per_query_ef_search_column(spark):
+    """VectorSearchOptions parity (r4 VERDICT #10): an ``ef_search`` column
+    on the query side overrides index_conf.ef_search per query in the
+    partitioned index worker. Proven by equivalence: a per-query-ef run with
+    every query at ef=E returns exactly the global ef=E run's results, for
+    two different E."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vstream_spark.config import PartitionerConf, VectorIndexConf
+    from vstream_spark.operators.partitioned import knn_partitioned_worker
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, rng.rand(16).astype(float).tolist()) for i in range(600)]
+    vectors = spark.createDataFrame(vecs, "id bigint, emb array<double>")
+    qrows = [(int(i), vecs[i][1]) for i in range(0, 600, 60)]
+    queries = spark.createDataFrame(qrows, "qid bigint, emb array<double>")
+    conf = PartitionerConf(kind="simple", num_partitions=4)
+
+    def run(ef_global, ef_col):
+        iconf = VectorIndexConf(dim=16, m=8, ef_construction=64,
+                                ef_search=ef_global, index_kind="hnsw")
+        q = queries
+        if ef_col is not None:
+            q = q.withColumn("ef_search", F.lit(ef_col))
+        out = knn_partitioned_worker(vectors, q, conf, k=5, metric="l2",
+                                     index_conf=iconf)
+        return sorted((r.qid, r.neighbor_id, r.rank) for r in out.collect())
+
+    for ef in (5, 64):
+        assert run(ef_global=ef, ef_col=None) == run(
+            ef_global=999, ef_col=ef
+        ), f"per-query ef={ef} must match global ef={ef}"
+
+    # MIXED per-query values: each query must be searched at its own ef —
+    # low-ef qids reproduce the global-low run, high-ef qids the global-high
+    lo = {t for t in run(ef_global=5, ef_col=None) if t[0] % 120 == 0}
+    hi = {t for t in run(ef_global=64, ef_col=None) if t[0] % 120 != 0}
+    q_mixed = queries.withColumn(
+        "ef_search",
+        F.when(F.col("qid") % 120 == 0, F.lit(5)).otherwise(F.lit(64)),
+    )
+    iconf = VectorIndexConf(dim=16, m=8, ef_construction=64,
+                            ef_search=999, index_kind="hnsw")
+    mixed = knn_partitioned_worker(vectors, q_mixed, conf, k=5, metric="l2",
+                                   index_conf=iconf)
+    got = {(r.qid, r.neighbor_id, r.rank) for r in mixed.collect()}
+    assert got == lo | hi

@@ -110,14 +110,25 @@ def knn_partitioned_worker(
     per-partition index (kind per ``index_conf.index_kind``) is built and
     searched with ef_search — the reference's W1/W5 worker structure
     (HnswLibKeyedProcessFunction.java:19-101).
+
+    Per-query search options travel as QUERY COLUMNS (the reference attaches
+    ``VectorSearchOptions`` to each query record, ``vector_options.h:79-95``):
+    ``k`` (with ``k=None``) and — when ``index_conf`` is set — an optional
+    ``ef_search`` column overriding ``index_conf.ef_search`` per query
+    (interpreted as nprobe by IVF workers, ignored by PQ's full ADC scan).
     """
     per_query_k = k is None
     if per_query_k and "k" not in queries.columns:
         raise ValueError("k=None requires a 'k' column on the query side")
+    per_query_ef = index_conf is not None and "ef_search" in queries.columns
     live = apply_deletes(vectors) if honor_deletes else vectors
     part = fit_partitioner(conf, live)
     pv = part.partition_data(live).select("partition_id", "id", "emb")
-    q_cols = ["partition_id", "qid", "emb"] + (["k"] if per_query_k else [])
+    q_cols = (
+        ["partition_id", "qid", "emb"]
+        + (["k"] if per_query_k else [])
+        + (["ef_search"] if per_query_ef else [])
+    )
     pq = part.partition_queries(queries).select(*q_cols)
 
     empty_cols = {"qid": "int64", "neighbor_id": "int64", "distance": "float64"}
@@ -167,10 +178,15 @@ def knn_partitioned_worker(
             if kind == "pq":
                 fetch_k = min(max(1, index_conf.pq_refine) * kk, len(vids))
                 row_of = {int(lb): i for i, lb in enumerate(vids)}
+            efs = (
+                qdf["ef_search"].to_numpy().astype(np.int64)
+                if per_query_ef
+                else None
+            )
             out_qid, out_id, out_dist = [], [], []
-            for qi, (lbs, ds) in enumerate(
-                idx.search_batch(qmat, fetch_k, max(index_conf.ef_search, fetch_k))
-            ):
+            for qi in range(len(qmat)):
+                ef_q = int(efs[qi]) if efs is not None else index_conf.ef_search
+                lbs, ds = idx.search(qmat[qi], fetch_k, max(ef_q, fetch_k))
                 if kind == "pq" and len(lbs):
                     rows = np.fromiter((row_of[int(l)] for l in lbs), dtype=np.int64)
                     sub = vmat[rows]

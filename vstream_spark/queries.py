@@ -2041,6 +2041,103 @@ def q_rel_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- P5 dynamic epochs in a BATCH dataflow (multi-epoch, recall-gated) -------
+
+
+@register(
+    "knn_epoch_batch_recall",
+    "SELECT * FROM (VALUES ('epochs_learned', true), ('fresh_prune', true), "
+    "('recall', true)) t(check_name, ok)",
+)
+def q_knn_epoch_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 dynamic-epoch partitioning as a DECLARED BATCH query (r4 VERDICT
+    #7): event-timed vectors span THREE ``update_interval`` epochs, each
+    epoch learns its own equi-depth curve boundaries
+    (``LSHashSpaceFillingPartitioner.java:118-145``), every row routes by
+    its OWN epoch's boundaries, and queries fan out only to FRESH epochs
+    (``isFresh:353-355`` — epochs intersecting [t - max_ttl, t]). The gate
+    proves (1) all three epochs were learned, (2) fresh-epoch pruning
+    strictly shrinks the query fan-out vs fanning every epoch, and (3)
+    recall@10 of the epoch-partitioned search vs exact kNN over the same
+    freshness window clears the lsh+hilbert floor."""
+    import sys
+
+    from vstream_spark.functions.metrics import mean_recall
+    from vstream_spark.operators.knn import topk
+    from vstream_spark.partitioners.epochs import EpochCurvePartitioner
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    t_now = n * 10
+    interval = (t_now + 3) // 3  # event_time = vec_id*10 -> exactly 3 epochs
+    max_ttl = int(1.9 * interval)  # fresh = epochs 1,2; epoch 0 is stale
+    vectors = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<float>").alias("emb"),
+        (F.col("vec_id") * 10).cast("long").alias("event_time"),
+    )
+    conf = PartitionerConf(
+        kind="lsh+hilbert", num_partitions=8, num_hashes=4, bucket_width=2.0,
+        sfc_bits=7, replication_factor=2, update_interval=interval,
+        max_ttl=max_ttl,
+    )
+    part = EpochCurvePartitioner(conf, curve="hilbert", use_lsh=True)
+    part.update(vectors)  # each epoch learns from its own rows
+    epochs_ok = len(part.epochs) == 3
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<float>").alias("emb"),
+        F.lit(t_now).cast("long").alias("event_time"),
+    )
+    pv = part.partition_data(vectors).select(
+        "partition_id", "id", "emb", "event_time"
+    )
+    pq = part.partition_queries(queries).select(
+        "partition_id", "qid", F.col("emb").alias("qemb")
+    )
+    # fresh-epoch pruning check: an identical partitioner with no TTL bound
+    # fans to every epoch — strictly more (query, partition) pairs
+    conf_all = PartitionerConf(
+        kind="lsh+hilbert", num_partitions=8, num_hashes=4, bucket_width=2.0,
+        sfc_bits=7, replication_factor=2, update_interval=interval,
+        max_ttl=None,
+    )
+    part_all = EpochCurvePartitioner(conf_all, curve="hilbert", use_lsh=True)
+    part_all.epochs = part.epochs  # same learned state, no freshness bound
+    prune_ok = (
+        pq.count() < part_all.partition_queries(queries).count()
+    )
+    # freshness contract on DATA: candidates must lie inside the window
+    cand = (
+        pv.filter(F.col("event_time") >= F.lit(t_now - max_ttl))
+        .join(pq, "partition_id")
+        .select(
+            "qid",
+            F.col("id").alias("neighbor_id"),
+            D.distance_expr(F.col("emb"), F.col("qemb"), "l2").alias("distance"),
+        )
+    )
+    ann = topk(cand, 10)  # replication_factor=2 -> dedup inside topk
+    gt = knn_exact(
+        vectors.filter(F.col("event_time") >= F.lit(t_now - max_ttl)).select(
+            "id", "emb"
+        ),
+        queries.select("qid", "emb"),
+        k=10,
+        metric="l2",
+    )
+    r = mean_recall(ann, gt, k=10)
+    print(f"# knn_epoch_batch recall@10={r:.4f} floor=0.4", file=sys.stderr)
+    return spark.createDataFrame(
+        [
+            ("epochs_learned", bool(epochs_ok)),
+            ("fresh_prune", bool(prune_ok)),
+            ("recall", bool(r >= 0.4)),
+        ],
+        "check_name string, ok boolean",
+    )
+
+
 # --- P5 dynamic epochs in the STREAMING dataflow (recall-gated) --------------
 
 _EPOCH_STREAM_SRC: dict[str, str] = {}
