@@ -206,3 +206,19 @@ def test_redact_pii_matches_python_re(spark):
         for pat, repl in _PII_PATTERNS:
             want = _re.sub(pat, repl, want)
         assert got[i] == want, (t, got[i], want)
+
+
+def test_quality_linreg_learns(spark):
+    """The 3-step GD fit must actually reduce error vs the zero model
+    (predicting 0 for every doc), and predictions must be finite."""
+    import numpy as np
+
+    from vstream_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["text_quality_linreg"]
+    pdf = fn(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(pdf) > 0 and pdf["pred_quality"].notna().all()
+    mse_zero = float((pdf["quality"] ** 2).mean())
+    mse_fit = float(((pdf["quality"] - pdf["pred_quality"]) ** 2).mean())
+    assert mse_fit < mse_zero * 0.5, (mse_fit, mse_zero)
+    assert np.isfinite(pdf["pred_quality"]).all()

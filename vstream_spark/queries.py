@@ -2594,6 +2594,94 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Distributed model fit: quality regression by unrolled GD ----------------
+# The training-pipeline op behind learned quality filters (distill a cheap
+# linear scorer from a heuristic/teacher signal, score the whole corpus with
+# it). Fit = 3 unrolled batch-gradient steps where each step is ONE scan
+# producing 4 rounded scalar aggregates (O(D) driver state, the same
+# per-iteration-rounding bitwise-parity pattern as graph_pagerank); scoring
+# is a map-only pass. At 100 TB: iterations are full-scan aggregations with
+# partial (map-side) combine — no shuffle wider than 4 doubles per task.
+
+_LINREG_LR = 0.5
+
+
+def _linreg_feats_sql() -> dict[str, str]:
+    return {
+        "x1": "(CAST(least(length(text), 2000) AS DOUBLE) / 1000.0)",
+        "x2": T.stopword_ratio_sql("text"),
+        "x3": f"({T.avg_token_len_sql('text')} / 10.0)",
+        "y": T.quality_score_sql("text"),
+    }
+
+
+def _linreg_oracle(iters: int = 3) -> str:
+    f = _linreg_feats_sql()
+    base = f"""
+WITH feats AS (
+  SELECT doc_id, {f['x1']} AS x1, {f['x2']} AS x2, {f['x3']} AS x3,
+         {f['y']} AS y
+  FROM documents),
+w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS a1,
+              CAST(0.0 AS DOUBLE) AS a2, CAST(0.0 AS DOUBLE) AS a3)"""
+    prev = "w0"
+    for i in range(1, iters + 1):
+        err = f"(y - ({prev}.b + {prev}.a1*x1 + {prev}.a2*x2 + {prev}.a3*x3))"
+        base += f""",
+w{i} AS (
+  SELECT {prev}.b  + {_LINREG_LR!r} * round(avg({err}), 9)      AS b,
+         {prev}.a1 + {_LINREG_LR!r} * round(avg({err} * x1), 9) AS a1,
+         {prev}.a2 + {_LINREG_LR!r} * round(avg({err} * x2), 9) AS a2,
+         {prev}.a3 + {_LINREG_LR!r} * round(avg({err} * x3), 9) AS a3
+  FROM feats CROSS JOIN {prev}
+  GROUP BY {prev}.b, {prev}.a1, {prev}.a2, {prev}.a3)"""
+        prev = f"w{i}"
+    return base + f"""
+SELECT doc_id,
+       CAST(round(y, 6) AS DOUBLE) AS quality,
+       CAST(round({prev}.b + {prev}.a1*x1 + {prev}.a2*x2 + {prev}.a3*x3, 6)
+            AS DOUBLE) AS pred_quality
+FROM feats CROSS JOIN {prev}
+"""
+
+
+@register("text_quality_linreg", _linreg_oracle())
+def q_text_quality_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed linear-model fit + corpus scoring: 3 batch-gradient steps
+    over (length, stopword-ratio, token-length) features against the
+    heuristic quality label, then a map-only scoring pass. Each step is one
+    partial-aggregated scan reduced to 4 scalars on the driver (gradients
+    rounded to 9dp in-engine, the cross-engine determinism recipe); the
+    weight-update arithmetic is plain IEEE identical in Python and SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = _linreg_feats_sql()
+    feats = docs.select(
+        "doc_id",
+        F.expr(f["x1"]).alias("x1"),
+        F.expr(f["x2"]).alias("x2"),
+        F.expr(f["x3"]).alias("x3"),
+        F.expr(f["y"]).alias("y"),
+    )
+    feats = feats.localCheckpoint()  # 3 iterations + scoring reuse the scan
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(3):
+        pred = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") \
+            + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3")
+        err = F.col("y") - pred
+        row = feats.agg(
+            *[F.round(F.avg(err * x), 9).alias(f"g{j}") for j, x in enumerate(xs)]
+        ).collect()[0]
+        w = [w[j] + _LINREG_LR * float(row[f"g{j}"]) for j in range(4)]
+    final = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") \
+        + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3")
+    return feats.select(
+        "doc_id",
+        F.round(F.col("y"), 6).cast("double").alias("quality"),
+        F.round(final, 6).cast("double").alias("pred_quality"),
+    )
+
+
 # --- TF-IDF over a top-V vocabulary ------------------------------------------
 
 _TFIDF_ORACLE = """
