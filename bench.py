@@ -145,9 +145,12 @@ def main() -> None:
         n_vec = n_emb = emb.count() * loops
         # best-of-N on the derived axes too: single-shot numbers swing 2-3x
         # with python-worker spawn + JIT state (observed 62->216 q/s across
-        # back-to-back reps of the identical dataflow)
+        # back-to-back reps of the identical dataflow; r5: 207->337 q/s over
+        # 4 reps) — at least 4 reps so the first cold/JIT reps never set the
+        # official throughput
+        d_reps = max(repeats, 4)
         best_ins = None
-        for rep in range(repeats):
+        for rep in range(d_reps):
             store = SegmentStore(spark, tmp + f"/r{rep}")
             t0 = time.perf_counter()
             store.upsert_batch(big)
@@ -164,7 +167,7 @@ def main() -> None:
             kind="lsh", num_partitions=8, num_families=2, num_hashes=4, bucket_width=2.0
         )
         best_q = None
-        for _ in range(repeats):
+        for _ in range(d_reps):
             t0 = time.perf_counter()
             knn_partitioned_worker(stored, queries, conf, k=10, metric="l2").count()
             dt = time.perf_counter() - t0
