@@ -197,3 +197,36 @@ def test_reference_config_recall_harness(spark):
     assert recalls[16] >= 0.7
     assert recalls[64] >= recalls[16]
     assert recalls[64] >= 0.9
+
+
+def test_bulk_approx_graph_recall_floor():
+    """Above _APPROX_THRESHOLD the bulk builder uses clustered-candidate
+    approximate kNN links (r5). Gate its recall on clustered data (the
+    testdata embeddings' shape): recall@10 at ef_search=128 must clear 0.85
+    on 12k vectors in 10 gaussian blobs — well above the threshold so the
+    approx path is the one exercised."""
+    import numpy as np
+
+    from vstream_spark.index.hnsw import _APPROX_THRESHOLD, build_index_bulk
+
+    rng = np.random.RandomState(5)
+    n, dim = 12_000, 32
+    assert n >= _APPROX_THRESHOLD
+    centers = rng.rand(10, dim) * 4
+    vecs = (centers[rng.randint(0, 10, n)] + rng.randn(n, dim) * 0.15).astype(
+        np.float32
+    )
+    labels = np.arange(n)
+    idx = build_index_bulk(vecs, labels, metric="l2")
+    q = vecs[rng.choice(n, 100, replace=False)] + rng.randn(100, dim).astype(
+        np.float32
+    ) * 0.05
+    v64 = vecs.astype(np.float64)
+    hits = 0
+    for j in range(100):
+        d = ((v64 - q[j]) ** 2).sum(axis=1)
+        truth = set(np.lexsort((labels, d))[:10].tolist())
+        got, _ = idx.search(q[j], 10, ef_search=128)
+        hits += len(truth & set(got.tolist()))
+    recall = hits / 1000
+    assert recall >= 0.85, recall
