@@ -122,3 +122,57 @@ def test_media_features_compose_with_knn(spark):
     for qid, nid in top.items():
         assert qid == nid or True  # duplicates texts may tie; just sanity
     assert set(res.columns) == {"qid", "neighbor_id", "distance", "rank"}
+
+
+def test_media_phash_matches_pure_python(spark):
+    """dHash parity: the Spark mapInPandas hash equals a from-first-
+    principles reimplementation over the same stub decode."""
+    from vstream_spark.operators.multimodal import media_phash
+
+    m = media_fixture(_docs(spark, n=12))
+    got = {r.doc_id: r.phash for r in media_phash(m).collect()}
+    rows = m.select("doc_id", "content", "meta").collect()
+    assert len(got) == 12
+    for r in rows:
+        img = decode_media(bytes(r.content), dict(r.meta))
+        pooled = resize_pool(img, 8, 9)
+        bits = (pooled[:, 1:] > pooled[:, :-1]).ravel()
+        want = np.uint64(0)
+        for i, b in enumerate(bits):
+            if b:
+                want |= np.uint64(1) << np.uint64(i)
+        assert got[r.doc_id] == int(want.view(np.int64)), r.doc_id
+
+
+def test_media_near_dedup_pigeonhole_exact(spark):
+    """The byte-band candidate join must find EXACTLY the brute-force pairs
+    with hamming <= max_hamming (pigeonhole: <= 6 differing bits over 8
+    bands cannot miss), and identical media must pair at hamming 0."""
+    from vstream_spark.operators.multimodal import media_near_dedup, media_phash
+
+    # clone texts (0,1,2 share text with 10,11,12) + distinct rest
+    rows = [(i, "alpha beta gamma %d " % (i % 5) * 30, "en", "s", 0) for i in range(10)]
+    rows += [(10 + j, rows[j][1], "en", "s", 0) for j in range(3)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    m = media_fixture(docs)
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in media_near_dedup(m, max_hamming=6, bands=8).collect()
+    }
+    # brute force over the hashes
+    ph = {r.doc_id: r.phash for r in media_phash(m).collect()}
+    want = {}
+    ids = sorted(ph)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((ph[a] ^ ph[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 6:
+                want[(a, b)] = h
+    assert got == want
+    # kind differs with doc_id % 3, so a clone pair only hashes identically
+    # when magic+body match; doc 0 (png) vs 12 (png, same text) must collide
+    assert got.get((0, 12)) == 0
+    with pytest.raises(ValueError):
+        media_near_dedup(m, max_hamming=8, bands=8)

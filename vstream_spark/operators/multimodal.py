@@ -184,3 +184,95 @@ def media_features(media: DataFrame, dim: int = 32) -> DataFrame:
     return media.select("doc_id", "content", "meta").mapInPandas(
         featurize, "doc_id long, feature array<float>"
     )
+
+
+def media_phash(media: DataFrame, side: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash, the classic public algorithm):
+    decode -> block-mean resize to ``side x (side+1)`` -> one bit per
+    horizontal gradient sign -> ``side*side``-bit fingerprint packed into a
+    signed int64. Near-identical media differ in a few bits; byte-identical
+    media collide exactly. Arrow-batched mapInPandas; the decode stub is the
+    same single seam as media_features."""
+    if side * side > 64:
+        raise ValueError("side*side must fit in 64 bits")
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (np.uint64(1) << np.arange(side * side, dtype=np.uint64))
+        for pdf in batches:
+            ids, hs = [], []
+            for doc_id, content, meta in zip(pdf["doc_id"], pdf["content"], pdf["meta"]):
+                img = decode_media(content, meta)
+                pooled = resize_pool(img, side, side + 1)
+                bits = (pooled[:, 1:] > pooled[:, :-1]).ravel()
+                h = np.uint64(0)
+                if bits.any():
+                    h = weights[bits].sum(dtype=np.uint64)
+                ids.append(int(doc_id))
+                hs.append(int(h.view(np.int64)))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "phash": pd.Series(hs, dtype="int64")}
+            )
+
+    return media.select("doc_id", "content", "meta").mapInPandas(
+        hash_batch, "doc_id long, phash long"
+    )
+
+
+def media_near_dedup(
+    media: DataFrame, max_hamming: int = 6, bands: int = 8, side: int = 8
+) -> DataFrame:
+    """Media near-duplicate pairs by perceptual hash: (doc_a, doc_b, hamming)
+    with hamming <= ``max_hamming``.
+
+    Candidate generation is bit-sampling LSH for Hamming space: the 64-bit
+    dHash splits into ``bands`` contiguous byte bands; pairs co-bucket on any
+    identical (band, band_value). With ``max_hamming < bands`` the pigeonhole
+    principle makes this EXACT — a pair differing in <= max_hamming bits
+    cannot differ in every band — so the band join is pure pruning, never a
+    recall loss. Verification is one JVM ``bit_count(xor)`` per candidate.
+    At 100 TB: the shuffle carries (band_key, doc_id, phash) — 24 bytes per
+    row per band — never media bytes; bucket sizes are bounded by hash
+    entropy and AQE skew-splitting."""
+    if max_hamming >= bands:
+        raise ValueError(
+            "max_hamming must be < bands for the pigeonhole exactness "
+            f"guarantee (got hamming {max_hamming}, bands {bands})"
+        )
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    ph = media_phash(media, side=side)
+    banded = ph.select(
+        "doc_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("phash"), b * width).bitwiseAND(mask)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand

@@ -2767,6 +2767,19 @@ def q_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("media_near_dedup")  # rows-only: dHash computed in the stub decoder
+def q_media_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate pairs over the media fixture: dHash
+    fingerprints, byte-band Hamming LSH candidates (pigeonhole-exact for
+    hamming <= 6 over 8 bands), JVM bit_count verify. The decode step is the
+    documented stub (no codecs in the container), so this is rows-only;
+    exactness vs brute-force Hamming is pinned in pytest."""
+    from vstream_spark.operators.multimodal import media_fixture, media_near_dedup
+
+    media = media_fixture(load_table(spark, sf_dir, "documents"))
+    return media_near_dedup(media, max_hamming=6, bands=8)
+
+
 # --- Multi-vector late-interaction retrieval (ColBERT MaxSim) ----------------
 # Queries and documents are GROUPS of vectors; score(Q,D) = sum_q max_d
 # cos(q,d). Groups are derived deterministically from embeddings: query
