@@ -2767,6 +2767,94 @@ def q_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Audio-path analysis over the wav-kind media: treat body bytes as 8-bit PCM
+# samples, window into 64-sample frames, and compute RMS / silence / peak —
+# the audio triage every multimodal curation pipeline runs before feature
+# extraction. Fully oracle-able: both engines read sample values out of the
+# hex encoding of the SAME derived bytes (no codec needed), so this one
+# hash-matches, complementing the rows-only stub-decode ops.
+
+_AUDIO_WIN = 64
+_AUDIO_SILENCE_RMS = 64.0
+
+
+def _audio_stats_oracle() -> str:
+    from vstream_spark.operators.multimodal import MEDIA_FIXTURE_SQL
+
+    return f"""
+WITH {MEDIA_FIXTURE_SQL},
+wav AS (
+  SELECT doc_id, hex(content) AS h, octet_length(content) - 4 AS n
+  FROM media WHERE kind = 'wav' AND octet_length(content) > 4),
+samples AS (
+  SELECT doc_id, i,
+         ('0x' || substr(h, 8 + 2*i - 1, 2))::INTEGER AS s,
+         ((i - 1) // {_AUDIO_WIN}) AS w
+  FROM wav, LATERAL unnest(range(1, n + 1)) AS t(i)),
+wins AS (
+  SELECT doc_id, w,
+         round(sqrt(avg(CAST(s AS DOUBLE) * s)), 6) AS rms,
+         max(s) AS peak
+  FROM samples GROUP BY doc_id, w)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN rms < {_AUDIO_SILENCE_RMS!r} THEN 1 ELSE 0 END) AS BIGINT)
+         AS silent_windows,
+       CAST(round(sum(rms), 6) AS DOUBLE) AS rms_sum,
+       CAST(max(peak) AS BIGINT) AS peak
+FROM wins GROUP BY doc_id
+"""
+
+
+@register("audio_stats", _audio_stats_oracle())
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed PCM triage over the wav media: per-64-sample-frame RMS,
+    silent-frame count (rms < threshold), per-doc RMS sum and peak
+    (sum, not mean: averages of 6dp-quantized window values land exactly on
+    rounding half-boundaries and break cross-engine hashing). Pure
+    Catalyst — hex + sequence explode + conv read the byte values JVM-side,
+    two partial-aggregated groupBys (samples->windows->doc); sqrt/avg are
+    IEEE/6dp-rounded so the DuckDB oracle hash-matches. At 100 TB the
+    explode is map-local and both aggregations combine map-side."""
+    from vstream_spark.operators.multimodal import media_fixture
+
+    media = media_fixture(load_table(spark, sf_dir, "documents"))
+    wav = media.filter(
+        (F.col("kind") == "wav") & (F.length("content") > 4)
+    ).select(
+        "doc_id",
+        F.hex(F.col("content")).alias("h"),
+        (F.length("content") - 4).alias("n"),
+    )
+    samples = wav.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"),
+        "h",
+    ).select(
+        "doc_id",
+        F.conv(
+            F.substring(F.col("h"), F.lit(8) + 2 * F.col("i") - 1, 2), 16, 10
+        )
+        .cast("int")
+        .alias("s"),
+        F.floor((F.col("i") - 1) / _AUDIO_WIN).cast("long").alias("w"),
+    )
+    wins = samples.groupBy("doc_id", "w").agg(
+        F.round(F.sqrt(F.avg(F.col("s").cast("double") * F.col("s"))), 6).alias(
+            "rms"
+        ),
+        F.max("s").alias("peak"),
+    )
+    return wins.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(
+            F.when(F.col("rms") < _AUDIO_SILENCE_RMS, 1).otherwise(0)
+        ).cast("long").alias("silent_windows"),
+        F.round(F.sum("rms"), 6).cast("double").alias("rms_sum"),
+        F.max("peak").cast("long").alias("peak"),
+    )
+
+
 @register("media_near_dedup")  # rows-only: dHash computed in the stub decoder
 def q_media_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate pairs over the media fixture: dHash
