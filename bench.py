@@ -45,6 +45,7 @@ BENCH_QUERIES = [
         "knn_streaming_ann_recall",
         "knn_epoch_stream_recall",
         "knn_epoch_batch_recall",
+        "emb_pca_gate",
         "knn_mmr_gate",
     )
 ]

@@ -165,3 +165,41 @@ def test_range_search_radius_monotonicity(spark, emb):
     # reflexivity: every query finds itself at distance 0
     qids = {r.qid for r in queries.collect()}
     assert {(q, q) for q in qids} <= small
+
+
+def test_pca_fit_matches_numpy(spark):
+    """Distributed partial-moment PCA == numpy PCA on the collected matrix:
+    same mean, same eigenvalues, components equal up to the sign convention
+    (which both paths apply)."""
+    import numpy as np
+
+    from vstream_spark.operators.cluster import pca_fit, pca_project
+
+    rng = np.random.RandomState(9)
+    # anisotropic data so the spectrum is distinct (no degenerate eigvecs)
+    basis = rng.randn(6, 6)
+    scales = np.array([5.0, 3.0, 2.0, 1.0, 0.5, 0.2])
+    mat = rng.randn(400, 6) * scales @ basis
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    mean, comps, vals = pca_fit(df, k=3)
+    # numpy reference
+    ref_mean = mat.mean(axis=0)
+    cov = np.cov(mat.T, bias=True)
+    rv, rvec = np.linalg.eigh(cov)
+    order = np.argsort(-rv)[:3]
+    ref_comps = rvec[:, order].T.copy()
+    for j in range(3):
+        i = int(np.argmax(np.abs(ref_comps[j])))
+        if ref_comps[j, i] < 0:
+            ref_comps[j] = -ref_comps[j]
+    assert np.allclose(mean, ref_mean, atol=1e-9)
+    assert np.allclose(vals, rv[order], atol=1e-8)
+    assert np.allclose(comps, ref_comps, atol=1e-8)
+    # projection parity: JVM fold == numpy (X - mean) @ C.T
+    proj = pca_project(df, mean, comps).toPandas().sort_values("id")
+    got = proj[["pc0", "pc1", "pc2"]].to_numpy()
+    want = (mat - ref_mean) @ ref_comps.T
+    assert np.allclose(got, want, atol=1e-8)

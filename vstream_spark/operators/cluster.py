@@ -90,3 +90,87 @@ def lloyd_step(
             "centroid", F.round(F.col("centroid"), round_dp).cast("double")
         )
     return out
+
+
+def pca_fit(
+    vectors: DataFrame, k: int, emb_col: str = "embedding"
+) -> tuple["object", "object", "object"]:
+    """Distributed PCA fit: returns (mean, components, eigenvalues) as numpy
+    arrays — O(D) + O(k*D) + O(k) driver state.
+
+    The covariance never materializes row-wise: each Arrow batch contributes
+    ONE partial (sum vector, raw-moment matrix, count) via mapInPandas —
+    numpy outer-product work executor-side — and only O(batches * D^2)
+    accumulator cells shuffle (D=64 -> 4096 doubles per batch). The driver
+    assembles cov = E[xx^T] - mean mean^T and runs the tiny D x D ``eigh``.
+    Deterministic: eigh on the same matrix plus a sign convention (largest
+    |component| entry made positive, ties to the lower index)."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            s = mat.sum(axis=0)
+            m2 = mat.T @ mat
+            n = len(mat)
+            d = len(s)
+            idx = np.arange(d * d + d + 1, dtype=np.int64)
+            val = np.concatenate([m2.ravel(), s, [float(n)]])
+            yield pd.DataFrame({"idx": idx, "val": val})
+
+    d_probe = len(vectors.select(emb_col).first()[0])
+    cells = (
+        vectors.select(emb_col)
+        .mapInPandas(partials, "idx long, val double")
+        .groupBy("idx")
+        .agg(F.sum("val").alias("v"))
+        .collect()
+    )
+    import numpy as np
+
+    acc = np.zeros(d_probe * d_probe + d_probe + 1)
+    for r in cells:
+        acc[int(r["idx"])] = float(r["v"])
+    n = acc[-1]
+    mean = acc[d_probe * d_probe : -1] / n
+    raw = acc[: d_probe * d_probe].reshape(d_probe, d_probe) / n
+    cov = raw - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-vals, kind="stable")[:k]
+    comps = vecs[:, order].T.copy()
+    for j in range(len(comps)):  # sign convention: dominant entry positive
+        i = int(np.argmax(np.abs(comps[j])))
+        if comps[j, i] < 0:
+            comps[j] = -comps[j]
+    return mean, comps, vals[order]
+
+
+def pca_project(
+    vectors: DataFrame,
+    mean,
+    components,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Map-only projection onto the fitted components: for each component a
+    JVM ``zip_with``/``aggregate`` fold of (x - mean) . c — whole-stage
+    codegen, no Python, no shuffle. Returns (id, pc0..pc{k-1})."""
+    cols = [F.col(id_col).alias("id")]
+    for j, comp in enumerate(components):
+        centered = F.zip_with(
+            F.col(emb_col),
+            F.array(*[F.lit(float(m)) for m in mean]),
+            lambda x, m: x.cast("double") - m,
+        )
+        prods = F.zip_with(
+            centered,
+            F.array(*[F.lit(float(c)) for c in comp]),
+            lambda v, c: v * c,
+        )
+        cols.append(
+            F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v).alias(f"pc{j}")
+        )
+    return vectors.select(*cols)

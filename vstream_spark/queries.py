@@ -3248,6 +3248,55 @@ def q_emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Distributed PCA over the embeddings (fit + project, self-gated) ---------
+
+
+@register(
+    "emb_pca_gate",
+    "SELECT * FROM (VALUES ('orthonormal', true), ('variance_explained', true), "
+    "('projection_consistent', true)) t(check_name, ok)",
+)
+def q_emb_pca_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA end-to-end: covariance by Arrow-batch partial
+    moments (O(batches * D^2) shuffle cells, rows never collect), D x D
+    eigh on the driver, map-only JVM-fold projection. The gate proves
+    (1) the components are orthonormal, (2) the top-8 explain a
+    non-trivial variance share, and (3) the DISTRIBUTED projection's
+    per-component variance matches the fit's eigenvalues to 1e-6 —
+    i.e. the two halves of the operator agree on the same data."""
+    import numpy as np
+
+    from vstream_spark.operators.cluster import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 8
+    mean, comps, eigvals = pca_fit(emb, k=k)
+    ortho_ok = bool(
+        np.max(np.abs(comps @ comps.T - np.eye(k))) < 1e-8
+    )
+    proj = pca_project(emb, mean, comps)
+    # distributed variance per component (E[pc^2] - E[pc]^2)
+    aggs = proj.agg(
+        *[F.avg(F.col(f"pc{j}") * F.col(f"pc{j}")).alias(f"m2_{j}") for j in range(k)],
+        *[F.avg(f"pc{j}").alias(f"m1_{j}") for j in range(k)],
+    ).collect()[0]
+    proj_var = np.array(
+        [float(aggs[f"m2_{j}"]) - float(aggs[f"m1_{j}"]) ** 2 for j in range(k)]
+    )
+    consistent_ok = bool(np.max(np.abs(proj_var - eigvals)) < 1e-6)
+    # variance explained: eigvals vs the covariance trace (sum of ALL eigvals)
+    _, _, all_vals = pca_fit(emb, k=64)
+    var_ratio = float(eigvals.sum() / all_vals.sum())
+    return spark.createDataFrame(
+        [
+            ("orthonormal", ortho_ok),
+            ("variance_explained", bool(var_ratio >= 0.2)),
+            ("projection_consistent", consistent_ok),
+        ],
+        "check_name string, ok boolean",
+    )
+
+
 # --- q21-shape: multi-correlated EXISTS / NOT EXISTS -------------------------
 # "Suppliers who were the only late supplier on a multi-supplier order".
 # (Late := shipped >90 days after order date — the schema's commitdate-free
