@@ -244,6 +244,10 @@ def media_near_dedup(
     width = 64 // bands
     mask = (1 << width) - 1
     ph = media_phash(media, side=side)
+    # the band join is a SELF-join of this subtree: pin it so the decode +
+    # hash pass runs once, not once per join side (the frame is tiny —
+    # bands * n rows of three scalars)
+    ph = ph.localCheckpoint(eager=True)
     banded = ph.select(
         "doc_id",
         "phash",
