@@ -250,6 +250,10 @@ def minhash_lsh_candidates(
         raise ValueError("bands must divide num_perm")
     rows = num_perm // bands
     sigs = minhash_signatures(docs, n, num_perm, seed, text_col, id_col)
+    # the bucket join is a SELF-join of the signature subtree: pin it so the
+    # shingle+minhash pass runs once per action, not once per join side
+    # (standard persist-before-self-join; one row per doc)
+    sigs = sigs.localCheckpoint(eager=True)
     banded = sigs.select(
         "doc_id",
         "sig",
