@@ -146,10 +146,10 @@ def main() -> None:
         n_vec = n_emb = emb.count() * loops
         # best-of-N on the derived axes too: single-shot numbers swing 2-3x
         # with python-worker spawn + JIT state (observed 62->216 q/s across
-        # back-to-back reps of the identical dataflow; r5: 207->337 q/s over
-        # 4 reps) — at least 4 reps so the first cold/JIT reps never set the
-        # official throughput
-        d_reps = max(repeats, 4)
+        # back-to-back reps of the identical dataflow; r5: 199->414 q/s
+        # ACROSS full runs even at best-of-4) — at least 6 reps so the
+        # cold/JIT reps never set the official throughput
+        d_reps = max(repeats, 6)
         best_ins = None
         for rep in range(d_reps):
             store = SegmentStore(spark, tmp + f"/r{rep}")
