@@ -478,10 +478,18 @@ def _approx_knn_links(
     nbrs = np.concatenate(nbr_all)
     ds = np.concatenate(d_all)
     # per-point top-m by (dist, id): one lexsort over the candidate set.
-    # (Pairs sharing both cells appear twice; the duplicate edge is removed
-    # by _symmetrize_mat's unique pass, so no dedup here.)
     order = np.lexsort((nbrs, ds, pts))
     pts, nbrs = pts[order], nbrs[order]
+    # a pair sharing BOTH of its top-2 cells appears twice with identical
+    # (pts, dist, nbrs) keys -> adjacent after the sort; drop the copy so
+    # it can't occupy two of the m slots and displace the true m-th
+    # neighbor (symmetrize would dedup the edge later, but the displaced
+    # candidate would already be lost)
+    if len(pts) > 1:
+        keep = np.empty(len(pts), dtype=bool)
+        keep[0] = True
+        np.logical_or(pts[1:] != pts[:-1], nbrs[1:] != nbrs[:-1], out=keep[1:])
+        pts, nbrs = pts[keep], nbrs[keep]
     starts = np.searchsorted(pts, np.arange(n + 1))
     # vectorized gather-with-padding: row i takes its first m candidates,
     # short rows pad with i itself (self edges are dropped downstream)
