@@ -30,6 +30,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from vstream_spark.queries import REGISTRY  # noqa: E402
 from vstream_spark.session import get_spark  # noqa: E402
 
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+class _SkipDerived(Exception):
+    """Sentinel for SPARK_GRAFT_BENCH_SKIP_DERIVED (a real Ctrl-C must abort
+    the run, not be mislabeled as an intentional skip — ADVICE r6)."""
+
 # The headline workload: every declared query (vector + relational + LLM ops).
 # The two recall-gate meta-queries are correctness machinery (each one re-runs
 # a dozen ANN dataflows + the exact oracle) — excluded so the suite number
@@ -72,7 +79,7 @@ def _fresh_session(sf_dir: str):
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -118,20 +125,38 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]:.2f}s (best of {repeats})",
               file=sys.stderr)
 
-    # Outlier re-measurement (r5 VERDICT #1): best-of-N WITHIN one session
-    # doesn't protect against a degraded session window — all N reps land in
-    # it (r5's official record showed knn_maxsim at 8.70s where isolated
-    # best-of-3 at the same commit measured 1.74s). Any query whose best
-    # exceeds OUTLIER_RATIO x its best-known committed value is re-timed in a
-    # FRESH session and the smaller number stands. ``best_known`` carries the
-    # per-query minimum across rounds inside BENCH_DETAIL.json, so one
-    # inflated round can't poison the reference for the next.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    # Outlier re-measurement (r5 VERDICT #1, hardened r7): best-of-N WITHIN
+    # one session doesn't protect against a degraded session window — all N
+    # reps land in it (r5's official record showed knn_maxsim at 8.70s where
+    # isolated best-of-3 at the same commit measured 1.74s; r6 recorded
+    # streaming_minhash_lsh at 30.2s vs 13.95s isolated and the 2.0x ratio
+    # let it through because best_known was itself degraded). Two triggers:
+    #   (a) best > OUTLIER_RATIO (default 1.4 — BASELINE.md's documented
+    #       noise band is ~25%) x best-known committed value;
+    #   (b) unconditionally, the TOP_SLOWEST slowest queries of this run —
+    #       a degraded best_known can't mask those.
+    # Re-timed in a FRESH session; the smaller number stands. ``best_known``
+    # carries the per-query minimum across rounds inside BENCH_DETAIL.json,
+    # so one inflated round can't poison the reference for the next.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    official_detail = os.path.join(repo_dir, "BENCH_DETAIL.json")
+    # Subset / skip-derived / non-default-sf runs are iteration runs: they
+    # must never clobber the official detail (or truncate best_known — it
+    # happened in r6, ADVICE #1). They write to a scratch path instead.
+    is_official = (
+        not only
+        and not skip_derived
+        and os.path.realpath(sf_dir) == os.path.realpath(DEFAULT_SF_DIR)
+    )
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        official_detail
+        if is_official
+        else os.path.join(repo_dir, "BENCH_DETAIL.scratch.json"),
     )
     prev_best: dict[str, float] = {}
     try:
-        with open(detail_path) as f:
+        with open(official_detail) as f:
             prev_doc = json.load(f)
         if str(prev_doc.get("sf")) == str(sf_val):
             prev_best = dict(prev_doc.get("queries", {}))
@@ -139,12 +164,16 @@ def main() -> None:
                 prev_best[q] = min(prev_best.get(q, t), t)
     except (OSError, ValueError):
         pass
-    ratio = float(os.environ.get("SPARK_GRAFT_BENCH_OUTLIER_RATIO", "2.0"))
+    ratio = float(os.environ.get("SPARK_GRAFT_BENCH_OUTLIER_RATIO", "1.4"))
+    top_slowest = int(os.environ.get("SPARK_GRAFT_BENCH_TOP_SLOWEST", "3"))
     suspects = [
         q
         for q, t in timings.items()
         if q in prev_best and prev_best[q] > 0 and t > ratio * prev_best[q]
     ]
+    for q, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:top_slowest]:
+        if q not in suspects:
+            suspects.append(q)
     remeasured: dict[str, dict[str, float]] = {}
     for idx, name in enumerate(suspects):
         if idx % max(restart_every, 1) == 0:
@@ -166,12 +195,17 @@ def main() -> None:
                 break
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        if best is not None and best < timings[name]:
+        if best is not None:
+            # record the re-measure either way (an equal/slower confirmation
+            # is evidence too); the official timing only ever improves
             remeasured[name] = {"was": timings[name], "now": round(best, 4)}
-            timings[name] = round(best, 4)
-    best_known = {
-        q: round(min(t, prev_best.get(q, t)), 4) for q, t in timings.items()
-    }
+            if best < timings[name]:
+                timings[name] = round(best, 4)
+    # best_known: min-merge current timings over ALL prev_best keys, so a
+    # query that errored this round keeps its cross-round reference (ADVICE)
+    best_known = dict(prev_best)
+    for q, t in timings.items():
+        best_known[q] = round(min(t, best_known.get(q, t)), 4)
 
     # Derived throughputs on the BASELINE.md axes (insert vec/s, query q/s):
     # ingest the embeddings table into a segment store, then run the
@@ -190,7 +224,7 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="bench-seg-")
     try:  # noqa: SIM105
         if skip_derived:
-            raise KeyboardInterrupt  # skip marker, not recorded as an error
+            raise _SkipDerived
         emb = load_table(spark, sf_dir, "embeddings")
         vectors = emb.select(
             F.col("vec_id").alias("id"),
@@ -239,7 +273,7 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best_q = dt if best_q is None else min(best_q, dt)
         derived["query_per_s"] = round(n_q / best_q, 1)
-    except KeyboardInterrupt:
+    except _SkipDerived:
         print("# derived axes skipped (SPARK_GRAFT_BENCH_SKIP_DERIVED)", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 - derived metrics are best-effort
         errors["derived"] = f"{type(e).__name__}: {e}"[:300]

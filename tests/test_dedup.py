@@ -191,3 +191,41 @@ def test_dedup_embedding_size_gate_switches_to_lsh(spark, tmp_path):
     for i in range(5):
         assert got[100 + i].is_duplicate and got[100 + i].dup_of == i
     assert not got[7].is_duplicate
+
+
+def test_dedup_embedding_gate_compressed_scan_goes_lsh(spark, tmp_path):
+    """Narrow-on-disk / wide-in-memory inputs must take the LSH path (r6
+    ADVICE / VERDICT #3): Catalyst sizeInBytes for file scans is the
+    COMPRESSED on-disk size, so a low-entropy embedding table packs far
+    below the old 600 B/row assumption and used to sneak several-times-over-
+    threshold tables onto the O(n^2) broadcast-exact path. The divisor is
+    now floored at 64 B/row (on-disk lower bound for the engine's own
+    int8-codec segments). The gate must stay jobless while deciding."""
+    import numpy as np
+
+    from vstream_spark.operators.dedup import dedup_embedding
+
+    rng = np.random.RandomState(11)
+    # 500 rows, 64-dim, values in {0..3}: ~2 bits/elem entropy -> parquet
+    # stores ~16-40 B/row, far under 600 B/row but over the exact_max_rows
+    # threshold below (500 rows > 100)
+    rows = [(i, rng.randint(0, 4, 64).astype(float).tolist()) for i in range(500)]
+    local = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    pq = str(tmp_path / "narrow.parquet")
+    local.coalesce(1).write.parquet(pq)
+    df = spark.read.parquet(pq)
+
+    import glob
+    import os
+
+    on_disk = sum(os.path.getsize(p) for p in glob.glob(pq + "/*.parquet"))
+    # precondition for the regression: the old gate (<= 100 * 600 B) would
+    # have chosen broadcast-exact for this file
+    assert on_disk <= 100 * 600, f"fixture too large to exercise the bug: {on_disk}"
+
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None))
+    marked = dedup_embedding(df, threshold=0.99, exact_max_rows=100)
+    assert len(tracker.getJobIdsForGroup(None)) == jobs_before  # still jobless
+    plan = marked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan  # routed to LSH

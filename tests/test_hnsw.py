@@ -230,3 +230,33 @@ def test_bulk_approx_graph_recall_floor():
         hits += len(truth & set(got.tolist()))
     recall = hits / 1000
     assert recall >= 0.85, recall
+
+
+def test_bulk_approx_graph_recall_floor_uniform():
+    """The hardest case for the clustered candidate generator: 64-dim
+    UNIFORM random (no cluster structure, so every cell boundary cuts true
+    neighbor pairs). r5/r6 shipped 0.78 recall@10 at ef_search=128 here
+    with the 2-cell spill; the spill=4/cell_size=320 retune (r7) clears the
+    0.85 gate (measured 0.887 at 64k, 0.92+ at this n=12k; the exact-graph
+    ceiling at 64k is 0.911). Gate at the test's n to keep runtime sane —
+    the SCALE.md 64k numbers are the full-size record."""
+    import numpy as np
+
+    from vstream_spark.index.hnsw import _APPROX_THRESHOLD, build_index_bulk
+
+    rng = np.random.RandomState(5)
+    n, dim = 12_000, 64
+    assert n >= _APPROX_THRESHOLD
+    vecs = rng.rand(n, dim).astype(np.float32)
+    labels = np.arange(n)
+    idx = build_index_bulk(vecs, labels, metric="l2")
+    q = rng.rand(100, dim).astype(np.float32)
+    v64 = vecs.astype(np.float64)
+    hits = 0
+    for j in range(100):
+        d = ((v64 - q[j]) ** 2).sum(axis=1)
+        truth = set(np.lexsort((labels, d))[:10].tolist())
+        got, _ = idx.search(q[j], 10, ef_search=128)
+        hits += len(truth & set(got.tolist()))
+    recall = hits / 1000
+    assert recall >= 0.85, recall

@@ -192,22 +192,27 @@ def minhash_signatures(
     seed: int = 42,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """MinHash signatures over shingle sets: (doc_id, sig ARRAY<BIGINT>).
 
     Shingle -> stable 61-bit int via md5 prefix (engine-independent), then
     num_perm universal-hash permutations min-reduced — vectorized numpy over
-    Arrow batches.
+    Arrow batches. ``keep_cols`` are carried through the projection chain
+    unchanged (streaming callers need the event-time column WITHOUT a
+    join-back — on a stream that would be a stateful stream-stream join).
     """
+    keep = list(keep_cols or [])
     a, b = _minhash_perm_params(num_perm, seed)
     sh = docs.select(
-        F.col(id_col).alias("doc_id"), _shingles(text_col, n).alias("shingles")
+        F.col(id_col).alias("doc_id"), _shingles(text_col, n).alias("shingles"),
+        *keep,
     )
     # stable shingle ids: first 15 hex chars of md5 -> int (< 2^60)
     ids = F.transform(
         F.col("shingles"), lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     )
-    with_ids = sh.select("doc_id", ids.alias("shingle_ids"))
+    with_ids = sh.select("doc_id", ids.alias("shingle_ids"), *keep)
 
     @F.pandas_udf("array<bigint>")
     def minhash(sids: pd.Series) -> pd.Series:
@@ -226,7 +231,9 @@ def minhash_signatures(
                 out.append(hv.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
-    return with_ids.select("doc_id", minhash(F.col("shingle_ids")).alias("sig"))
+    return with_ids.select(
+        "doc_id", minhash(F.col("shingle_ids")).alias("sig"), *keep
+    )
 
 
 def minhash_lsh_candidates(
@@ -373,19 +380,31 @@ def dedup_embedding(
     elif row_count_hint is not None:
         use_exact = row_count_hint <= exact_max_rows
     else:
-        # plan-stats gate: sizeInBytes is metadata (no Spark job). 600 B/row
-        # ~= a 64-dim float64 embedding + id in Catalyst's in-memory
-        # estimate; real rows are usually wider, which only biases toward
-        # LSH. If stats are unavailable, fall back to one count() rather
+        # plan-stats gate: Catalyst statistics are metadata (no Spark job).
+        # Prefer the exact rowCount stat when the optimizer knows it (local
+        # relations, cached plans, ANALYZEd tables). Otherwise estimate rows
+        # from sizeInBytes — which for file scans is the COMPRESSED on-disk
+        # size (r6 ADVICE), so the divisor must be a LOWER bound on on-disk
+        # bytes/row, not an in-memory estimate: the old 600 B/row let an
+        # int8-codec 64-dim table (~70 B/row zstd parquet, this engine's own
+        # ``codec='int8'`` format) onto the broadcast-exact path at ~8x the
+        # row threshold. 64 B/row is the floor: random int8 payloads of >=64
+        # dims are incompressible, so any embedding table this engine writes
+        # meets it; for narrower-than-64-byte rows pass ``row_count_hint``.
+        # Underestimating bytes/row only pushes toward the scale-safe LSH
+        # path. If stats are unavailable, fall back to one count() rather
         # than silently switching a small input to the approximate path.
         try:
-            size = int(
-                vectors._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
+            stats = vectors._jdf.queryExecution().optimizedPlan().stats()
+            size = int(stats.sizeInBytes())
+            jrc = stats.rowCount()
+            row_count = int(jrc.get()) if jrc.isDefined() else None
         except Exception:  # noqa: BLE001 - stats access is best-effort
-            size = None
-        if size is not None and size < 2**60:
-            use_exact = size <= exact_max_rows * 600
+            size = row_count = None
+        if row_count is not None:
+            use_exact = row_count <= exact_max_rows
+        elif size is not None and size < 2**60:
+            use_exact = size <= exact_max_rows * 64
         else:
             # RDD-backed plans report the defaultSizeInBytes sentinel
             # (Long.Max) — stats genuinely unknown, one count() beats

@@ -123,6 +123,58 @@ def frame_sample(
     )
 
 
+def audio_pcm_frames(media: DataFrame, win: int = 64) -> DataFrame:
+    """Frame-level PCM decode (the SCALED audio-triage path, r5/r6 ask).
+
+    The Catalyst per-byte `audio_stats` path (hex + sequence explode) emits
+    ONE ROW PER AUDIO BYTE — perfect for DuckDB oracle parity, wrong at
+    100 TB. This operator does the O(bytes) work inside an Arrow-batched
+    ``mapInPandas``: the PCM body decodes to a numpy sample vector (the
+    ``decode_media`` seam's audio analog — swap in soundfile here for real
+    WAV containers), frames reduce with ``np.add.reduceat``/``
+    np.maximum.reduceat``, and one row per ``win``-sample FRAME leaves the
+    executor (a ``win``-fold row reduction; shuffle carries 4 longs/frame).
+
+    Every emitted field is an EXACT integer (sum of <=64 squares of uint8
+    samples < 2^22 — no float leaves Python), so the downstream
+    rms/rounding arithmetic runs in the SAME Catalyst expressions as the
+    per-byte path and the two are bit-identical by construction (pinned in
+    tests/test_multimodal.py).
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, sums, cnts, pks = [], [], [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                pcm = np.frombuffer(bytes(content), dtype=np.uint8)[
+                    _MAGIC_LEN:
+                ].astype(np.int64)
+                n = len(pcm)
+                if n == 0:
+                    continue
+                idx = np.arange(0, n, win)
+                k = len(idx)
+                ids.append(np.full(k, int(doc_id), dtype=np.int64))
+                ws.append(np.arange(k, dtype=np.int64))
+                sums.append(np.add.reduceat(pcm * pcm, idx))
+                cnts.append(np.diff(np.append(idx, n)))
+                pks.append(np.maximum.reduceat(pcm, idx))
+            empty = np.empty(0, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids) if ids else empty,
+                    "w": np.concatenate(ws) if ws else empty,
+                    "sum_sq": np.concatenate(sums) if sums else empty,
+                    "n_samples": np.concatenate(cnts) if cnts else empty,
+                    "peak": np.concatenate(pks) if pks else empty,
+                }
+            )
+
+    return media.select("doc_id", "content").mapInPandas(
+        frames, "doc_id long, w long, sum_sq long, n_samples long, peak long"
+    )
+
+
 def decode_media(content: bytes, meta: dict) -> np.ndarray:
     """Decode media bytes to a (H, W) float array.
 

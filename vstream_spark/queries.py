@@ -476,9 +476,15 @@ def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+def _minhash_lsh_oracle(
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    extra_pred: str | None = None,
+) -> str:
     rows = num_perm // bands
     base = _minhash_oracle(num_perm)
+    extra = f"  AND ({extra_pred})" if extra_pred else ""
     return f"""
 WITH sigs AS ({base}),
 banded AS (
@@ -497,6 +503,7 @@ SELECT doc_a, doc_b,
 FROM cand
 WHERE CAST(list_sum(list_transform(list_zip(sig_a, sig_b),
         p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / {num_perm}.0 >= {threshold}
+{extra}
 """
 
 
@@ -2855,6 +2862,41 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("audio_stats_frames", _audio_stats_oracle())
+def q_audio_stats_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALED twin of `audio_stats` (r5 #8 / r6 VERDICT #7): identical
+    semantics and the identical DuckDB oracle, but the O(bytes) work runs
+    frame-level inside Arrow-batched `audio_pcm_frames` instead of a
+    one-row-per-byte Catalyst explode — the executor emits one
+    exact-integer row per 64-sample FRAME (a 64x row reduction before any
+    shuffle), and the float math (sqrt/avg/6dp rounds) stays in the same
+    Catalyst expressions as the per-byte path, so the two are
+    bit-identical. The per-byte `audio_stats` remains declared as the
+    oracle-parity path; THIS is the plan you'd run at 100 TB."""
+    from vstream_spark.operators.multimodal import audio_pcm_frames, media_fixture
+
+    media = media_fixture(load_table(spark, sf_dir, "documents"))
+    wav = media.filter((F.col("kind") == "wav") & (F.length("content") > 4))
+    frames = audio_pcm_frames(wav, win=_AUDIO_WIN)
+    # sum_sq/n_samples in double == avg(CAST(s AS DOUBLE)*s): the window sum
+    # of <=64 uint8 squares is exact in both, the divide is the same IEEE op
+    wins = frames.select(
+        "doc_id",
+        F.round(
+            F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples")), 6
+        ).alias("rms"),
+        "peak",
+    )
+    return wins.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(
+            F.when(F.col("rms") < _AUDIO_SILENCE_RMS, 1).otherwise(0)
+        ).cast("long").alias("silent_windows"),
+        F.round(F.sum("rms"), 6).cast("double").alias("rms_sum"),
+        F.max("peak").cast("long").alias("peak"),
+    )
+
+
 # DuckDB twin of the full perceptual-hash pipeline (r5 VERDICT #3: this was
 # the one registry entry with no oracle). The stub decode -> block-mean
 # resize -> dHash chain is deterministic integer arithmetic, so every step
@@ -4479,16 +4521,27 @@ _DOCS_STREAM_SRC: dict[str, str] = {}
 
 def _docs_stream_fixture(spark: SparkSession, sf_dir: str) -> str:
     """documents split into 3 parquet files (doc_id % 3) so the file stream
-    replays 3 micro-batches; files cached per (process, sf_dir)."""
+    replays 3 micro-batches; files cached per (process, sf_dir). Each row
+    carries an event time ``et = (doc_id % 3) * 10`` — constant within a
+    batch, advancing 10 per batch — so the TTL-bounded variant has a
+    SQL-expressible freshness window (|slot diff| <= 1 at ttl=10). Writes
+    sleep between slots so file mtimes order the replay deterministically
+    (the bounded mode's output depends on arrival order by design: an
+    arrival looks BACK ttl units, it cannot see forward)."""
     import os
     import tempfile
+    import time as _time
 
     src = _DOCS_STREAM_SRC.get(sf_dir)
     if src is not None and os.path.isdir(src):
         return src
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", ((F.col("doc_id") % 3) * 10).cast("long").alias("et")
+    )
     out = tempfile.mkdtemp(prefix="docs-stream-")
     for slot in range(3):
+        if slot:
+            _time.sleep(1.05)  # distinct mtimes => deterministic batch order
         docs.filter(F.col("doc_id") % 3 == slot).coalesce(1).write.mode(
             "append"
         ).parquet(out)
@@ -4518,6 +4571,41 @@ def q_streaming_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = streaming_set_similarity(stream, threshold=0.5)
     run_stream_to_memory(pairs, "_streaming_mhlsh", output_mode="append")
     return spark.table("_streaming_mhlsh")
+
+
+@register(
+    "streaming_minhash_lsh_bounded",
+    _minhash_lsh_oracle(extra_pred="abs((doc_a % 3) - (doc_b % 3)) <= 1"),
+)
+def q_streaming_minhash_lsh_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-SHAPED mode of the streaming set-similarity join
+    (r5/r6 ask): same 3-micro-batch replay, but with ``ttl`` set — the
+    reference's freshness contract (`vector_options.h:79-95`). Event time
+    advances 10 per batch (constant within a batch) and ttl=10, so each
+    arrival pairs only with bucket members of its own or the previous
+    batch, and members older than the window are PHYSICALLY evicted from
+    the keyed state after each batch — per-bucket state holds one TTL
+    window of signatures, never the full history. Oracle: the batch
+    MinHash-LSH pair set filtered to the TTL window (|batch slot diff|
+    <= 1 — exact because event times are batch-constant and the replay
+    order is pinned by file mtimes)."""
+    from vstream_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_set_similarity,
+    )
+
+    src = _docs_stream_fixture(spark, sf_dir)
+    schema = "doc_id bigint, text string, et bigint"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pairs = streaming_set_similarity(
+        stream, threshold=0.5, ttl=10, event_time_col="et"
+    )
+    run_stream_to_memory(pairs, "_streaming_mhlsh_bounded", output_mode="append")
+    return spark.table("_streaming_mhlsh_bounded")
 
 
 # --- Namespaced (multi-tenant) search ----------------------------------------
