@@ -301,15 +301,27 @@ def streaming_set_similarity(
     ttl: int | None = None,
     event_time_col: str | None = None,
     late_slack: int = 0,
+    state_shards: int = 32,
 ) -> DataFrame:
     """Distributed STREAMING set-similarity join (the ICDE'20 problem shape):
     documents arrive as a stream; each new arrival pairs with every earlier
     document sharing an LSH band bucket, then the signature-overlap Jaccard
-    estimate verifies. Keyed state = the bucket's (id, signature) history —
-    per-bucket, so state volume is the banded signature table, never pair
-    space. A pair is emitted exactly once (when its later member arrives) no
-    matter how the stream is batched, so a drained run equals the batch
-    minhash_lsh_candidates bit-for-bit.
+    estimate verifies. State holds the banded (id, signature) history —
+    never pair space. A pair is emitted exactly once (when its later member
+    arrives) no matter how the stream is batched, so a drained run equals
+    the batch minhash_lsh_candidates bit-for-bit.
+
+    State is keyed by ``(band, hash(band_key) % state_shards)``, NOT by the
+    raw bucket (r7): a corpus has millions of one-member buckets, and
+    per-bucket keying paid the applyInPandasWithState per-key Python/Arrow
+    overhead once per bucket per batch (~25k invocations/batch at sf0.1 —
+    it made this the suite's slowest query). Sharded keying caps
+    invocations at ``bands * state_shards`` per batch, while bucket
+    locality is preserved INSIDE each shard with sorted keys + searchsorted
+    ragged ranges — comparisons still happen only within a bucket, fully
+    vectorized. ``state_shards`` is the state-parallelism knob: raise it on
+    a cluster so each shard's signature slice stays executor-sized (state
+    volume is corpus/bands/shards per key).
 
     State is BOUNDED when ``ttl`` is set (the reference's freshness
     contract, vector TTL in ``VectorSearchOptions``): each bucket member
@@ -323,24 +335,24 @@ def streaming_set_similarity(
     Eviction is LAZY by ``late_slack`` (r5 ADVICE #1): a member is evicted
     only once its event time falls below ``max_event_time_seen - ttl -
     late_slack``, where the max is tracked monotonically across batches in
-    the state. ``late_slack`` is the allowed event-time out-of-orderness —
-    the watermark contract expressed in the stream's own (abstract long)
-    time units: any arrival at most ``late_slack`` behind the bucket's max
-    sees exactly the members its TTL window entitles it to, REGARDLESS of
-    how the stream was batched. With the default ``late_slack=0`` the
-    output is batching-independent only for per-bucket monotone event
-    times (the documented assumption); arrivals later than the slack may
-    miss pairs with already-evicted members, exactly as a
+    the state (per shard). ``late_slack`` is the allowed event-time
+    out-of-orderness — the watermark contract expressed in the stream's
+    own (abstract long) time units: any arrival at most ``late_slack``
+    behind its shard's max sees exactly the members its TTL window
+    entitles it to, REGARDLESS of how the stream was batched. With the
+    default ``late_slack=0`` the output is batching-independent only for
+    monotone event times (the documented assumption); arrivals later than
+    the slack may miss pairs with already-evicted members, exactly as a
     watermark-dropped late row would.
 
     The signature comparison is numpy-vectorized ONCE PER MICRO-BATCH (r6
     What's-wrong #2: the previous per-arrival ``np.append``/``np.vstack``
-    loop did O(rows^2) state copies per (key, batch)): the batch's
-    arrivals are stacked into a (B × num_perm) matrix, scored against the
-    bucket history in one chunked ``==`` broadcast, and against each other
-    with one upper-triangular comparison (arrival order = row order, so
-    row j pairs with earlier rows i < j); the state arrays are
-    concatenated once at the end of the batch."""
+    loop did O(rows^2) state copies per (key, batch)): the shard's batch
+    arrivals are stacked into a (B × num_perm) matrix and scored against
+    exactly their own bucket's history/earlier arrivals through
+    searchsorted range arithmetic — no per-row and no per-bucket Python
+    loop on the emit path; the state arrays are concatenated and re-sorted
+    once at the end of the batch."""
     import pandas as pd
 
     from vstream_spark.operators.dedup import minhash_signatures
@@ -377,7 +389,8 @@ def streaming_set_similarity(
         import numpy as np
 
         if state.exists:
-            (ids, ets, sigs_flat, max_et) = state.get
+            (bkeys, ids, ets, sigs_flat, max_et) = state.get
+            h_keys = np.asarray(list(bkeys), dtype=np.str_)
             h_ids = np.asarray(list(ids), dtype=np.int64)
             h_ets = np.asarray(list(ets), dtype=np.int64)
             h_mat = (
@@ -387,94 +400,136 @@ def streaming_set_similarity(
             )
             max_et = int(max_et)
         else:
+            h_keys = np.empty(0, dtype="U1")
             h_ids = np.empty(0, dtype=np.int64)
             h_ets = np.empty(0, dtype=np.int64)
             h_mat = np.empty((0, num_perm), dtype=np.int64)
             max_et = None
-        # stack the whole micro-batch once (arrival order = row order)
+        # stack the shard's whole micro-batch once, then STABLE-sort by
+        # bucket key: arrival order (row order) is preserved within a
+        # bucket, which is the only place order carries meaning
         parts = [pdf for pdf in pdfs if len(pdf)]
         if parts:
             pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+            b_keys = np.asarray(pdf["band_key"].tolist(), dtype=np.str_)
             b_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             b_ets = pdf["et"].to_numpy(dtype=np.int64)
             b_mat = np.array(
                 [list(s) for s in pdf["sig"]], dtype=np.int64
             ).reshape(len(pdf), num_perm)
+            order = np.argsort(b_keys, kind="stable")
+            b_keys, b_ids, b_ets, b_mat = (
+                b_keys[order], b_ids[order], b_ets[order], b_mat[order],
+            )
         else:
+            b_keys = np.empty(0, dtype="U1")
             b_ids = np.empty(0, dtype=np.int64)
             b_ets = np.empty(0, dtype=np.int64)
             b_mat = np.empty((0, num_perm), dtype=np.int64)
         nb = len(b_ids)
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        out_e: list[np.ndarray] = []
+        pair_i: list[np.ndarray] = []  # batch-row index of the later member
+        pair_jid: list[np.ndarray] = []  # doc_id of the earlier member
+        pair_jmat: list[np.ndarray] = []  # its signature rows
 
-        def emit(ai, bi, est):
-            out_a.append(np.minimum(ai, bi))
-            out_b.append(np.maximum(ai, bi))
-            out_e.append(est)
-
-        # arrivals vs bucket history: chunked (b, H, num_perm) broadcast
-        nh = len(h_ids)
-        if nb and nh:
-            chunk = max(1, (1 << 22) // max(nh * num_perm, 1))
-            for lo in range(0, nb, chunk):
-                hi = min(lo + chunk, nb)
-                live = h_ids[None, :] != b_ids[lo:hi, None]
+        # arrivals vs SAME-BUCKET history: h_keys is kept sorted, so each
+        # batch row's bucket slice is a searchsorted range; ragged ranges
+        # expand with repeat/cumsum arithmetic — no per-bucket Python loop
+        if nb and len(h_ids):
+            lo = np.searchsorted(h_keys, b_keys, side="left")
+            hi = np.searchsorted(h_keys, b_keys, side="right")
+            counts = hi - lo
+            tot = int(counts.sum())
+            if tot:
+                b_rep = np.repeat(np.arange(nb), counts)
+                csum = np.cumsum(counts)
+                in_rng = np.arange(tot) - np.repeat(csum - counts, counts)
+                h_idx = np.repeat(lo, counts) + in_rng
+                live = h_ids[h_idx] != b_ids[b_rep]
                 if ttl is not None:
-                    live &= h_ets[None, :] >= b_ets[lo:hi, None] - ttl
-                bi, hj = np.nonzero(live)
-                if len(bi):
-                    est = (
-                        (b_mat[lo + bi] == h_mat[hj]).sum(axis=1) / num_perm
-                    )
-                    emit(b_ids[lo + bi], h_ids[hj], est)
-        # arrivals vs earlier arrivals IN the batch: upper triangle (i < j)
+                    live &= h_ets[h_idx] >= b_ets[b_rep] - ttl
+                b_rep, h_idx = b_rep[live], h_idx[live]
+                if len(b_rep):
+                    pair_i.append(b_rep)
+                    pair_jid.append(h_ids[h_idx])
+                    pair_jmat.append(h_mat[h_idx])
+        # arrivals vs earlier SAME-BUCKET arrivals in the batch: triangle
+        # indices per equal-key segment (multi-member segments are rare)
         if nb > 1:
-            i_idx, j_idx = np.triu_indices(nb, k=1)
-            live = b_ids[i_idx] != b_ids[j_idx]
-            if ttl is not None:
-                live &= b_ets[i_idx] >= b_ets[j_idx] - ttl
-            i_idx, j_idx = i_idx[live], j_idx[live]
-            if len(i_idx):
-                step = max(1, (1 << 22) // num_perm)
-                for lo in range(0, len(i_idx), step):
-                    hi = min(lo + step, len(i_idx))
-                    est = (
-                        (b_mat[i_idx[lo:hi]] == b_mat[j_idx[lo:hi]]).sum(axis=1)
-                        / num_perm
-                    )
-                    emit(b_ids[i_idx[lo:hi]], b_ids[j_idx[lo:hi]], est)
-        # ONE state concat per batch, then lazy eviction below the slack line
+            seg_start = np.flatnonzero(
+                np.concatenate([[True], b_keys[1:] != b_keys[:-1]])
+            )
+            seg_end = np.append(seg_start[1:], nb)
+            tri_i, tri_j = [], []
+            for s, e in zip(seg_start, seg_end):
+                w = int(e - s)
+                if w >= 2:
+                    jj, ii = np.triu_indices(w, k=1)  # ii earlier, jj later
+                    tri_i.append(jj + s)
+                    tri_j.append(ii + s)
+            if tri_i:
+                j_later = np.concatenate(tri_i)
+                i_early = np.concatenate(tri_j)
+                live = b_ids[i_early] != b_ids[j_later]
+                if ttl is not None:
+                    live &= b_ets[i_early] >= b_ets[j_later] - ttl
+                j_later, i_early = j_later[live], i_early[live]
+                if len(j_later):
+                    pair_i.append(j_later)
+                    pair_jid.append(b_ids[i_early])
+                    pair_jmat.append(b_mat[i_early])
+        # ONE state concat per batch, re-sorted by key (C-speed on the
+        # fixed-width unicode array), then lazy eviction below the slack line
+        n_keys = np.concatenate([h_keys, b_keys])
         id_arr = np.concatenate([h_ids, b_ids])
         et_arr = np.concatenate([h_ets, b_ets])
         mat = np.concatenate([h_mat, b_mat])
+        order = np.argsort(n_keys, kind="stable")
+        n_keys, id_arr, et_arr, mat = (
+            n_keys[order], id_arr[order], et_arr[order], mat[order],
+        )
         if len(et_arr):
             batch_max = int(et_arr.max())
             max_et = batch_max if max_et is None else max(max_et, batch_max)
         if ttl is not None and len(et_arr) and max_et is not None:
             hold = et_arr >= max_et - ttl - late_slack
-            id_arr, et_arr, mat = id_arr[hold], et_arr[hold], mat[hold]
+            n_keys, id_arr, et_arr, mat = (
+                n_keys[hold], id_arr[hold], et_arr[hold], mat[hold],
+            )
         state.update(
-            (id_arr.tolist(), et_arr.tolist(), mat.tolist(),
+            (n_keys.tolist(), id_arr.tolist(), et_arr.tolist(), mat.tolist(),
              0 if max_et is None else max_et)
         )
-        yield pd.DataFrame(
-            {
-                "doc_a": np.concatenate(out_a) if out_a else np.empty(0, np.int64),
-                "doc_b": np.concatenate(out_b) if out_b else np.empty(0, np.int64),
-                "jaccard_est": (
-                    np.concatenate(out_e) if out_e else np.empty(0, np.float64)
-                ),
-            }
-        )
+        # most shards emit nothing in a quiet batch — skipping the
+        # empty-frame build/Arrow round-trip is free throughput
+        if pair_i:
+            bi = np.concatenate(pair_i)
+            jid = np.concatenate(pair_jid)
+            jmat = np.concatenate(pair_jmat)
+            est = np.empty(len(bi), dtype=np.float64)
+            step = max(1, (1 << 22) // num_perm)
+            for lo in range(0, len(bi), step):
+                hi = min(lo + step, len(bi))
+                est[lo:hi] = (
+                    (b_mat[bi[lo:hi]] == jmat[lo:hi]).sum(axis=1) / num_perm
+                )
+            aid = b_ids[bi]
+            yield pd.DataFrame(
+                {
+                    "doc_a": np.minimum(aid, jid),
+                    "doc_b": np.maximum(aid, jid),
+                    "jaccard_est": est,
+                }
+            )
 
-    pairs = banded.groupBy("band", "band_key").applyInPandasWithState(
+    sharded = banded.withColumn(
+        "shard", F.pmod(F.hash("band_key"), F.lit(state_shards))
+    )
+    pairs = sharded.groupBy("band", "shard").applyInPandasWithState(
         pair_new_arrivals,
         outputStructType="doc_a bigint, doc_b bigint, jaccard_est double",
         stateStructType=(
-            "ids array<bigint>, ets array<bigint>, sigs array<array<bigint>>, "
-            "max_et bigint"
+            "bkeys array<string>, ids array<bigint>, ets array<bigint>, "
+            "sigs array<array<bigint>>, max_et bigint"
         ),
         outputMode="append",
         timeoutConf="NoTimeout",
