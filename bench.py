@@ -312,7 +312,7 @@ def main() -> None:
                 "queries": slowest,
                 "n_queries": len(timings),
                 "n_remeasured": len(remeasured),
-                "detail": "BENCH_DETAIL.json",
+                "detail": os.path.basename(detail_path),
                 "sf": sf_val,
                 "derived": derived,
                 "errors": {k: v[:80] for k, v in errors.items()},

@@ -343,3 +343,25 @@ def test_namespaced_search_joins_on_namespace(spark):
     assert_plan_contains(df, "BroadcastHashJoin")
     assert_plan_lacks(df, "BroadcastNestedLoopJoin", "CartesianProduct",
                       "ArrowEvalPython", "BatchEvalPython")
+
+
+def test_per_query_k_rank_cut_stays_map_side(spark):
+    """knn_partitioned with a per-query k COLUMN defeats Catalyst's
+    WindowGroupLimit (non-literal rank filter): every Q x N scored row
+    reaches the sort/exchange — the sf1 rehearsal measured 62x wall time
+    on 10x data for this plan. k_cap (the static bound of the k column)
+    restores the map-side cut; this pins that the pushdown actually fires
+    through the dedup+rank window stack."""
+    from vstream_spark.config import PartitionerConf
+    from vstream_spark.operators.partitioned import knn_partitioned
+
+    vectors, queries = _emb(spark)
+    queries = queries.withColumn("k", 5 + F.col("qid") % 6)
+    conf = PartitionerConf(kind="simple", num_partitions=4)
+    capped = knn_partitioned(vectors, queries, conf, k=None, metric="l2", k_cap=10)
+    assert_plan_contains(capped, "WindowGroupLimit")
+    # identical results to the uncapped plan (cap >= max k)
+    plain = knn_partitioned(vectors, queries, conf, k=None, metric="l2")
+    got = sorted(map(tuple, capped.collect()))
+    want = sorted(map(tuple, plain.collect()))
+    assert got == want and len(got) > 0

@@ -344,7 +344,7 @@ def dedup_embedding(
     threshold: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    exact_max_rows: int = 200_000,
+    exact_max_rows: int = 20_000,
     row_count_hint: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate marking (semantic dedup).
@@ -355,12 +355,16 @@ def dedup_embedding(
 
     Size-gated (r4 VERDICT #9): at or below ``exact_max_rows`` the pair
     source is similarity_join_exact (a pure-Catalyst broadcast NLJ — exact,
-    but the broadcast side must fit in executor memory); above it the
-    operator automatically switches to lsh_similarity_join (bucketed
-    candidates + exact verify — approximate but shuffle-partitioned, safe
-    at any scale), so the default path never broadcasts an unbounded table
-    without the caller having to know. Pass ``exact_max_rows=0`` to force
-    the LSH path, or a huge value to force exact.
+    but O(N^2) pairs); above it the operator automatically switches to
+    lsh_similarity_join (bucketed candidates + exact verify — approximate
+    but shuffle-partitioned, safe at any scale), so the default path never
+    broadcasts an unbounded table without the caller having to know. The
+    20k default is COMPUTE-derived, not memory-derived (r7 sf1 rehearsal:
+    the exact join measures 162s at 20k x 64-dim on 32 cores — N^2 growth
+    puts the old 200k memory-justified bound at ~4.5 HOURS of distance
+    folds; memory was never the binding constraint). Pass
+    ``exact_max_rows=0`` to force the LSH path, or a bigger value when you
+    have the cluster to burn.
 
     The gate runs NO job (r5 VERDICT #5 / ADVICE: the old ``count()`` here
     re-executed the whole input lineage once per call just to pick a code

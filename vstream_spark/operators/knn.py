@@ -69,6 +69,7 @@ def topk(
     dist_col: str = "distance",
     id_col: str = "neighbor_id",
     dedup: bool = True,
+    k_cap: int | None = None,
 ) -> DataFrame:
     """Window top-k with the reference's merge semantics (M1/M2):
     ascending distance, id tiebreak, dedup by id, rank 1..k.
@@ -76,6 +77,14 @@ def topk(
     ``dedup=False`` skips the duplicate-id window (one whole sort+exchange)
     when the caller guarantees unique (qid, id) pairs — true for any
     non-replicated path (exact search, single-family partitioning).
+
+    ``k_cap`` matters when ``k`` is a per-query COLUMN: a non-literal rank
+    filter defeats Catalyst's WindowGroupLimit pushdown, so every scored
+    row (Q x N on the exact path) reaches the sort/exchange — the sf1
+    rehearsal measured 62x on a 10x input for exactly this plan. Passing
+    the static upper bound of the k column restores the pushdown: rows are
+    first cut to ``k_cap`` per qid map-side (literal filter), then trimmed
+    to each query's own k. Results are identical whenever ``k <= k_cap``.
     """
     rank_w = Window.partitionBy(qid_col).orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
     out = scored
@@ -89,6 +98,9 @@ def topk(
     out = out.withColumn("rank", F.row_number().over(rank_w))
     if isinstance(k, int):
         return out.filter(F.col("rank") <= F.lit(k))
+    if k_cap is not None:
+        # literal first (WindowGroupLimit fires), per-query second
+        out = out.filter(F.col("rank") <= F.lit(int(k_cap)))
     return out.filter(F.col("rank") <= k)
 
 

@@ -50,13 +50,16 @@ def knn_partitioned(
     metric: str = "l2",
     honor_deletes: bool = False,
     honor_ttl: bool = False,
+    k_cap: int | None = None,
 ) -> DataFrame:
     """Exchange + co-located join + merge, all JVM-side.
 
     Returns (qid, neighbor_id, distance, rank). Exact iff the partitioner
     routes every query to every partition holding candidate data ('simple');
     approximate (partition-pruned) for LSH partitioners. ``k=None`` uses
-    each query's own ``k`` column (VectorSearchOptions.k parity).
+    each query's own ``k`` column (VectorSearchOptions.k parity) — pass
+    ``k_cap`` (a static upper bound on that column) so the rank cut stays
+    map-side; see ``topk`` for why the dynamic filter alone is a scale trap.
     """
     per_query_k = k is None
     if per_query_k and "k" not in queries.columns:
@@ -81,7 +84,7 @@ def knn_partitioned(
         *([F.col("q.k").alias("q_k")] if per_query_k else []),
     )
     if per_query_k:
-        return topk(scored, F.col("q_k")).select(
+        return topk(scored, F.col("q_k"), k_cap=k_cap).select(
             "qid", "neighbor_id", "distance", "rank"
         )
     return topk(scored, k).select("qid", "neighbor_id", "distance", "rank")

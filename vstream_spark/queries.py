@@ -129,7 +129,9 @@ def q_knn_per_query_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(5) + F.col("vec_id") % 6).alias("k"),
     )
     conf = PartitionerConf(kind="simple", num_partitions=8)
-    return knn_partitioned(vectors, queries, conf, k=None, metric="l2")
+    # k_cap=10 (k is 5..10): keeps the rank cut map-side (WindowGroupLimit)
+    # — without it the sf1 rehearsal measured this query at 62x on 10x data
+    return knn_partitioned(vectors, queries, conf, k=None, metric="l2", k_cap=10)
 
 
 _KNN_FILTERED_ORACLE = f"""
