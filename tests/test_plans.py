@@ -365,3 +365,27 @@ def test_per_query_k_rank_cut_stays_map_side(spark):
     got = sorted(map(tuple, capped.collect()))
     want = sorted(map(tuple, plain.collect()))
     assert got == want and len(got) > 0
+
+
+def test_single_assignment_merge_skips_dedup_window(spark):
+    """Partitioners that assign each data row exactly one partition (simple;
+    odyssey's one-member-per-group query routing) can never hand the merge a
+    duplicate (qid, id) candidate, so the M1 dedup window — a second full
+    sort+exchange over Q x N scored rows on the exact path — must be absent
+    from the plan. Replicating partitioners (kmeans rf>1) must keep it."""
+    from vstream_spark.config import PartitionerConf
+    from vstream_spark.operators.partitioned import knn_partitioned
+    from vstream_spark.operators.knn import knn_exact
+
+    vectors, queries = _emb(spark)
+    simple = PartitionerConf(kind="simple", num_partitions=4)
+    df = knn_partitioned(vectors, queries, simple, k=10, metric="l2")
+    assert_plan_lacks(df, "_dup")
+    # bit-identical to ground truth without the dedup pass
+    want = sorted(map(tuple, knn_exact(vectors, queries, k=10, metric="l2").collect()))
+    got = sorted(map(tuple, df.collect()))
+    assert got == want and len(got) > 0
+
+    km = PartitionerConf(kind="kmeans", num_partitions=4, replication_factor=2)
+    df_r = knn_partitioned(vectors, queries, km, k=10, metric="l2")
+    assert_plan_contains(df_r, "_dup")

@@ -83,11 +83,17 @@ def knn_partitioned(
         distance_expr(F.col("q.emb"), F.col("v.emb"), metric).alias("distance"),
         *([F.col("q.k").alias("q_k")] if per_query_k else []),
     )
+    # Single-assignment partitioners (simple, k1=1 LSH, odyssey's
+    # one-member-per-group routing) can never produce duplicate (qid, id)
+    # candidates, so the M1 dedup window — a full sort+exchange over ALL
+    # scored rows, Q x N on the exact path — is skipped. At sf1 that window
+    # dominated knn_partitioned (the scored set hit 200M rows).
+    dedup = part.merge_needs_dedup
     if per_query_k:
-        return topk(scored, F.col("q_k"), k_cap=k_cap).select(
+        return topk(scored, F.col("q_k"), k_cap=k_cap, dedup=dedup).select(
             "qid", "neighbor_id", "distance", "rank"
         )
-    return topk(scored, k).select("qid", "neighbor_id", "distance", "rank")
+    return topk(scored, k, dedup=dedup).select("qid", "neighbor_id", "distance", "rank")
 
 
 def knn_partitioned_worker(
@@ -227,11 +233,15 @@ def knn_partitioned_worker(
         .cogroup(pq.groupBy("partition_id"))
         .applyInPandas(search, schema=schema)
     )
+    # same single-assignment shortcut as knn_partitioned; the worker path's
+    # merge input is already cut to k per partition, but skipping the dedup
+    # window still removes one sort+exchange over partitions x Q x k rows
+    dedup = part.merge_needs_dedup
     if per_query_k:
-        return topk(results, F.col("q_k")).select(
+        return topk(results, F.col("q_k"), dedup=dedup).select(
             "qid", "neighbor_id", "distance", "rank"
         )
-    return topk(results, k).select("qid", "neighbor_id", "distance", "rank")
+    return topk(results, k, dedup=dedup).select("qid", "neighbor_id", "distance", "rank")
 
 
 def _pairwise_dist(vmat: np.ndarray, qmat: np.ndarray, metric: str) -> np.ndarray:

@@ -68,10 +68,24 @@ class FittedPartitioner:
     def partition_queries(self, df: DataFrame, emb_col: str = "emb") -> DataFrame:
         raise NotImplementedError
 
+    @property
+    def merge_needs_dedup(self) -> bool:
+        """True when ``partition_data`` may route one row to more than one
+        partition, so a downstream merge can see duplicate (qid, id)
+        candidates and must eliminate them (M1, ``SearchResult.combine:
+        156-165``). Partitioners that assign each row exactly one partition
+        return False, letting the merge skip a full sort+exchange over the
+        candidate set — at sf1 that window was the dominant cost of the
+        exact partitioned path (Q x N rows shuffled twice). Conservative
+        default: True."""
+        return True
+
 
 class SimplePartitioner(FittedPartitioner):
     """P1 (SimplePartitionFunction.java:217-271): id-hash routing, full query
     broadcast — the exact-search exchange (no pruning, recall 1.0)."""
+
+    merge_needs_dedup = False  # id-hash: exactly one partition per row
 
     def partition_data(self, df: DataFrame, emb_col: str = "emb") -> DataFrame:
         p = self.conf.num_partitions
@@ -105,6 +119,11 @@ class LSHPartitioner(FittedPartitioner):
             return pd.Series([sorted(s) for s in sets])
 
         return pids
+
+    @property
+    def merge_needs_dedup(self) -> bool:
+        # one partition per hash family; k1 = 1 assigns each row exactly once
+        return self.conf.num_families > 1
 
     def partition_data(self, df: DataFrame, emb_col: str = "emb") -> DataFrame:
         return _explode_pids(df, self._pids_udf(0)(F.col(emb_col)), with_fanout=False)
@@ -267,6 +286,12 @@ class CurvePartitioner(FittedPartitioner):
             else F.lit(None).cast("long")
         )
 
+    @property
+    def merge_needs_dedup(self) -> bool:
+        # data rows stay inside their own epoch; ring replication only
+        # duplicates them when replication_factor > 1
+        return max(1, self.conf.replication_factor) > 1
+
     def partition_data(self, df: DataFrame, emb_col: str = "emb") -> DataFrame:
         cv = self._with_epoch(df.withColumn("_cv", self._curve_udf()(F.col(emb_col))))
         out = _explode_pids(
@@ -325,6 +350,10 @@ class KMeansPartitioner(FittedPartitioner):
             return pd.Series([sorted(int(p) for p in row) for row in order])
 
         return assign
+
+    @property
+    def merge_needs_dedup(self) -> bool:
+        return max(1, self.conf.replication_factor) > 1
 
     def partition_data(self, df: DataFrame, emb_col: str = "emb") -> DataFrame:
         r = max(1, self.conf.replication_factor)
@@ -423,6 +452,11 @@ class OdysseyPartitioner(FittedPartitioner):
             return pd.Series(out)
 
         return pids
+
+    # data IS replicated (rf copies inside its group), but each query visits
+    # exactly ONE member per group, so a (query, row) pair meets at most once
+    # — the merge never sees duplicate candidates
+    merge_needs_dedup = False
 
     def partition_data(self, df: DataFrame, emb_col: str = "emb") -> DataFrame:
         return _explode_pids(
