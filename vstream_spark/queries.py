@@ -4469,28 +4469,40 @@ FROM (SELECT * FROM dists ORDER BY dist ASC, user_id ASC, start_idx ASC LIMIT 10
 @register("events_ts_match", _ts_match_oracle())
 def q_events_ts_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 best z-normalized matches of a literal query pattern across
-    all users' value series: per-user ordered collect (state bounded by the
-    user's own activity), then every sliding window scores with pure
-    Catalyst folds — mean, variance, and the z-distance are aggregate
-    expressions, no Python, one final distributed TakeOrdered."""
+    all users' value series: one ordered window pass per user — each event
+    row picks up the next w-1 values via ``lead`` and scores its window
+    with pure Catalyst folds (mean, variance, z-distance), no Python, one
+    final distributed TakeOrdered.
+
+    The original formulation (collect_list per user -> explode one row per
+    window start) carried the user's FULL series array on every window row:
+    a 1M-event user produced 1M rows x 8 MB arrays — the sf1 rehearsal's
+    prime super-linear suspect. The lead() form keeps one row per event
+    with exactly w doubles, scales linearly in events, and bounds per-user
+    state at the window sort. The window array is assembled in the same
+    element order and scored by the identical fold expressions, so every
+    IEEE value (and the 6dp-rounded oracle hash) is unchanged."""
     w = _TS_W
     qz = F.array(*[F.lit(v) for v in _TS_QZ])
     ev = load_table(spark, sf_dir, "events")
-    ser = ev.groupBy("user_id").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
-            lambda x: x["value"].cast("double"),
-        ).alias("v")
+    # same per-user ordering as the oracle's list(... ORDER BY ts, event_id)
+    # (value as a final tiebreak mirrors sort_array's struct comparison)
+    ord_w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc(), F.col("x").asc()
     )
-    n = F.size("v")
-    wins = ser.filter(n >= w).select(
+    base = ev.select(
+        "user_id", "ts", "event_id", F.col("value").cast("double").alias("x")
+    )
+    wins = base.select(
         "user_id",
-        "v",
-        F.explode(F.sequence(F.lit(0), n - w)).alias("st"),
-    )
+        (F.row_number().over(ord_w) - 1).cast("int").alias("start_idx"),
+        F.array(
+            F.col("x"), *[F.lead("x", j).over(ord_w) for j in range(1, w)]
+        ).alias("w8"),
+    ).filter(~F.array_contains(F.transform(F.col("w8"), lambda x: x.isNull()), True))
 
     def dist_expr():
-        w8 = F.slice(F.col("v"), F.col("st") + 1, w)
+        w8 = F.col("w8")
         m = F.aggregate(w8, F.lit(0.0), lambda a, x: a + x) / w
         m2 = F.aggregate(w8, F.lit(0.0), lambda a, x: a + x * x) / w
         var = m2 - m * m
@@ -4504,9 +4516,7 @@ def q_events_ts_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).cast("double")
 
-    scored = wins.select(
-        "user_id", F.col("st").cast("int").alias("start_idx"), dist_expr().alias("dist")
-    )
+    scored = wins.select("user_id", "start_idx", dist_expr().alias("dist"))
     top = scored.orderBy(
         F.col("dist").asc(), F.col("user_id").asc(), F.col("start_idx").asc()
     ).limit(10)
