@@ -389,3 +389,30 @@ def test_set_similarity_ttl_bounds_state(spark, tmp_path):
     assert run("ttl", ttl=10) == {(1, 2), (2, 3)}
     # full history pairs everything
     assert run("full", ttl=None) == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_set_similarity_ttl_within_single_batch(spark, tmp_path):
+    """The TTL window must hold for pairs formed WITHIN one micro-batch, not
+    just across batches (r7 ADVICE #1: a swapped triu binding made the
+    in-batch TTL check vacuous for in-order streams, so output depended on
+    how the replay was batched). All three docs arrive in ONE batch with
+    event times spanning 2x the TTL: (1,3) is outside the window and must
+    not be emitted — same answer as the finer-batched replay above."""
+    from vstream_spark.streaming.pipeline import streaming_set_similarity
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    schema = "doc_id bigint, text string, et bigint"
+    src = str(tmp_path / "src-onebatch")
+    spark.createDataFrame(
+        [(1, text, 0), (2, text, 10), (3, text, 20)], schema
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    pairs = streaming_set_similarity(
+        stream, threshold=0.5, ttl=10, event_time_col="et"
+    )
+    run_stream_to_memory(pairs, "setsim_onebatch", output_mode="append")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spark.sql("select * from setsim_onebatch").collect()
+    }
+    assert got == {(1, 2), (2, 3)}, got

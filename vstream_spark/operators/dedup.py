@@ -366,6 +366,14 @@ def dedup_embedding(
     ``exact_max_rows=0`` to force the LSH path, or a bigger value when you
     have the cluster to burn.
 
+    .. warning:: **Results-change vs pre-r7 defaults.** The default gate
+       dropped 200_000 -> 20_000 in r7: an input of 20k-200k rows that
+       previously got EXACT answers under default arguments now takes the
+       approximate LSH path (different output, not just different speed).
+       A log line announces the reroute when the input lands in that
+       legacy range; pass ``exact_max_rows=200_000`` to restore the old
+       behavior for inputs you know are worth the N^2 compute.
+
     The gate runs NO job (r5 VERDICT #5 / ADVICE: the old ``count()`` here
     re-executed the whole input lineage once per call just to pick a code
     path): callers that know their cardinality pass ``row_count_hint``;
@@ -379,9 +387,11 @@ def dedup_embedding(
         similarity_join_exact,
     )
 
+    est_rows: int | None = None
     if exact_max_rows <= 0:
         use_exact = False
     elif row_count_hint is not None:
+        est_rows = row_count_hint
         use_exact = row_count_hint <= exact_max_rows
     else:
         # plan-stats gate: Catalyst statistics are metadata (no Spark job).
@@ -406,14 +416,36 @@ def dedup_embedding(
         except Exception:  # noqa: BLE001 - stats access is best-effort
             size = row_count = None
         if row_count is not None:
+            est_rows = row_count
             use_exact = row_count <= exact_max_rows
         elif size is not None and size < 2**60:
+            est_rows = size // 64
             use_exact = size <= exact_max_rows * 64
         else:
             # RDD-backed plans report the defaultSizeInBytes sentinel
             # (Long.Max) — stats genuinely unknown, one count() beats
             # silently degrading a small input to the approximate path
-            use_exact = vectors.count() <= exact_max_rows
+            est_rows = vectors.count()
+            use_exact = est_rows <= exact_max_rows
+
+    # r7 ADVICE #2: the default gate dropped 200k -> 20k, which silently
+    # flips 20k-200k-row default-arg callers from exact to approximate.
+    # Announce the reroute for exactly that legacy range, once per call.
+    if (
+        not use_exact
+        and exact_max_rows == 20_000
+        and est_rows is not None
+        and est_rows <= 200_000
+    ):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dedup_embedding: ~%d rows exceeds the (r7-lowered) default "
+            "exact_max_rows=20000 — taking the approximate LSH path. "
+            "Pre-r7 defaults gave exact results up to 200k rows; pass "
+            "exact_max_rows=200000 to restore that (at O(N^2) compute).",
+            est_rows,
+        )
 
     if use_exact:
         pairs = similarity_join_exact(

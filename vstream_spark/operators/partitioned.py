@@ -88,7 +88,15 @@ def knn_partitioned(
     # candidates, so the M1 dedup window — a full sort+exchange over ALL
     # scored rows, Q x N on the exact path — is skipped. At sf1 that window
     # dominated knn_partitioned (the scored set hit 200M rows).
+    # Precondition for the skip: vector ids are unique in `live`. With
+    # honor_deletes=True apply_deletes guarantees it (LWW keeps one row per
+    # id); with honor_deletes=False a table carrying upsert/version history
+    # ('op' column) may hold several rows per id, which id-hash routing
+    # sends to the SAME partition — so the dedup window is forced back on
+    # rather than letting stale versions occupy rank slots (r7 ADVICE #4).
     dedup = part.merge_needs_dedup
+    if not honor_deletes and "op" in vectors.columns:
+        dedup = True
     if per_query_k:
         return topk(scored, F.col("q_k"), k_cap=k_cap, dedup=dedup).select(
             "qid", "neighbor_id", "distance", "rank"

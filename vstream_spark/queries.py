@@ -4444,7 +4444,7 @@ def _ts_match_oracle() -> str:
     return f"""
 WITH ser AS (
   SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS v
-  FROM events GROUP BY user_id),
+  FROM events WHERE value IS NOT NULL GROUP BY user_id),
 wins AS (
   SELECT user_id, v, unnest(generate_series(0, len(v) - {w})) AS st
   FROM ser WHERE len(v) >= {w}),
@@ -4490,7 +4490,11 @@ def q_events_ts_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ord_w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc(), F.col("x").asc()
     )
-    base = ev.select(
+    # NULL values are dropped BEFORE the sequence is formed (r7 ADVICE #3):
+    # the old collect_list form silently skipped nulls, so a null row must
+    # not occupy a window position or shift start_idx for later windows.
+    # The oracle's ser CTE carries the matching WHERE value IS NOT NULL.
+    base = ev.filter(F.col("value").isNotNull()).select(
         "user_id", "ts", "event_id", F.col("value").cast("double").alias("x")
     )
     wins = base.select(

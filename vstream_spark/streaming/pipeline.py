@@ -463,7 +463,8 @@ def streaming_set_similarity(
             for s, e in zip(seg_start, seg_end):
                 w = int(e - s)
                 if w >= 2:
-                    jj, ii = np.triu_indices(w, k=1)  # ii earlier, jj later
+                    # triu rows < cols: ii = earlier segment row, jj = later
+                    ii, jj = np.triu_indices(w, k=1)
                     tri_i.append(jj + s)
                     tri_j.append(ii + s)
             if tri_i:
