@@ -360,11 +360,20 @@ def test_per_query_k_rank_cut_stays_map_side(spark):
     conf = PartitionerConf(kind="simple", num_partitions=4)
     capped = knn_partitioned(vectors, queries, conf, k=None, metric="l2", k_cap=10)
     assert_plan_contains(capped, "WindowGroupLimit")
-    # identical results to the uncapped plan (cap >= max k)
+    # r7 VERDICT #5: a caller omitting k_cap no longer gets the 62x plan —
+    # the cap is auto-derived (one max(k) agg on the query side), so the
+    # map-side cut fires here too, with identical results
     plain = knn_partitioned(vectors, queries, conf, k=None, metric="l2")
+    assert_plan_contains(plain, "WindowGroupLimit")
     got = sorted(map(tuple, capped.collect()))
     want = sorted(map(tuple, plain.collect()))
     assert got == want and len(got) > 0
+    # knn_exact's per-query-k path auto-derives the same way
+    from vstream_spark.operators.knn import knn_exact
+
+    exact = knn_exact(vectors, queries, k=None, metric="l2")
+    assert_plan_contains(exact, "WindowGroupLimit")
+    assert sorted(map(tuple, exact.collect())) == want
 
 
 def test_single_assignment_merge_skips_dedup_window(spark):

@@ -62,6 +62,19 @@ def ttl_filter(vectors: DataFrame, query_event_time, query_ttl) -> DataFrame:
     )
 
 
+def derive_k_cap(queries: DataFrame, k_col: str = "k") -> int:
+    """Static upper bound of a per-query ``k`` column: one ``max()`` agg on
+    the (small) QUERY side. Auto-derivation exists because a per-query-k
+    rank filter without a literal cap defeats Catalyst's WindowGroupLimit
+    pushdown, so every scored row (Q x N on the exact path) reaches the
+    top-k sort/exchange — the sf1 rehearsal measured that plan at 62x wall
+    time on 10x data. One tiny aggregation job beats a quadratic window;
+    callers that know their bound statically pass ``k_cap`` and skip the
+    job entirely."""
+    mk = queries.agg(F.max(F.col(k_col)).alias("_mk")).first()["_mk"]
+    return int(mk) if mk is not None else 1
+
+
 def topk(
     scored: DataFrame,
     k,
@@ -111,12 +124,15 @@ def knn_exact(
     metric: str = "l2",
     honor_ttl: bool = False,
     honor_deletes: bool = False,
+    k_cap: int | None = None,
 ) -> DataFrame:
     """Brute-force exact kNN: queries x vectors -> (qid, neighbor_id, distance, rank).
 
     ``vectors``: id, emb [, event_time, ttl, op]; ``queries``: qid, emb
     [, event_time, ttl, k]. If ``k`` is None each query's own ``k`` column is
-    used (per-query k, reference ``VectorSearchOptions.k``).
+    used (per-query k, reference ``VectorSearchOptions.k``); ``k_cap`` is
+    its static upper bound (keeps the rank cut map-side — see ``topk``) and
+    is derived with one small agg on the query side when not supplied.
 
     The query side is broadcast (queries are the small side by construction —
     reference fan-out is query-replicated too, P1-P5), so the big vector table
@@ -171,6 +187,10 @@ def knn_exact(
             "distance", distance_expr(F.col("_qemb"), F.col("_vemb"), metric)
         )
     kk = F.col("_k") if k is None else k
+    if k is None and k_cap is None:
+        k_cap = derive_k_cap(queries)
     # vectors carry unique ids post-dedup -> (qid, id) pairs are unique; skip
     # the duplicate-elimination window (saves a sort+exchange on Q x N rows)
-    return topk(scored, kk, dedup=False).select("qid", "neighbor_id", "distance", "rank")
+    return topk(scored, kk, dedup=False, k_cap=k_cap).select(
+        "qid", "neighbor_id", "distance", "rank"
+    )

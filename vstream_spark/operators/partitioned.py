@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from vstream_spark.config import PartitionerConf, VectorIndexConf
 from vstream_spark.functions.distance import distance_expr
-from vstream_spark.operators.knn import apply_deletes, topk
+from vstream_spark.operators.knn import apply_deletes, derive_k_cap, topk
 from vstream_spark.partitioners.dispatch import fit_partitioner
 
 
@@ -98,6 +98,11 @@ def knn_partitioned(
     if not honor_deletes and "op" in vectors.columns:
         dedup = True
     if per_query_k:
+        if k_cap is None:
+            # r7 VERDICT #5: a k column without a static cap silently got
+            # the WindowGroupLimit-defeating plan (62x at sf1). One tiny
+            # max(k) agg on the query side closes the trap.
+            k_cap = derive_k_cap(queries)
         return topk(scored, F.col("q_k"), k_cap=k_cap, dedup=dedup).select(
             "qid", "neighbor_id", "distance", "rank"
         )
@@ -246,9 +251,11 @@ def knn_partitioned_worker(
     # window still removes one sort+exchange over partitions x Q x k rows
     dedup = part.merge_needs_dedup
     if per_query_k:
-        return topk(results, F.col("q_k"), dedup=dedup).select(
-            "qid", "neighbor_id", "distance", "rank"
-        )
+        # merge input is bounded (partitions x k per query), but the cap
+        # still lets WindowGroupLimit cut map-side before the final sort
+        return topk(
+            results, F.col("q_k"), k_cap=derive_k_cap(queries), dedup=dedup
+        ).select("qid", "neighbor_id", "distance", "rank")
     return topk(results, k, dedup=dedup).select("qid", "neighbor_id", "distance", "rank")
 
 
