@@ -389,15 +389,18 @@ def streaming_set_similarity(
         import numpy as np
 
         if state.exists:
-            (bkeys, ids, ets, sigs_flat, max_et) = state.get
-            h_keys = np.asarray(list(bkeys), dtype=np.str_)
-            h_ids = np.asarray(list(ids), dtype=np.int64)
-            h_ets = np.asarray(list(ets), dtype=np.int64)
-            h_mat = (
-                np.array([list(s) for s in sigs_flat], dtype=np.int64)
-                if sigs_flat
-                else np.empty((0, num_perm), dtype=np.int64)
-            )
+            # state is PACKED BINARY (r7 VERDICT #4): the old
+            # array<string>/array<array<bigint>> encoding round-tripped
+            # ~rows x (num_perm + 3) Arrow cells per shard per micro-batch
+            # regardless of arrivals — the suite's largest residual cost.
+            # numpy frombuffer/tobytes moves the same state as 4 opaque
+            # blobs (one Arrow cell each), ~num_perm x fewer cells and no
+            # per-element Python list materialization on either direction.
+            (keys_raw, ids_raw, ets_raw, sigs_raw, key_width, max_et) = state.get
+            h_keys = np.frombuffer(keys_raw, dtype=f"<U{max(1, int(key_width))}")
+            h_ids = np.frombuffer(ids_raw, dtype=np.int64)
+            h_ets = np.frombuffer(ets_raw, dtype=np.int64)
+            h_mat = np.frombuffer(sigs_raw, dtype=np.int64).reshape(-1, num_perm)
             max_et = int(max_et)
         else:
             h_keys = np.empty(0, dtype="U1")
@@ -496,9 +499,18 @@ def streaming_set_similarity(
             n_keys, id_arr, et_arr, mat = (
                 n_keys[hold], id_arr[hold], et_arr[hold], mat[hold],
             )
+        # fixed-width UCS4 keys round-trip exactly through raw bytes; the
+        # width travels in the state so reload can re-type the buffer
+        kw = max(1, n_keys.dtype.itemsize // 4) if len(n_keys) else 1
         state.update(
-            (n_keys.tolist(), id_arr.tolist(), et_arr.tolist(), mat.tolist(),
-             0 if max_et is None else max_et)
+            (
+                np.ascontiguousarray(n_keys.astype(f"<U{kw}")).tobytes(),
+                np.ascontiguousarray(id_arr).tobytes(),
+                np.ascontiguousarray(et_arr).tobytes(),
+                np.ascontiguousarray(mat).tobytes(),
+                kw,
+                0 if max_et is None else max_et,
+            )
         )
         # most shards emit nothing in a quiet batch — skipping the
         # empty-frame build/Arrow round-trip is free throughput
@@ -529,8 +541,8 @@ def streaming_set_similarity(
         pair_new_arrivals,
         outputStructType="doc_a bigint, doc_b bigint, jaccard_est double",
         stateStructType=(
-            "bkeys array<string>, ids array<bigint>, ets array<bigint>, "
-            "sigs array<array<bigint>>, max_et bigint"
+            "keys_raw binary, ids_raw binary, ets_raw binary, "
+            "sigs_raw binary, key_width int, max_et bigint"
         ),
         outputMode="append",
         timeoutConf="NoTimeout",
