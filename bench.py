@@ -155,6 +155,7 @@ def main() -> None:
         else os.path.join(repo_dir, "BENCH_DETAIL.scratch.json"),
     )
     prev_best: dict[str, float] = {}
+    prev_derived: dict[str, float] = {}
     try:
         with open(official_detail) as f:
             prev_doc = json.load(f)
@@ -162,6 +163,11 @@ def main() -> None:
             prev_best = dict(prev_doc.get("queries", {}))
             for q, t in prev_doc.get("best_known", {}).items():
                 prev_best[q] = min(prev_best.get(q, t), t)
+            # derived axes are throughputs: best-known is the MAX across
+            # rounds (higher is better), min for the per-query seconds above
+            prev_derived = dict(prev_doc.get("derived", {}))
+            for a, v in prev_doc.get("derived_best_known", {}).items():
+                prev_derived[a] = max(prev_derived.get(a, v), v)
     except (OSError, ValueError):
         pass
     ratio = float(os.environ.get("SPARK_GRAFT_BENCH_OUTLIER_RATIO", "1.4"))
@@ -220,11 +226,8 @@ def main() -> None:
     from vstream_spark.sources.tables import load_table
     from vstream_spark.storage.segments import SegmentStore
 
-    derived: dict[str, float] = {}
-    tmp = tempfile.mkdtemp(prefix="bench-seg-")
-    try:  # noqa: SIM105
-        if skip_derived:
-            raise _SkipDerived
+    def _measure_derived(spark, d_reps: int, tmp: str) -> dict[str, float]:
+        derived: dict[str, float] = {}
         emb = load_table(spark, sf_dir, "embeddings")
         vectors = emb.select(
             F.col("vec_id").alias("id"),
@@ -243,12 +246,6 @@ def main() -> None:
             "id", F.col("id") + (F.col("event_time") / 10**9).cast("long") * 10**9
         )
         n_vec = n_emb = emb.count() * loops
-        # best-of-N on the derived axes too: single-shot numbers swing 2-3x
-        # with python-worker spawn + JIT state (observed 62->216 q/s across
-        # back-to-back reps of the identical dataflow; r5: 199->414 q/s
-        # ACROSS full runs even at best-of-4) — at least 6 reps so the
-        # cold/JIT reps never set the official throughput
-        d_reps = max(repeats, 6)
         best_ins = None
         for rep in range(d_reps):
             store = SegmentStore(spark, tmp + f"/r{rep}")
@@ -273,6 +270,47 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best_q = dt if best_q is None else min(best_q, dt)
         derived["query_per_s"] = round(n_q / best_q, 1)
+        return derived
+
+    # best-of-N on the derived axes too: single-shot numbers swing 2-3x
+    # with python-worker spawn + JIT state (observed 62->216 q/s across
+    # back-to-back reps of the identical dataflow; r5: 199->414 q/s
+    # ACROSS full runs even at best-of-4) — at least 6 reps so the
+    # cold/JIT reps never set the official throughput
+    d_reps = max(repeats, 6)
+    derived: dict[str, float] = {}
+    derived_remeasured: dict[str, dict[str, float]] = {}
+    tmp = tempfile.mkdtemp(prefix="bench-seg-")
+    try:  # noqa: SIM105
+        if skip_derived:
+            raise _SkipDerived
+        derived = _measure_derived(spark, d_reps, tmp + "/main")
+        # Derived-axis outlier gate (r7 VERDICT #2): best-of-N inside one
+        # session window doesn't protect the THROUGHPUT axes either — r7's
+        # official query_per_s read 176.8 where an isolated re-measure at
+        # the same commit read 331.3. Symmetric to the per-query gate: when
+        # an axis lands more than OUTLIER_RATIO below its best-known
+        # committed value, re-measure BOTH axes in a fresh session and let
+        # the better number stand; derived_best_known max-merges across
+        # rounds so one degraded round can't poison the reference.
+        degraded = [
+            a
+            for a, v in derived.items()
+            if a in prev_derived and v > 0 and prev_derived[a] > ratio * v
+        ]
+        if degraded:
+            print(
+                f"# derived axes degraded vs best-known {degraded}: "
+                "re-measuring in a fresh session",
+                file=sys.stderr,
+            )
+            spark.stop()
+            spark = _fresh_session(sf_dir)
+            redo = _measure_derived(spark, d_reps, tmp + "/redo")
+            for a, v in redo.items():
+                derived_remeasured[a] = {"was": derived[a], "now": v}
+                if v > derived[a]:
+                    derived[a] = v
     except _SkipDerived:
         print("# derived axes skipped (SPARK_GRAFT_BENCH_SKIP_DERIVED)", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 - derived metrics are best-effort
@@ -280,6 +318,9 @@ def main() -> None:
         print(f"# derived: ERROR {errors['derived']}", file=sys.stderr)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    derived_best_known = dict(prev_derived)
+    for a, v in derived.items():
+        derived_best_known[a] = round(max(v, derived_best_known.get(a, v)), 1)
 
     total = round(sum(timings.values()), 4)
     detail = {
@@ -291,6 +332,8 @@ def main() -> None:
         "repeats": repeats,
         "restart_every": restart_every,
         "derived": derived,
+        "derived_best_known": dict(sorted(derived_best_known.items())),
+        "derived_remeasured": derived_remeasured,
         "errors": errors,
         "remeasured": remeasured,
         "queries": dict(sorted(timings.items())),
