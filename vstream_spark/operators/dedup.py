@@ -134,36 +134,70 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
-    Inverted-index join: explode distinct shingles, self-join on shingle to
-    count intersections (only docs sharing >=1 shingle ever pair — no cross
-    join), then |A∩B| / (|A|+|B|-|A∩B|) >= threshold. Returns
-    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    Prefix-filtered inverted-index join (Bayardo et al., "Scaling Up All
+    Pairs Similarity Search", WWW'07; the PPJoin prefix bound): under any
+    global total order over shingles, J(A,B) >= t implies the first
+    ``|x| - ceil(t*|x|) + 1`` shingles of A and of B share an element — so
+    only that prefix is exploded into the candidate self-join, and full sets
+    are compared once per surviving candidate via ``array_intersect``.
+
+    A plain full-explode self-join costs sum(df^2) over shingles, which is
+    quadratic in corpus size for frequent shingles (measured 67x on 10x data
+    in the r8 sf1 rehearsal). Ordering shingles rarest-first puts hot
+    shingles outside almost every prefix: candidate generation touches
+    O(prefix-df^2), verification O(candidates). Results are identical — the
+    prefix bound is exact, not approximate. Returns (doc_a, doc_b, jaccard)
+    with doc_a < doc_b.
     """
     sh = docs.select(
         F.col(id_col).alias("doc_id"), _shingles(text_col, n).alias("shingles")
     ).withColumn("n_shingles", F.size("shingles"))
     ex = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
-    a, b = ex.alias("a"), ex.alias("b")
+    # global rarest-first order: document frequency asc, shingle text tiebreak
+    df_tbl = ex.groupBy("shingle").agg(F.count("*").alias("_df"))
+    pos_w = Window.partitionBy("doc_id").orderBy(
+        F.col("_df").asc(), F.col("shingle").asc()
+    )
+    pref_len = (
+        F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
+    )
+    prefix = (
+        ex.join(df_tbl, "shingle")
+        .withColumn("_pos", F.row_number().over(pos_w))
+        .filter(F.col("_pos") <= pref_len)
+        .select("doc_id", "n_shingles", "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
     # size-ratio prune: jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs
     # whose sizes differ by more than the threshold ratio can never qualify —
-    # filtered inside the join before the groupBy (exact, conservative bound)
+    # filtered inside the join before the distinct (exact, conservative bound)
     size_ok = F.least(F.col("a.n_shingles"), F.col("b.n_shingles")).cast("double") >= (
         F.lit(threshold) * F.greatest(F.col("a.n_shingles"), F.col("b.n_shingles")) - F.lit(1e-9)
     )
-    common = (
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & size_ok,
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_shingles").alias("na"),
-            F.col("b.n_shingles").alias("nb"),
-        )
-        .agg(F.count("*").alias("n_common"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("_sh_a"),
+        F.col("n_shingles").alias("na"),
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("_sh_b"),
+        F.col("n_shingles").alias("nb"),
+    )
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("_sh_a", "_sh_b")))
     )
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")

@@ -70,7 +70,26 @@ def knn_partitioned(
     pq = part.partition_queries(queries)  # adds partition_id fan-out
     # Co-located pairing: shuffle both sides once on partition_id. The
     # partition_id equi-key makes this a hash join, not a cross join.
+    #
+    # Parallelism salt: the join's task fan-out is bounded by the number of
+    # DISTINCT partition_id values, not by shuffle partitions — with
+    # num_partitions=8 on a 32-way cluster, 3/4 of the cores idle while the
+    # O(N x Q) distance projection runs in the join stage (measured 71x at
+    # 10x data in the r8 sf1 rehearsal). Sub-split each logical partition by
+    # an id-hash salt and fan queries out across the salts: the composite
+    # (partition_id, _salt) key restores full task fan-out while each (q, v)
+    # pair still meets exactly once, so results are bit-identical.
+    n_parts = max(1, int(getattr(conf, "num_partitions", 1) or 1))
+    par = live.sparkSession.sparkContext.defaultParallelism
+    n_salts = max(1, -(-par // n_parts))  # ceil
+    if n_salts > 1:
+        pv = pv.withColumn("_salt", F.pmod(F.hash(F.col("id")), F.lit(n_salts)))
+        pq = pq.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+        )
     cond = F.col("v.partition_id") == F.col("q.partition_id")
+    if n_salts > 1:
+        cond = cond & (F.col("v._salt") == F.col("q._salt"))
     if honor_ttl:
         cond = cond & (
             (F.col("v.event_time") >= F.col("q.event_time") - F.col("q.ttl"))

@@ -91,33 +91,93 @@ def lsh_similarity_join(
     conf: PartitionerConf | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    block_rows: int = 2048,
 ) -> DataFrame:
     """Self similarity-join with LSH candidate pruning: vectors only pair
     inside a shared LSH partition (with k1 families / multiprobe raising
     recall), then exact cosine verification. Approximate: may miss pairs whose
-    members never co-bucket."""
+    members never co-bucket.
+
+    Within-bucket verification is BLOCKED: each bucket is hash-split into
+    ceil(m / block_rows) blocks and every unordered block pair becomes its own
+    ``applyInPandas`` group. One whole-bucket worker is a scale trap twice
+    over — task fan-out is capped at the number of LSH buckets (16 keys on a
+    32-core cluster leaves half idle), and the O(m^2) numpy similarity matrix
+    grows ~100x on 10x data (the r8 sf1 rehearsal measured exactly that).
+    Block-pairing keeps the emitted pair set IDENTICAL (every {u, v} in a
+    bucket meets in exactly one block-pair group; per-pair fold arithmetic is
+    unchanged) while bounding worker memory at ~block_rows^2 and scaling task
+    count with data. Shuffle cost: each row is replicated once per block of
+    its bucket — the honest cost of distributing a quadratic workload."""
     conf = conf or PartitionerConf(kind="lsh", num_partitions=16, num_families=4)
     part = fit_partitioner(conf)
     df = vectors.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
     bucketed = part.partition_data(df).select("partition_id", "id", "emb")
+    sizes = bucketed.groupBy("partition_id").agg(F.count("*").alias("_m"))
+    n_blocks = F.greatest(
+        F.lit(1), F.ceil(F.col("_m") / F.lit(block_rows))
+    ).cast("int")
+    blk = F.pmod(F.hash(F.col("id")), F.col("_s")).cast("int")
+    # row in block b joins every group {min(b,j), max(b,j)} for j in 0.._s-1
+    groups = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.col("_s") - 1),
+            lambda j: F.struct(
+                F.least(F.col("_blk"), j).alias("lo"),
+                F.greatest(F.col("_blk"), j).alias("hi"),
+            ),
+        )
+    )
+    exploded = (
+        bucketed.join(F.broadcast(sizes), "partition_id")
+        .withColumn("_s", n_blocks)
+        .withColumn("_blk", blk)
+        .withColumn("_g", F.explode(groups))
+        .select(
+            "partition_id",
+            F.col("_g.lo").alias("_lo"),
+            F.col("_g.hi").alias("_hi"),
+            "_blk",
+            "id",
+            "emb",
+        )
+    )
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
-            )
-        ids = pdf["id"].to_numpy()
-        mat = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
-        nrm = np.sqrt(_fold_sqnorm(mat))
-        denom = nrm[:, None] * nrm[None, :]
-        dots = _fold_dot(mat, mat)
+    def block_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
+        )
+        lo, hi = int(key[1]), int(key[2])
+        a_df = pdf[pdf["_blk"] == lo]
+        b_df = pdf[pdf["_blk"] == hi] if hi != lo else a_df
+        if len(a_df) == 0 or len(b_df) == 0 or len(pdf) < 2:
+            return empty
+        a_ids = a_df["id"].to_numpy()
+        b_ids = b_df["id"].to_numpy()
+        amat = np.stack(a_df["emb"].to_numpy()).astype(np.float64)
+        bmat = np.stack(b_df["emb"].to_numpy()).astype(np.float64)
+        an = np.sqrt(_fold_sqnorm(amat))
+        bn = np.sqrt(_fold_sqnorm(bmat))
+        denom = an[:, None] * bn[None, :]
+        dots = _fold_dot(amat, bmat)
         with np.errstate(divide="ignore", invalid="ignore"):
             sim = np.where(denom != 0.0, dots / denom, 0.0)
-        ai, bi = np.where((sim >= threshold) & (ids[:, None] < ids[None, :]))
-        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi], "cosine_sim": sim[ai, bi]})
+        if hi == lo:
+            # triangular within-block: each unordered pair appears once
+            ai, bi = np.where((sim >= threshold) & (a_ids[:, None] < b_ids[None, :]))
+            id_a, id_b = a_ids[ai], b_ids[bi]
+        else:
+            # cross-block: each unordered pair is one matrix cell — orient by
+            # id (the smaller id may live in either block)
+            ai, bi = np.where((sim >= threshold) & (a_ids[:, None] != b_ids[None, :]))
+            id_a = np.minimum(a_ids[ai], b_ids[bi])
+            id_b = np.maximum(a_ids[ai], b_ids[bi])
+        if len(ai) == 0:
+            return empty
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine_sim": sim[ai, bi]})
 
-    pairs = bucketed.groupBy("partition_id").applyInPandas(
-        bucket_pairs, schema="id_a bigint, id_b bigint, cosine_sim double"
+    pairs = exploded.groupBy("partition_id", "_lo", "_hi").applyInPandas(
+        block_pairs, schema="id_a bigint, id_b bigint, cosine_sim double"
     )
     # replicated rows (k1 families / multiprobe) can emit the same pair from
     # several buckets — dedup is the M1-merge analog
