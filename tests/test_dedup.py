@@ -229,3 +229,34 @@ def test_dedup_embedding_gate_compressed_scan_goes_lsh(spark, tmp_path):
     assert len(tracker.getJobIdsForGroup(None)) == jobs_before  # still jobless
     plan = marked._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan  # routed to LSH
+
+
+def test_lsh_similarity_join_blocked_equals_whole_bucket(spark):
+    """The block-paired verification must emit the exact same pair set as the
+    single-block whole-bucket path (r8 ADVICE: the equivalence was verified
+    manually but unguarded). block_rows=16 forces every bucket through the
+    block-pair explode; block_rows=10**9 routes every bucket through the
+    no-replication branch — identical {id_a, id_b, cosine_sim} either way."""
+    import numpy as np
+
+    from vstream_spark.operators.similarity import lsh_similarity_join
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, 16)
+    rows = []
+    for i in range(400):
+        # clustered vectors so thresholded pairs exist across blocks
+        v = base[i % 40] + rng.randn(16) * 0.05
+        rows.append((i, v.astype(float).tolist()))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    blocked = {
+        (r.id_a, r.id_b, round(r.cosine_sim, 12))
+        for r in lsh_similarity_join(df, threshold=0.8, block_rows=16).collect()
+    }
+    whole = {
+        (r.id_a, r.id_b, round(r.cosine_sim, 12))
+        for r in lsh_similarity_join(df, threshold=0.8, block_rows=10**9).collect()
+    }
+    assert blocked == whole
+    assert len(whole) > 50  # the fixture actually exercises pair emission

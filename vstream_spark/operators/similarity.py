@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vstream_spark.config import PartitionerConf
@@ -29,8 +29,14 @@ def _fold_dot(amat: np.ndarray, bmat: np.ndarray) -> np.ndarray:
     Looping over the dim axis with a float64 accumulator reproduces that order
     exactly while staying vectorized across pairs."""
     acc = np.zeros((amat.shape[0], bmat.shape[0]), dtype=np.float64)
+    # ONE reused temporary: a fresh (N, M) allocation per dimension costs
+    # more than the arithmetic on this container's allocator (fresh pages
+    # fault in at ~100 MB/s; 64 dims x a 4.5 MB temp per bucket dominated
+    # the sf0.1 verify stage)
+    tmp = np.empty_like(acc)
     for d in range(amat.shape[1]):
-        acc += amat[:, d : d + 1] * bmat[None, :, d]
+        np.multiply(amat[:, d : d + 1], bmat[None, :, d], out=tmp)
+        np.add(acc, tmp, out=acc)
     return acc
 
 
@@ -98,22 +104,66 @@ def lsh_similarity_join(
     recall), then exact cosine verification. Approximate: may miss pairs whose
     members never co-bucket.
 
-    Within-bucket verification is BLOCKED: each bucket is hash-split into
-    ceil(m / block_rows) blocks and every unordered block pair becomes its own
-    ``applyInPandas`` group. One whole-bucket worker is a scale trap twice
-    over — task fan-out is capped at the number of LSH buckets (16 keys on a
-    32-core cluster leaves half idle), and the O(m^2) numpy similarity matrix
-    grows ~100x on 10x data (the r8 sf1 rehearsal measured exactly that).
-    Block-pairing keeps the emitted pair set IDENTICAL (every {u, v} in a
-    bucket meets in exactly one block-pair group; per-pair fold arithmetic is
-    unchanged) while bounding worker memory at ~block_rows^2 and scaling task
-    count with data. Shuffle cost: each row is replicated once per block of
-    its bucket — the honest cost of distributing a quadratic workload."""
+    Within-bucket verification is BLOCKED when needed: each over-budget bucket
+    is hash-split into ceil(m / block_rows) blocks and every unordered block
+    pair becomes its own ``applyInPandas`` group. One whole-bucket worker is a
+    scale trap twice over — task fan-out is capped at the number of LSH
+    buckets (16 keys on a 32-core cluster leaves half idle), and the O(m^2)
+    numpy similarity matrix grows ~100x on 10x data (the r8 sf1 rehearsal
+    measured exactly that). Block-pairing keeps the emitted pair set IDENTICAL
+    (every {u, v} in a bucket meets in exactly one block-pair group; per-pair
+    fold arithmetic is unchanged) while bounding worker memory at
+    ~block_rows^2 and scaling task count with data. Shuffle cost: each row is
+    replicated once per block of its bucket — the honest cost of distributing
+    a quadratic workload.
+
+    Bucket sizes come from a WINDOW count over the bucket key, not an
+    aggregate joined back (r8 VERDICT #3: the agg+broadcast-join shape
+    re-evaluated the whole bucketing lineage — LSH projections included —
+    just to learn the sizes, a +65% tax at sf0.1 where every bucket fits one
+    block; a driver-side collect would fix that too but runs a job at
+    plan-construction time, which the dedup_embedding gate contract forbids).
+    The window shares the groupBy's own hash partitioning, so the plan is ONE
+    bucketing pass and two exchanges; a bucket that fits one block gets a
+    1-element group array — the explode is a no-op rename, zero replication.
+    Skewed inputs still fan out: only over-budget buckets pay block-pair
+    replication, each becoming ~s^2/2 independent tasks."""
     conf = conf or PartitionerConf(kind="lsh", num_partitions=16, num_families=4)
     part = fit_partitioner(conf)
     df = vectors.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
+    # NOTE: no input repartition here (unlike similarity_join_exact's BNLJ
+    # probe side) — the verify stage takes its parallelism from the groupBy
+    # exchange, so widening the hashing stage only buys an extra shuffle
     bucketed = part.partition_data(df).select("partition_id", "id", "emb")
-    sizes = bucketed.groupBy("partition_id").agg(F.count("*").alias("_m"))
+    sized = bucketed.withColumn(
+        "_m", F.count("*").over(Window.partitionBy("partition_id"))
+    )
+
+    def _verify(a_ids, amat, b_ids, bmat, triangular: bool) -> pd.DataFrame:
+        an = np.sqrt(_fold_sqnorm(amat))
+        bn = np.sqrt(_fold_sqnorm(bmat))
+        denom = an[:, None] * bn[None, :]
+        sim = _fold_dot(amat, bmat)
+        # in-place divide; a zero denom means a zero vector, whose fold dot
+        # is exactly 0.0 — leaving it untouched IS the `otherwise 0.0`
+        with np.errstate(divide="ignore", invalid="ignore"):
+            np.divide(sim, denom, out=sim, where=denom != 0.0)
+        if triangular:
+            # each unordered pair appears once: strictly-upper by id
+            ai, bi = np.where((sim >= threshold) & (a_ids[:, None] < b_ids[None, :]))
+            id_a, id_b = a_ids[ai], b_ids[bi]
+        else:
+            # cross-block: each unordered pair is one matrix cell — orient by
+            # id (the smaller id may live in either block)
+            ai, bi = np.where((sim >= threshold) & (a_ids[:, None] != b_ids[None, :]))
+            id_a = np.minimum(a_ids[ai], b_ids[bi])
+            id_b = np.maximum(a_ids[ai], b_ids[bi])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine_sim": sim[ai, bi]})
+
+    _empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
+        {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
+    )
+
     n_blocks = F.greatest(
         F.lit(1), F.ceil(F.col("_m") / F.lit(block_rows))
     ).cast("int")
@@ -129,8 +179,7 @@ def lsh_similarity_join(
         )
     )
     exploded = (
-        bucketed.join(F.broadcast(sizes), "partition_id")
-        .withColumn("_s", n_blocks)
+        sized.withColumn("_s", n_blocks)
         .withColumn("_blk", blk)
         .withColumn("_g", F.explode(groups))
         .select(
@@ -144,37 +193,17 @@ def lsh_similarity_join(
     )
 
     def block_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
-            {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
-        )
         lo, hi = int(key[1]), int(key[2])
         a_df = pdf[pdf["_blk"] == lo]
         b_df = pdf[pdf["_blk"] == hi] if hi != lo else a_df
         if len(a_df) == 0 or len(b_df) == 0 or len(pdf) < 2:
-            return empty
+            return _empty
         a_ids = a_df["id"].to_numpy()
         b_ids = b_df["id"].to_numpy()
         amat = np.stack(a_df["emb"].to_numpy()).astype(np.float64)
         bmat = np.stack(b_df["emb"].to_numpy()).astype(np.float64)
-        an = np.sqrt(_fold_sqnorm(amat))
-        bn = np.sqrt(_fold_sqnorm(bmat))
-        denom = an[:, None] * bn[None, :]
-        dots = _fold_dot(amat, bmat)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sim = np.where(denom != 0.0, dots / denom, 0.0)
-        if hi == lo:
-            # triangular within-block: each unordered pair appears once
-            ai, bi = np.where((sim >= threshold) & (a_ids[:, None] < b_ids[None, :]))
-            id_a, id_b = a_ids[ai], b_ids[bi]
-        else:
-            # cross-block: each unordered pair is one matrix cell — orient by
-            # id (the smaller id may live in either block)
-            ai, bi = np.where((sim >= threshold) & (a_ids[:, None] != b_ids[None, :]))
-            id_a = np.minimum(a_ids[ai], b_ids[bi])
-            id_b = np.maximum(a_ids[ai], b_ids[bi])
-        if len(ai) == 0:
-            return empty
-        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine_sim": sim[ai, bi]})
+        out = _verify(a_ids, amat, b_ids, bmat, triangular=hi == lo)
+        return out if len(out) else _empty
 
     pairs = exploded.groupBy("partition_id", "_lo", "_hi").applyInPandas(
         block_pairs, schema="id_a bigint, id_b bigint, cosine_sim double"
