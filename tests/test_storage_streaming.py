@@ -416,3 +416,44 @@ def test_set_similarity_ttl_within_single_batch(spark, tmp_path):
         for r in spark.sql("select * from setsim_onebatch").collect()
     }
     assert got == {(1, 2), (2, 3)}, got
+
+
+def test_set_similarity_ttl_out_of_order_arrival(spark, tmp_path):
+    """The TTL window is SYMMETRIC in event time (r8 ADVICE #2): an
+    out-of-order arrival whose event time precedes an already-seen member
+    by more than ttl must NOT pair with it — in-batch and vs history alike.
+    Doc 9 arrives LAST but carries et=0: under the old one-sided bound
+    (h_et >= b_et - ttl) it paired with docs at et=20/30; symmetric
+    |et_i - et_j| <= ttl admits only the et=10 member. late_slack retains
+    the old members so eviction doesn't mask the check."""
+    import time as _t
+
+    from vstream_spark.streaming.pipeline import streaming_set_similarity
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    schema = "doc_id bigint, text string, et bigint"
+    src = str(tmp_path / "src-ooo")
+    batches = [
+        [(1, text, 10), (2, text, 20)],  # in-order history
+        [(3, text, 30), (9, text, 0)],   # 9 is late by 30 time units
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i:03d}"
+        )
+        _t.sleep(1.1)  # distinct mtimes => deterministic batch order
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    pairs = streaming_set_similarity(
+        stream, threshold=0.5, ttl=10, event_time_col="et", late_slack=100
+    )
+    run_stream_to_memory(pairs, "setsim_ooo", output_mode="append")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spark.sql("select * from setsim_ooo").collect()
+    }
+    # (1,9): |10-0| <= 10 qualifies; (2,9) and (3,9) are outside the window
+    assert got == {(1, 2), (2, 3), (1, 9)}, got

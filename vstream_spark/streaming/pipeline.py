@@ -327,10 +327,20 @@ def streaming_set_similarity(
     contract, vector TTL in ``VectorSearchOptions``): each bucket member
     carries its event time (``event_time_col``; row order rank when absent),
     a new arrival only pairs with members whose event time is within ``ttl``
-    of its own, and older members are physically evicted from the state
-    after each batch — so per-bucket state holds one TTL-window of
-    signatures, not the full history. ``ttl=None`` keeps full history
-    (exact batch parity over a finite replay).
+    of its own — SYMMETRIC, ``|et_i - et_j| <= ttl`` (r8 ADVICE #2: the old
+    one-sided bound let an out-of-order arrival pair with members newer than
+    itself by more than ttl, making the output depend on arrival order) —
+    and older members are physically evicted from the state after each
+    batch, so per-bucket state holds one TTL-window of signatures, not the
+    full history. ``ttl=None`` keeps full history (exact batch parity over
+    a finite replay).
+
+    .. note:: **Checkpoint format break (r8).** The keyed state moved from
+       ``array<string>/array<array<bigint>>`` columns to packed binary
+       blobs (state version: the 6-field binary layout below). A query
+       restarted from a checkpoint written by the pre-r8 schema fails with
+       a state-schema-incompatibility error — start it with a fresh
+       checkpoint directory; there is no in-place migration.
 
     Eviction is LAZY by ``late_slack`` (r5 ADVICE #1): a member is evicted
     only once its event time falls below ``max_event_time_seen - ttl -
@@ -449,7 +459,13 @@ def streaming_set_similarity(
                 h_idx = np.repeat(lo, counts) + in_rng
                 live = h_ids[h_idx] != b_ids[b_rep]
                 if ttl is not None:
-                    live &= h_ets[h_idx] >= b_ets[b_rep] - ttl
+                    # SYMMETRIC window (r8 ADVICE #2): |et_i - et_j| <= ttl.
+                    # A one-sided h_et >= b_et - ttl bound let an out-of-order
+                    # arrival pair with history members arbitrarily NEWER than
+                    # it; the two-sided bound makes the emitted pair set a
+                    # pure function of event times (batching- and
+                    # arrival-order-independent within late_slack retention)
+                    live &= np.abs(h_ets[h_idx] - b_ets[b_rep]) <= ttl
                 b_rep, h_idx = b_rep[live], h_idx[live]
                 if len(b_rep):
                     pair_i.append(b_rep)
@@ -475,7 +491,10 @@ def streaming_set_similarity(
                 i_early = np.concatenate(tri_j)
                 live = b_ids[i_early] != b_ids[j_later]
                 if ttl is not None:
-                    live &= b_ets[i_early] >= b_ets[j_later] - ttl
+                    # same symmetric bound as the history path: in-batch
+                    # "early/late" is row order, which says nothing about
+                    # event-time order for out-of-order arrivals
+                    live &= np.abs(b_ets[i_early] - b_ets[j_later]) <= ttl
                 j_later, i_early = j_later[live], i_early[live]
                 if len(j_later):
                     pair_i.append(j_later)
