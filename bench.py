@@ -156,20 +156,32 @@ def main() -> None:
     )
     prev_best: dict[str, float] = {}
     prev_derived: dict[str, float] = {}
-    try:
-        with open(official_detail) as f:
-            prev_doc = json.load(f)
-        if str(prev_doc.get("sf")) == str(sf_val):
-            prev_best = dict(prev_doc.get("queries", {}))
-            for q, t in prev_doc.get("best_known", {}).items():
-                prev_best[q] = min(prev_best.get(q, t), t)
-            # derived axes are throughputs: best-known is the MAX across
-            # rounds (higher is better), min for the per-query seconds above
-            prev_derived = dict(prev_doc.get("derived", {}))
-            for a, v in prev_doc.get("derived_best_known", {}).items():
-                prev_derived[a] = max(prev_derived.get(a, v), v)
-    except (OSError, ValueError):
-        pass
+    # Seed best-known from the official detail AND, for lane runs that write
+    # elsewhere (SPARK_GRAFT_BENCH_DETAIL, e.g. the sf1 lane), from the lane's
+    # own previous file (r8 ADVICE #3: the official file is sf-guarded, so a
+    # non-default-sf lane got EMPTY best_known every round — its outlier gate
+    # never fired and the lane couldn't accumulate cross-round references).
+    seed_paths = [official_detail]
+    if os.path.realpath(detail_path) != os.path.realpath(official_detail):
+        seed_paths.append(detail_path)
+    for seed_path in seed_paths:
+        try:
+            with open(seed_path) as f:
+                prev_doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if str(prev_doc.get("sf")) != str(sf_val):
+            continue
+        for q, t in prev_doc.get("queries", {}).items():
+            prev_best[q] = min(prev_best.get(q, t), t)
+        for q, t in prev_doc.get("best_known", {}).items():
+            prev_best[q] = min(prev_best.get(q, t), t)
+        # derived axes are throughputs: best-known is the MAX across
+        # rounds (higher is better), min for the per-query seconds above
+        for a, v in prev_doc.get("derived", {}).items():
+            prev_derived[a] = max(prev_derived.get(a, v), v)
+        for a, v in prev_doc.get("derived_best_known", {}).items():
+            prev_derived[a] = max(prev_derived.get(a, v), v)
     ratio = float(os.environ.get("SPARK_GRAFT_BENCH_OUTLIER_RATIO", "1.4"))
     top_slowest = int(os.environ.get("SPARK_GRAFT_BENCH_TOP_SLOWEST", "3"))
     suspects = [
