@@ -373,12 +373,17 @@ def simhash_signatures(
     return with_ids.select("doc_id", simhash(F.col("token_ids")).alias("simhash"))
 
 
+# default size gate for dedup_embedding, shared with the legacy-range reroute
+# warning below so the two can never drift apart (r8 ADVICE)
+_DEFAULT_EXACT_MAX_ROWS = 20_000
+
+
 def dedup_embedding(
     vectors: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    exact_max_rows: int = 20_000,
+    exact_max_rows: int = _DEFAULT_EXACT_MAX_ROWS,
     row_count_hint: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate marking (semantic dedup).
@@ -467,7 +472,7 @@ def dedup_embedding(
     # Announce the reroute for exactly that legacy range, once per call.
     if (
         not use_exact
-        and exact_max_rows == 20_000
+        and exact_max_rows == _DEFAULT_EXACT_MAX_ROWS
         and est_rows is not None
         and est_rows <= 200_000
     ):
