@@ -100,6 +100,7 @@ def main() -> None:
         bench_queries = [q for q in only.split(",") if q in REGISTRY]
     skip_derived = os.environ.get("SPARK_GRAFT_BENCH_SKIP_DERIVED") == "1"
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     errors: dict[str, str] = {}
     for idx, name in enumerate(bench_queries):
         if restart_every > 0 and idx > 0 and idx % restart_every == 0:
@@ -122,6 +123,7 @@ def main() -> None:
         if name in errors or best is None:
             continue
         timings[name] = round(best, 4)
+        rows[name] = n
         print(f"# {name}: {n} rows in {timings[name]:.2f}s (best of {repeats})",
               file=sys.stderr)
 
@@ -349,6 +351,10 @@ def main() -> None:
         "errors": errors,
         "remeasured": remeasured,
         "queries": dict(sorted(timings.items())),
+        # result row counts: scale rehearsals must show the verify paths are
+        # live (r8 found dedup lanes returning 0 rows at sf1 — a candidate-
+        # generation-only measurement); committed counts make that auditable
+        "rows": dict(sorted(rows.items())),
         "best_known": dict(sorted(best_known.items())),
     }
     with open(detail_path, "w") as f:

@@ -457,3 +457,29 @@ def test_set_similarity_ttl_out_of_order_arrival(spark, tmp_path):
     }
     # (1,9): |10-0| <= 10 qualifies; (2,9) and (3,9) are outside the window
     assert got == {(1, 2), (2, 3), (1, 9)}, got
+
+
+def test_set_similarity_shards_track_parallelism(spark, tmp_path):
+    """state_shards=None derives the shard modulus from the session's
+    defaultParallelism (r8 VERDICT #8 stretch: the static 32 made the sf0.1
+    and cluster plans share one magic number); an explicit value still wins.
+    The emitted pair set is shard-count-independent (pairs are bucket-local
+    and globally deduped), so only the plan literal needs pinning."""
+    import re
+
+    from vstream_spark.streaming.pipeline import streaming_set_similarity
+
+    schema = "doc_id bigint, text string"
+    src = str(tmp_path / "src-shards")
+    spark.createDataFrame([(1, "a b c d e")], schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    def shard_modulus(df):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        m = re.search(r"pmod\(hash\(band_key#\d+, \d+\), (\d+)\)", plan)
+        assert m, plan
+        return int(m.group(1))
+
+    dp = spark.sparkContext.defaultParallelism
+    assert shard_modulus(streaming_set_similarity(stream)) == dp
+    assert shard_modulus(streaming_set_similarity(stream, state_shards=7)) == 7
