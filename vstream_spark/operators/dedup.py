@@ -161,8 +161,24 @@ def ngram_jaccard_pairs(
     pref_len = (
         F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
     )
+    # Explicit width for the window exchange (r9 sf1 rehearsal): the
+    # window's implicit shuffle is AQE-coalesced by its INPUT bytes — a few
+    # hundred MB of shingle rows coalesce to 1-2 partitions — but the
+    # candidate enumeration (sum prefix-df^2 probes), the pair distinct and
+    # BOTH broadcast verification joins execute in that same post-shuffle
+    # stage, so byte-based coalescing serialized the quadratic work onto one
+    # task (>15 min at sf1 where 32-way runs in 25s). An explicit
+    # repartition with a fixed count satisfies the window's clustering and
+    # is exempt from AQE coalescing; downstream stages inherit its width.
+    # The width scales with corpus size (one parquet-metadata count) so the
+    # small case isn't taxed with 32-way task overhead for kilobytes of
+    # shingles — the similarity_join_lsh lesson (r8 What's-wrong #2): the
+    # scale shape must not slow the small case.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    width = max(1, min(par, -(-docs.count() // 2000)))
     prefix = (
         ex.join(df_tbl, "shingle")
+        .repartition(width, "doc_id")
         .withColumn("_pos", F.row_number().over(pos_w))
         .filter(F.col("_pos") <= pref_len)
         .select("doc_id", "n_shingles", "shingle")
