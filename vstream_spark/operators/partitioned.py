@@ -87,15 +87,21 @@ def knn_partitioned(
         pq = pq.withColumn(
             "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
         )
-    # The salt only fans out SHUFFLE joins. When the query side is small
-    # enough to broadcast (the common serving shape), the join runs on the
-    # STREAMED side's input splits — and a small/medium vector parquet is 1-2
-    # splits, which serializes the O(N x Q) distance projection + partial
-    # top-k onto 1-2 tasks regardless of salts (r9 sf1 lane: 180s where the
-    # brute-force floor with this exact guard ran 5.98s). Widen it; a
-    # 100 TB-scale table is already many-splitted and skips this.
+    # The salt only fans out SHUFFLE joins. When one side is small enough to
+    # broadcast, the join runs on the OTHER side's input splits — and a
+    # small/medium parquet scan is 1-2 splits, which serializes the O(N x Q)
+    # distance projection + partial top-k onto 1-2 tasks regardless of salts
+    # (r9 sf1 lane: 180s where the brute-force floor with this exact guard
+    # ran 5.98s). Catalyst may build EITHER side (it broadcast the 20k x
+    # 64-float VECTOR table at sf1 — under the 10 MB threshold — and
+    # streamed the query fan-out on 2 scan splits: >10 min for a 25s job),
+    # so widen both; whichever ends up streamed carries the pair loop, and
+    # the widening exchange on the broadcast side is a trivially small
+    # shuffle. A 100 TB-scale table is already many-splitted and skips this.
     if pv.rdd.getNumPartitions() < par:
         pv = pv.repartition(par)
+    if pq.rdd.getNumPartitions() < par:
+        pq = pq.repartition(par)
     cond = F.col("v.partition_id") == F.col("q.partition_id")
     if n_salts > 1:
         cond = cond & (F.col("v._salt") == F.col("q._salt"))
