@@ -205,8 +205,22 @@ def lsh_similarity_join(
         out = _verify(a_ids, amat, b_ids, bmat, triangular=hi == lo)
         return out if len(out) else _empty
 
-    pairs = exploded.groupBy("partition_id", "_lo", "_hi").applyInPandas(
-        block_pairs, schema="id_a bigint, id_b bigint, cosine_sim double"
+    # Explicit width for the verify exchange (r9 sf1 rehearsal): AQE
+    # coalesces the groupBy shuffle by its INPUT bytes (~70 MB of bucketed
+    # rows at sf1 -> 5 partitions), but each reducer then runs its block-pair
+    # groups' O(block_rows^2) numpy verification SEQUENTIALLY — 5 tasks on a
+    # 32-core machine measured 60s where 32-wide runs the same groups in
+    # ~10s. Hash-repartitioning on the exact grouping key satisfies
+    # applyInPandas's clustering requirement (no second exchange appears)
+    # and an explicit width is exempt from AQE coalescing. The exchange
+    # itself is the same bytes either way; only the reducer width changes.
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        exploded.repartition(par, "partition_id", "_lo", "_hi")
+        .groupBy("partition_id", "_lo", "_hi")
+        .applyInPandas(
+            block_pairs, schema="id_a bigint, id_b bigint, cosine_sim double"
+        )
     )
     # replicated rows (k1 families / multiprobe) can emit the same pair from
     # several buckets — dedup is the M1-merge analog
