@@ -12,6 +12,7 @@ lineitem events documents embeddings pre-registered on the same parquet.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -3708,24 +3709,52 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without this the whole pipeline executes twice — same trick as the
     # components iteration)
     members = members.localCheckpoint()
+    # Grid-block the within-cluster pair join (r9 sf1 rehearsal): the join's
+    # shuffle keys on cluster_id alone, so its task fan-out is capped at the
+    # CLUSTER COUNT (8 here) no matter how many cores exist — 299s at sf1 on
+    # 4 AQE-coalesced tasks where the same pair work runs ~10x faster at full
+    # width. Each side hash-splits into B blocks and each (blockA, blockB)
+    # cell becomes its own join key: pair (u, v) meets exactly once (at cell
+    # (blk(u), blk(v))), replication is B per side — the sqrt scheme, so a
+    # 1000-core cluster pays ~sqrt(cores) copies, not cores. B = sqrt(par)
+    # rather than sqrt(par/K): centroid assignment is SKEWED (a dominant
+    # cluster holds most of the quadratic work), so balance must not assume
+    # clusters contribute evenly — B^2 cells split even a single giant
+    # cluster across the whole machine. The SCALE.md skew note for SemDeDup
+    # names exactly this mitigation. Explicit repartition on the full key
+    # keeps AQE from byte-coalescing the verify stage back down (same trap
+    # as the LSH similarity join).
+    par = spark.sparkContext.defaultParallelism
+    n_blocks = max(1, int(math.ceil(math.sqrt(float(par)))))
+    blocks = F.array(*[F.lit(j) for j in range(n_blocks)])
     a = members.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
         F.col("_n").alias("_na"),
-    )
+        F.pmod(F.hash("vec_id"), F.lit(n_blocks)).alias("_blk_a"),
+        F.explode(blocks).alias("_blk_b"),
+    ).repartition(par, "cluster_id", "_blk_a", "_blk_b")
     b = members.select(
         F.col("cluster_id").alias("_cb"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
         F.col("_n").alias("_nb"),
-    )
+        F.explode(blocks).alias("_cblk_a"),
+        F.pmod(F.hash("vec_id"), F.lit(n_blocks)).alias("_cblk_b"),
+    ).repartition(par, "_cb", "_cblk_a", "_cblk_b")
     denom = F.col("_na") * F.col("_nb")
     sim = F.when(
         denom != 0.0, dot(F.col("emb_a"), F.col("emb_b")) / denom
     ).otherwise(F.lit(0.0))
     return (
-        a.join(b, (F.col("cluster_id") == F.col("_cb")) & (F.col("id_a") < F.col("id_b")))
+        a.join(
+            b,
+            (F.col("cluster_id") == F.col("_cb"))
+            & (F.col("_blk_a") == F.col("_cblk_a"))
+            & (F.col("_blk_b") == F.col("_cblk_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
         .withColumn("cosine_sim", sim)
         .filter(F.col("cosine_sim") >= 0.4)
         .select("cluster_id", "id_a", "id_b", "cosine_sim")
