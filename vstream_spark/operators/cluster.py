@@ -39,6 +39,14 @@ def assign_nearest(
     window, partitioned by the (high-cardinality) row id, so it re-uses the
     scan partitioning under AQE and never skews.
     """
+    # same BNLJ parallelism trap as the other brute-force consumers
+    # (SCALE.md r4 note): the streamed side's input splits drive the
+    # O(N x K) distance loop AND the rank-1 window that follows it — a
+    # 2-split parquet scan serialized emb_cluster_assign to 79s at sf1
+    # where the widened plan runs in seconds. No-op at real scale.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     pairs = df.alias("v").join(F.broadcast(centroids.alias("c")), F.lit(True), "inner")
     scored = pairs.select(
         F.col(f"v.{id_col}").alias(id_col),
