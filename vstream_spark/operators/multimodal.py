@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vstream_spark.operators.util import widen
+
 # kind -> (hex magic, sniffable file-format prefix)
 MAGICS: dict[str, str] = {
     "png": "89504E47",
@@ -118,7 +120,7 @@ def frame_sample(
                     md5s.append(hashlib.md5(chunk).hexdigest())
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": md5s})
 
-    return media.select("doc_id", "content").mapInPandas(
+    return widen(media.select("doc_id", "content")).mapInPandas(
         slice_frames, "doc_id long, frame_idx int, frame_md5 string"
     )
 
@@ -170,7 +172,7 @@ def audio_pcm_frames(media: DataFrame, win: int = 64) -> DataFrame:
                 }
             )
 
-    return media.select("doc_id", "content").mapInPandas(
+    return widen(media.select("doc_id", "content")).mapInPandas(
         frames, "doc_id long, w long, sum_sq long, n_samples long, peak long"
     )
 
@@ -199,16 +201,25 @@ def decode_media(content: bytes, meta: dict) -> np.ndarray:
 
 
 def resize_pool(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Block-mean resize (area pooling) — numpy only, deterministic."""
+    """Block-mean resize (area pooling) — numpy only, deterministic.
+
+    Vectorized as two ``np.add.reduceat`` passes (rows then cols) instead of
+    out_h*out_w Python-level ``.mean()`` calls — the per-image Python loop
+    dominated the sf1 decode pass. Bit-identical to the loop form: pixel
+    values are uint8-derived integers, so every block sum is exact in
+    float64 regardless of summation order, and the final division of two
+    exact integers is the same single rounding on any path. Empty blocks
+    (upscaling, block boundary collapse): ``reduceat`` returns the single
+    element at the boundary index, matching the loop's ``max(lo+1, hi)``
+    one-row/one-col slice; the count divisor clamps to 1 the same way."""
     h, w = img.shape
     ys = (np.arange(out_h + 1) * h / out_h).astype(np.int64)
     xs = (np.arange(out_w + 1) * w / out_w).astype(np.int64)
-    out = np.empty((out_h, out_w), dtype=np.float64)
-    for i in range(out_h):
-        rows = img[ys[i] : max(ys[i] + 1, ys[i + 1])]
-        for j in range(out_w):
-            out[i, j] = rows[:, xs[j] : max(xs[j] + 1, xs[j + 1])].mean()
-    return out
+    rsum = np.add.reduceat(img, ys[:-1], axis=0)
+    block = np.add.reduceat(rsum, xs[:-1], axis=1)
+    rcnt = np.maximum(np.diff(ys), 1)
+    ccnt = np.maximum(np.diff(xs), 1)
+    return block / (rcnt[:, None] * ccnt[None, :]).astype(np.float64)
 
 
 def media_features(media: DataFrame, dim: int = 32) -> DataFrame:
@@ -233,7 +244,7 @@ def media_features(media: DataFrame, dim: int = 32) -> DataFrame:
                 feats.append((pooled / norm if norm > 0 else pooled).astype(np.float32))
             yield pd.DataFrame({"doc_id": ids, "feature": feats})
 
-    return media.select("doc_id", "content", "meta").mapInPandas(
+    return widen(media.select("doc_id", "content", "meta")).mapInPandas(
         featurize, "doc_id long, feature array<float>"
     )
 
@@ -266,7 +277,7 @@ def media_phash(media: DataFrame, side: int = 8) -> DataFrame:
                  "phash": pd.Series(hs, dtype="int64")}
             )
 
-    return media.select("doc_id", "content", "meta").mapInPandas(
+    return widen(media.select("doc_id", "content", "meta")).mapInPandas(
         hash_batch, "doc_id long, phash long"
     )
 

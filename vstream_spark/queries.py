@@ -4688,7 +4688,11 @@ def q_knn_namespaced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"),
         F.col("label").alias("qns"),
     )
-    pairs = vectors.join(F.broadcast(queries), F.col("ns") == F.col("qns"))
+    # the BHJ probe side drives the per-pair distance work: widen the tiny
+    # embeddings scan (1-2 splits at rehearsal scale) to the cluster
+    from vstream_spark.operators.util import widen
+
+    pairs = widen(vectors).join(F.broadcast(queries), F.col("ns") == F.col("qns"))
     scored = pairs.select(
         "qid",
         F.col("id").alias("neighbor_id"),
@@ -4751,8 +4755,17 @@ def q_knn_sparse_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = sp.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("qid"), "tok", F.col("tf").alias("qtf")
     )
+    # The posting join has at most |vocab| = 200 distinct keys, df-skewed
+    # toward the most common terms — shuffling BOTH sides caps reducer
+    # parallelism at 200 minus skew (a handful of tasks own nearly all
+    # posting-pair work; 97s at sf1). The query side is a bounded batch
+    # (|Q| x <=|vocab| small integers), so broadcast it: pair generation
+    # becomes map-side over the evenly-partitioned posting lists, the skew
+    # disappears, and the only exchange left is the partial-aggregated
+    # (qid, doc_id) score shuffle. At 100 TB the posting table is the big
+    # side and stays put — exactly the shape an inverted index wants.
     scored = (
-        q.join(sp, "tok")
+        sp.join(F.broadcast(q), "tok")
         .groupBy("qid", "doc_id")
         .agg(F.sum(F.col("qtf") * F.col("tf")).cast("bigint").alias("score"))
     )
@@ -4873,6 +4886,14 @@ def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors = docs.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("qid")
     )
+    # the probe side drives BNLJ parallelism AND the per-pair md5 work: a
+    # 1-2 split scan of the tiny doc_id projection serializes the
+    # O(|anchors| x |docs|) hash loop onto one task (58s at sf1; the same
+    # trap SCALE.md documents for every brute-force consumer). No-op when
+    # the corpus scan is already wide.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     cand = docs.crossJoin(F.broadcast(anchors)).filter(
         F.col("doc_id") != F.col("qid")
     )
