@@ -323,14 +323,22 @@ def test_apply_bpe_map_only(spark):
     assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython")
 
 
-def test_sparse_dot_is_posting_list_join(spark):
+def test_sparse_dot_is_partitioned_matmul(spark):
+    """knn_sparse_dot's scale shape (r9): the posting-list PAIR join
+    materializes sum_t qdf*df rows (~df^2 growth, 23x on 10x data at sf1),
+    so scoring now runs as sparse_topk — hash-partition postings by doc,
+    one exact local matmul per partition (MapInPandas), shuffle only the
+    per-partition top-k partials. Pin: vocab still broadcasts into the
+    posting filter, the matmul stage is present, postings hash-partition
+    on the doc id, and no dense pair join ever appears."""
     from vstream_spark.queries import REGISTRY
 
     fn, _ = REGISTRY["knn_sparse_dot"]
     df = fn(spark, SF)
-    # vocab broadcasts; the scoring join keys on the term; integer partial agg
-    plan = assert_plan_contains(df, "BroadcastHashJoin", "partial_sum")
-    assert_plan_lacks(df, "ArrowEvalPython", "BatchEvalPython", "CartesianProduct")
+    plan = assert_plan_contains(
+        df, "BroadcastHashJoin", "MapInPandas", "hashpartitioning(doc_id"
+    )
+    assert_plan_lacks(df, "CartesianProduct")
     assert "BroadcastNestedLoopJoin" not in plan  # never a dense pair loop
 
 

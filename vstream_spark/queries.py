@@ -4751,29 +4751,22 @@ def q_knn_sparse_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(200)
         .select("tok")
     )
+    vocab_list = [r["tok"] for r in vocab.collect()]
     sp = tf.join(F.broadcast(vocab), "tok")
     q = sp.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("qid"), "tok", F.col("tf").alias("qtf")
     )
-    # The posting join has at most |vocab| = 200 distinct keys, df-skewed
-    # toward the most common terms — shuffling BOTH sides caps reducer
-    # parallelism at 200 minus skew (a handful of tasks own nearly all
-    # posting-pair work; 97s at sf1). The query side is a bounded batch
-    # (|Q| x <=|vocab| small integers), so broadcast it: pair generation
-    # becomes map-side over the evenly-partitioned posting lists, the skew
-    # disappears, and the only exchange left is the partial-aggregated
-    # (qid, doc_id) score shuffle. At 100 TB the posting table is the big
-    # side and stays put — exactly the shape an inverted index wants.
-    scored = (
-        sp.join(F.broadcast(q), "tok")
-        .groupBy("qid", "doc_id")
-        .agg(F.sum(F.col("qtf") * F.col("tf")).cast("bigint").alias("score"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 5)
-        .select("qid", "doc_id", "score", "rank")
+    # NOT the posting-list pair join: that shape materializes
+    # sum_t qdf(t) * df(t) (qid, doc, term) rows — ~df^2 growth; the sf1
+    # rehearsal measured it at 23x on 10x data even with the query side
+    # broadcast (its <=|vocab|=200 join keys also skew-cap the reducers).
+    # sparse_topk scores each doc-partition against the whole bounded query
+    # batch in one exact BLAS matmul and shuffles only per-partition top-k
+    # rows (the M1 partial-merge argument makes that lossless).
+    from vstream_spark.operators.retrieval import sparse_topk
+
+    return sparse_topk(sp, q, vocab_list, k=5).select(
+        "qid", "doc_id", "score", "rank"
     )
 
 
