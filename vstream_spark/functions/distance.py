@@ -20,19 +20,25 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def _to_double(arr: Column) -> Column:
-    return F.transform(arr, lambda x: x.cast("double"))
-
-
 def l2sq(a: Column, b: Column) -> Column:
-    """Squared L2 distance: sum((a_i - b_i)^2), left-to-right fold."""
-    diffs = F.zip_with(_to_double(a), _to_double(b), lambda x, y: (x - y) * (x - y))
+    """Squared L2 distance: sum((a_i - b_i)^2), left-to-right fold.
+
+    The casts are fused INTO the zip_with lambda (not two separate
+    ``transform`` passes): per evaluation that is 2 array traversals +
+    1 intermediate array instead of 4 + 3, and this expression sits inside
+    the O(Q x N) pair loop of every exact search. Identical values — each
+    element is cast-then-subtracted in the same order either way."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
     return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Inner product sum(a_i * b_i), left-to-right fold."""
-    prods = F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y)
+    """Inner product sum(a_i * b_i), left-to-right fold (casts fused, as
+    in ``l2sq``)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
