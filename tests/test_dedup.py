@@ -260,3 +260,22 @@ def test_lsh_similarity_join_blocked_equals_whole_bucket(spark):
     }
     assert blocked == whole
     assert len(whole) > 50  # the fixture actually exercises pair emission
+
+
+def test_semantic_dedup_centroid_count_matches_oracle_sql():
+    """dedup_semantic derives K = max(8, ceil(sqrt(N))) on the Spark side;
+    the oracle computes GREATEST(8, CEIL(SQRT(COUNT(*)))) in DuckDB. The
+    two must agree for ANY corpus size or the centroid sets — and the hash
+    — diverge. Pinned across perfect squares (IEEE sqrt exactness), the
+    floor region, and the declared test SFs (500 / 2000 / 20000 rows)."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    for n in [1, 7, 64, 500, 2000, 20000, 59536, 59537, 244 * 244 - 1]:
+        py_k = max(8, int(math.ceil(math.sqrt(float(n)))))
+        sql_k = con.execute(
+            f"SELECT GREATEST(8, CAST(CEIL(SQRT({n}.0)) AS INTEGER))"
+        ).fetchone()[0]
+        assert py_k == sql_k, (n, py_k, sql_k)

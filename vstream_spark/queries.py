@@ -3658,14 +3658,25 @@ def q_knn_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # At corpus scale all-pairs cosine is impossible; the published recipe
 # (SemDeDup, Abbas et al. 2023) clusters embeddings with k-means and only
 # compares WITHIN a cluster — O(sum c_i^2) instead of O(N^2). Declared with a
-# deterministic centroid pick (the 8 vectors with smallest md5(vec_id) — the
+# deterministic centroid pick (the K vectors with smallest md5(vec_id) — the
 # same seeding both engines can compute) so the full pipeline — assignment
 # argmin + intra-cluster pairs — is exactly reproducible and hash-matched.
+# K is DERIVED FROM THE DATA: ceil(sqrt(N)) (floored at 8), so pair work is
+# Σc² ≈ N²/K = N^1.5, never quadratic — a pinned K makes Σc² ≈ N²/K, i.e.
+# quadratic in disguise (r9 VERDICT #2 measured the K=8 variant at 35× on
+# 10× data; SCALE.md's own doctrine is "at 100 TB K scales up, √N
+# clusters"). Both engines compute K from COUNT(*) of the same table with
+# the same IEEE sqrt/ceil, so the centroid sets — and the hash — agree.
 
 _DEDUP_SEMANTIC_ORACLE = f"""
-WITH cent AS (
-  SELECT vec_id AS cluster_id, embedding AS cemb FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+WITH k AS (
+  SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS INTEGER)) AS kk FROM embeddings),
+ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM embeddings),
+cent AS (
+  SELECT vec_id AS cluster_id, embedding AS cemb FROM ranked, k WHERE rn <= k.kk),
 scored AS (
   SELECT e.vec_id, e.embedding, c.cluster_id,
          {D.l2sq_sql("e.embedding", "c.cemb")} AS d
@@ -3690,14 +3701,22 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     never N^2. All distances are the shared JVM folds, hash-matched against
     the same pipeline in DuckDB. Member norms are hoisted OUT of the pair
     loop (the MaxSim lesson: one fold per pair instead of three — same IEEE
-    ops per norm, computed once per member, so results stay bitwise)."""
+    ops per norm, computed once per member, so results stay bitwise).
+
+    Centroid count K = max(8, ceil(sqrt(N))) is derived from the corpus so
+    the within-cluster pair volume stays ~N^1.5 at any scale (SemDeDup's
+    published runs use K proportional to corpus size for the same reason;
+    the pinned-K variant measured quadratic — 35x on 10x data — in r9).
+    The count() feeding K is a bare parquet scan: parquet-metadata only,
+    no data read."""
     from vstream_spark.functions.distance import dot, norm
     from vstream_spark.operators.cluster import assign_nearest
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n_cent = max(8, int(math.ceil(math.sqrt(float(emb.count())))))
     cent = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(8)
+        .limit(n_cent)
         .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cemb"))
     )
     assigned = assign_nearest(emb, cent, metric="l2").select("vec_id", "cluster_id")
@@ -3711,7 +3730,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = members.localCheckpoint()
     # Grid-block the within-cluster pair join (r9 sf1 rehearsal): the join's
     # shuffle keys on cluster_id alone, so its task fan-out is capped at the
-    # CLUSTER COUNT (8 here) no matter how many cores exist — 299s at sf1 on
+    # CLUSTER COUNT no matter how many cores exist — 299s at sf1 on
     # 4 AQE-coalesced tasks where the same pair work runs ~10x faster at full
     # width. Each side hash-splits into B blocks and each (blockA, blockB)
     # cell becomes its own join key: pair (u, v) meets exactly once (at cell
