@@ -70,3 +70,61 @@ def test_weighted_sample_stable_and_weighted(spark):
     # the 10 heavy rows (weight 1000 vs 1) dominate the sample
     heavy = [i for i in ids1 if i >= 90]
     assert len(heavy) >= 7
+
+
+def test_sparse_topk_sums_duplicate_postings(spark):
+    """Duplicate (id, tok) posting rows must ACCUMULATE — the operator's
+    contract is 'identical to the posting-list join + groupBy sum', which a
+    plain matrix assignment silently violated for unaggregated inputs
+    (r9 ADVICE). Split postings must score exactly like their pre-summed
+    equivalents, on both the doc and the query side."""
+    from vstream_spark.operators.retrieval import sparse_topk
+
+    vocab = ["a", "b", "c"]
+    # doc 1: a x3 (as 1+2), b x1;  doc 2: a x1, c x5 (as 2+3)
+    sp_dup = spark.createDataFrame(
+        [(1, "a", 1), (1, "a", 2), (1, "b", 1), (2, "a", 1), (2, "c", 2), (2, "c", 3)],
+        "doc_id bigint, tok string, tf bigint",
+    )
+    sp_agg = spark.createDataFrame(
+        [(1, "a", 3), (1, "b", 1), (2, "a", 1), (2, "c", 5)],
+        "doc_id bigint, tok string, tf bigint",
+    )
+    # query 10: a x2 (as 1+1), c x1
+    q_dup = spark.createDataFrame(
+        [(10, "a", 1), (10, "a", 1), (10, "c", 1)],
+        "qid bigint, tok string, qtf bigint",
+    )
+    q_agg = spark.createDataFrame(
+        [(10, "a", 2), (10, "c", 1)], "qid bigint, tok string, qtf bigint"
+    )
+
+    def rows(sp_df, q_df):
+        return sorted(
+            (r.qid, r.doc_id, r.score, r.rank)
+            for r in sparse_topk(sp_df, q_df, vocab, k=5).collect()
+        )
+
+    expect = [(10, 1, 6, 1), (10, 2, 7, 1)]  # doc1: 3*2=6; doc2: 1*2+5*1=7
+    expect = sorted((q, d, s, 1 if s == 7 else 2) for q, d, s, _ in expect)
+    got = rows(sp_dup, q_dup)
+    assert got == rows(sp_agg, q_agg)
+    assert [(r[0], r[1], r[2]) for r in got] == [(10, 1, 6), (10, 2, 7)]
+    assert [r[3] for r in sorted(got, key=lambda r: -r[2])] == [1, 2]
+
+
+def test_sparse_topk_custom_column_names(spark):
+    """tok/tf/qtf column names are parameterized like the id columns
+    (r9 ADVICE: they were hardcoded, so the generic-looking signature only
+    accepted q_knn_sparse_dot-shaped inputs)."""
+    from vstream_spark.operators.retrieval import sparse_topk
+
+    sp = spark.createDataFrame(
+        [(1, "x", 2), (2, "y", 3)], "item bigint, term string, cnt bigint"
+    )
+    q = spark.createDataFrame([(7, "y", 4)], "query bigint, term string, w bigint")
+    out = sparse_topk(
+        sp, q, ["x", "y"], k=1, id_col="item", qid_col="query",
+        tok_col="term", tf_col="cnt", qtf_col="w",
+    ).collect()
+    assert [(r["query"], r["item"], r.score, r.rank) for r in out] == [(7, 2, 12, 1)]

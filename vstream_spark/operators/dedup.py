@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vstream_spark.functions.text import fingerprint_sql
+from vstream_spark.operators.util import plan_stat_rows
 
 _MERSENNE = (1 << 61) - 1
 
@@ -131,6 +132,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
@@ -170,12 +172,23 @@ def ngram_jaccard_pairs(
     # task (>15 min at sf1 where 32-way runs in 25s). An explicit
     # repartition with a fixed count satisfies the window's clustering and
     # is exempt from AQE coalescing; downstream stages inherit its width.
-    # The width scales with corpus size (one parquet-metadata count) so the
-    # small case isn't taxed with 32-way task overhead for kilobytes of
-    # shingles — the similarity_join_lsh lesson (r8 What's-wrong #2): the
-    # scale shape must not slow the small case.
+    # The width scales with corpus size so the small case isn't taxed with
+    # 32-way task overhead for kilobytes of shingles — the
+    # similarity_join_lsh lesson (r8 What's-wrong #2): the scale shape must
+    # not slow the small case. Sizing runs NO job (r9 ADVICE: the old
+    # count() here re-executed the full upstream pipeline when ``docs`` was
+    # a filtered/derived input, once for the width and again for the real
+    # run): callers that know their cardinality pass ``n_docs``; otherwise
+    # plan statistics estimate it (64 B/row lower bound on on-disk text
+    # rows — overestimating rows only widens, the scale-safe direction),
+    # and when stats are unavailable the width falls back to full
+    # parallelism (a few idle tasks on a tiny RDD-backed input beat an
+    # extra execution of its lineage).
     par = docs.sparkSession.sparkContext.defaultParallelism
-    width = max(1, min(par, -(-docs.count() // 2000)))
+    if n_docs is None:
+        rc, size = plan_stat_rows(docs)
+        n_docs = rc if rc is not None else (size // 64 if size is not None else None)
+    width = par if n_docs is None else max(1, min(par, -(-n_docs // 2000)))
     prefix = (
         ex.join(df_tbl, "shingle")
         .repartition(width, "doc_id")
@@ -463,17 +476,11 @@ def dedup_embedding(
         # Underestimating bytes/row only pushes toward the scale-safe LSH
         # path. If stats are unavailable, fall back to one count() rather
         # than silently switching a small input to the approximate path.
-        try:
-            stats = vectors._jdf.queryExecution().optimizedPlan().stats()
-            size = int(stats.sizeInBytes())
-            jrc = stats.rowCount()
-            row_count = int(jrc.get()) if jrc.isDefined() else None
-        except Exception:  # noqa: BLE001 - stats access is best-effort
-            size = row_count = None
+        row_count, size = plan_stat_rows(vectors)
         if row_count is not None:
             est_rows = row_count
             use_exact = row_count <= exact_max_rows
-        elif size is not None and size < 2**60:
+        elif size is not None:
             est_rows = size // 64
             use_exact = size <= exact_max_rows * 64
         else:

@@ -198,15 +198,20 @@ def sparse_topk(
     k: int = 5,
     id_col: str = "doc_id",
     qid_col: str = "qid",
+    tok_col: str = "tok",
+    tf_col: str = "tf",
+    qtf_col: str = "qtf",
 ) -> DataFrame:
     """Exact top-k sparse dot-product retrieval as a partitioned matmul with
     a partial top-k merge (the M1 pattern applied to the inverted index).
 
-    ``sp``: (id_col, tok, tf) posting rows over ``vocab``;
-    ``q``: (qid_col, tok, qtf) posting rows of the query batch.
+    ``sp``: (id_col, tok_col, tf_col) posting rows over ``vocab``;
+    ``q``: (qid_col, tok_col, qtf_col) posting rows of the query batch.
     Returns (qid, id, score BIGINT, rank) with score desc / id asc ranking,
     pairs sharing >= 1 term only — identical semantics to the posting-list
-    join + groupBy(qid, doc) sum.
+    join + groupBy(qid, doc) sum. Duplicate (id, tok) posting rows SUM
+    (r9 ADVICE: plain matrix assignment silently overwrote them, diverging
+    from the join+sum contract for unaggregated inputs).
 
     Why not the pure join: candidate volume is sum_t qdf(t) * df(t), which
     grows ~df^2 in corpus size — the sf1 rehearsal measured the join shape
@@ -238,18 +243,19 @@ def sparse_topk(
     qidx = {int(v): i for i, v in enumerate(qids)}
     qmat = np.zeros((len(qids), nv), dtype=np.float64)
     for r in q_rows:
-        j = tok2j.get(r["tok"])
+        j = tok2j.get(r[tok_col])
         if j is not None:
-            qmat[qidx[int(r[qid_col])], j] = float(r["qtf"])
+            # += so duplicate query postings accumulate (join+sum parity)
+            qmat[qidx[int(r[qid_col])], j] += float(r[qtf_col])
 
     def score_partition(batches):
         ids_parts, j_parts, tf_parts = [], [], []
         for pdf in batches:
-            jcol = pdf["tok"].map(tok2j)
+            jcol = pdf[tok_col].map(tok2j)
             keep = jcol.notna()
             ids_parts.append(pdf[id_col].to_numpy()[keep])
             j_parts.append(jcol.to_numpy()[keep].astype(np.int64))
-            tf_parts.append(pdf["tf"].to_numpy()[keep].astype(np.float64))
+            tf_parts.append(pdf[tf_col].to_numpy()[keep].astype(np.float64))
         if not ids_parts:
             return
         ids = np.concatenate(ids_parts)
@@ -258,8 +264,12 @@ def sparse_topk(
         js = np.concatenate(j_parts)
         tfs = np.concatenate(tf_parts)
         local_ids, inv = np.unique(ids, return_inverse=True)
-        dmat = np.zeros((len(local_ids), nv), dtype=np.float64)
-        dmat[inv, js] = tfs  # (doc, tok) unique after the tf aggregation
+        # bincount over the flattened (doc, tok) index SUMS duplicate
+        # posting rows (vectorized np.add.at): identical to the posting
+        # join + sum for any input, not just pre-aggregated tf
+        dmat = np.bincount(
+            inv * nv + js, weights=tfs, minlength=len(local_ids) * nv
+        ).reshape(len(local_ids), nv)
         scores = dmat @ qmat.T  # exact: integer-valued float64 products
         out_q, out_d, out_s = [], [], []
         for c in range(scores.shape[1]):
@@ -288,7 +298,7 @@ def sparse_topk(
     par = sp.sparkSession.sparkContext.defaultParallelism
     width = max(par, sp.rdd.getNumPartitions())
     partial = (
-        sp.select(id_col, "tok", "tf")
+        sp.select(id_col, tok_col, tf_col)
         .repartition(width, id_col)
         .mapInPandas(
             score_partition, f"{qid_col} long, {id_col} long, score long"

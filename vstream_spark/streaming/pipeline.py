@@ -291,6 +291,15 @@ def search_store(
     )
 
 
+def derived_state_shards(spark) -> int:
+    """The shard count ``streaming_set_similarity`` derives when
+    ``state_shards=None`` — exposed so callers can RECORD the value a
+    checkpointed query started with and pass it explicitly on resume
+    (the count is part of the state key; see the warning in
+    :func:`streaming_set_similarity`)."""
+    return max(1, spark.sparkContext.defaultParallelism)
+
+
 def streaming_set_similarity(
     docs_stream: DataFrame,
     n: int = 3,
@@ -325,6 +334,21 @@ def streaming_set_similarity(
     one magic number) so each shard's signature slice stays executor-sized
     (state volume is corpus/bands/shards per key) and the stateful stage's
     task fan-out tracks the cluster's cores with no caller tuning.
+
+    .. warning:: **``state_shards`` is part of the checkpointed state KEY**
+       (state is keyed by ``(band, hash(band_key) % state_shards)``), so it
+       must be IDENTICAL across every restart of a checkpointed query. A
+       resume under a different shard count silently remaps band_key →
+       shard: prior state is orphaned under the old shard values and pairs
+       spanning the restart are dropped — no error is raised (r9 ADVICE).
+       The ``None`` derivation is therefore only safe for queries that
+       restart with the same ``defaultParallelism`` (same cluster size /
+       ``local[N]``); any query that may resume after a resize MUST pass an
+       explicit ``state_shards`` and keep it constant for the checkpoint's
+       lifetime. The derived value is recoverable as
+       ``derived_state_shards(spark)`` (the exact expression used here) and
+       is logged at derivation time — record it next to the checkpoint
+       location when relying on the default.
 
     State is BOUNDED when ``ttl`` is set (the reference's freshness
     contract, vector TTL in ``VectorSearchOptions``): each bucket member
@@ -557,8 +581,17 @@ def streaming_set_similarity(
             )
 
     if state_shards is None:
-        state_shards = max(
-            1, docs_stream.sparkSession.sparkContext.defaultParallelism
+        state_shards = derived_state_shards(docs_stream.sparkSession)
+        import logging
+
+        # shard count is baked into the checkpointed state key: log the
+        # derived value so a checkpointed query's operator can pin it
+        # explicitly on resume (see the docstring warning)
+        logging.getLogger(__name__).info(
+            "streaming_set_similarity: derived state_shards=%d from "
+            "defaultParallelism — pass this value explicitly when resuming "
+            "the query from a checkpoint on a differently-sized session",
+            state_shards,
         )
     sharded = banded.withColumn(
         "shard", F.pmod(F.hash("band_key"), F.lit(state_shards))
