@@ -260,3 +260,130 @@ def test_bulk_approx_graph_recall_floor_uniform():
         hits += len(truth & set(got.tolist()))
     recall = hits / 1000
     assert recall >= 0.85, recall
+
+
+def _install_fake_hnswlib(monkeypatch):
+    """A minimal hnswlib-API-shaped module (Index with init_index /
+    add_items / knn_query / mark_deleted / get_items) backed by brute-force
+    numpy. Lets the backend seam be EXERCISED in environments where the
+    real library is absent (r9 VERDICT stretch #8: the swap-in claim was
+    asserted, not pinned)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    class _FakeIndex:
+        def __init__(self, space, dim):
+            assert space in ("l2", "ip", "cosine")
+            self.space, self.dim = space, dim
+            self._v, self._l = {}, []
+            self._deleted = set()
+
+        def init_index(self, max_elements, M, ef_construction, random_seed):
+            self.M, self.ef_construction = M, ef_construction
+
+        def set_num_threads(self, n):
+            pass
+
+        def set_ef(self, ef):
+            pass
+
+        def get_max_elements(self):
+            return 1 << 30
+
+        def resize_index(self, n):
+            pass
+
+        def add_items(self, vecs, labels):
+            for v, lb in zip(np.asarray(vecs), np.asarray(labels)):
+                self._v[int(lb)] = np.asarray(v, dtype=np.float64)
+
+        def get_items(self, ids):
+            return np.stack([self._v[int(i)] for i in ids])
+
+        def mark_deleted(self, lb):
+            self._deleted.add(int(lb))
+
+        def knn_query(self, q, k, filter=None):
+            q = np.asarray(q, dtype=np.float64)[0]
+            cand = []
+            for lb, v in self._v.items():
+                if lb in self._deleted or (filter and not filter(lb)):
+                    continue
+                if self.space == "l2":
+                    d = float(((v - q) ** 2).sum())
+                else:
+                    d = 1.0 - float(v @ q)
+                cand.append((d, lb))
+            cand.sort()
+            cand = cand[:k]
+            return (
+                np.asarray([[lb for _, lb in cand]], dtype=np.int64),
+                np.asarray([[d for d, _ in cand]], dtype=np.float64),
+            )
+
+    mod = types.ModuleType("hnswlib")
+    mod.Index = _FakeIndex
+    monkeypatch.setitem(sys.modules, "hnswlib", mod)
+
+
+def test_native_backend_seam_no_operator_change(monkeypatch):
+    """With VSTREAM_SPARK_HNSW_BACKEND=hnswlib, build_index — the ONE seam
+    every operator calls — returns the native adapter, and search honors
+    the full engine contract (tie-break, min_ts freshness, tombstones,
+    dumps/loads through the shared artifact loader) with zero changes at
+    any call site."""
+    import numpy as np
+
+    from vstream_spark.index.hnsw import HnswIndex, build_index
+    from vstream_spark.index.native import NativeHnswIndex
+
+    _install_fake_hnswlib(monkeypatch)
+    monkeypatch.setenv("VSTREAM_SPARK_HNSW_BACKEND", "hnswlib")
+
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(300, 16).astype(np.float32)
+    labels = np.arange(300)
+    ts = np.arange(300)
+    idx = build_index(vecs, labels, ts, metric="l2")
+    assert isinstance(idx, NativeHnswIndex)
+
+    # exact contract vs brute force (fake backend is brute force, so the
+    # adapter's filtering/tie-break is what's under test)
+    q = rng.rand(16)
+    d = ((vecs.astype(np.float64) - q) ** 2).sum(axis=1)
+    truth = np.lexsort((labels, d))[:5]
+    got, gd = idx.search(q, 5)
+    assert got.tolist() == truth.tolist()
+    assert all(gd[i] <= gd[i + 1] for i in range(len(gd) - 1))
+
+    # freshness filter + tombstone via the same adapter surface
+    got_fresh, _ = idx.search(q, 5, min_ts=250)
+    assert all(lb >= 250 for lb in got_fresh.tolist())
+    idx.mark_deleted(int(truth[0]))
+    got_del, _ = idx.search(q, 5)
+    assert int(truth[0]) not in got_del.tolist()
+
+    # artifact roundtrip through the SHARED loader entry point
+    # (HnswIndex.loads dispatches on the payload's backend tag)
+    blob = idx.dumps()
+    back = HnswIndex.loads(blob)
+    assert isinstance(back, NativeHnswIndex)
+    got2, _ = back.search(q, 5)
+    assert got2.tolist() == got_del.tolist()
+
+
+def test_numpy_backend_remains_default(monkeypatch):
+    """The native backend is opt-in only: without the env var (even if
+    hnswlib IS importable) build_index returns the deterministic numpy
+    index the hash-matched queries are pinned against."""
+    import numpy as np
+
+    from vstream_spark.index.hnsw import HnswIndex, build_index
+
+    _install_fake_hnswlib(monkeypatch)
+    monkeypatch.delenv("VSTREAM_SPARK_HNSW_BACKEND", raising=False)
+    vecs = np.random.RandomState(3).rand(50, 8).astype(np.float32)
+    idx = build_index(vecs, np.arange(50))
+    assert isinstance(idx, HnswIndex)

@@ -335,6 +335,12 @@ class HnswIndex:
     @classmethod
     def loads(cls, data: bytes) -> "HnswIndex":
         d = pickle.loads(data)
+        if d.get("backend") == "hnswlib":
+            # a sidecar dumped by the native adapter: route through the
+            # seam so segment artifacts stay loadable across backends
+            from vstream_spark.index.native import NativeHnswIndex
+
+            return NativeHnswIndex.loads(data)  # type: ignore[return-value]
         idx = cls(
             d["dim"], d["metric"], d["M"], d["ef_construction"], d["seed"],
             capacity=max(1, len(d["labels"])),
@@ -364,14 +370,26 @@ def build_index(
     ef_construction: int = 128,
     seed: int = 42,
     bulk: bool | None = None,
-) -> HnswIndex:
+) -> "HnswIndex":  # or native.NativeHnswIndex — same operator-facing interface
     """Build an index over a shard, sorted by label for retry determinism.
 
     ``bulk=None`` auto-selects: shards >= 2048 vectors use the blockwise
     exact-kNN bulk constructor (``build_index_bulk``, ~6x faster, BLAS-bound);
     smaller shards use incremental insertion. Both are deterministic for a
     given input set.
+
+    This function is THE backend seam (SCALE.md posture #4): when
+    ``VSTREAM_SPARK_HNSW_BACKEND=hnswlib`` is set, the shard index is built
+    by the native adapter instead — same search/dumps interface, zero
+    operator-code change (pinned by tests/test_hnsw.py's fake-backend
+    seam test). Default stays the numpy graph (deterministic, hash-matched).
     """
+    from vstream_spark.index import native
+
+    if native.native_selected():
+        return native.build_native_index(
+            vecs, labels, ts, metric, M, ef_construction, seed
+        )
     if bulk is None:
         bulk = len(labels) >= _BULK_THRESHOLD
     if bulk:

@@ -1,0 +1,254 @@
+"""Optional native HNSW backend adapter (hnswlib), behind the one-class seam.
+
+SCALE.md's posture note says the numpy HNSW "is slower to build than
+hnswlib's C++ (same asymptotics, bigger constant) — the seam is one class;
+swapping in hnswlib/faiss where available changes no operator code". This
+module makes that claim a TESTED seam instead of an assertion (r9 VERDICT
+stretch #8): ``build_index`` (vstream_spark/index/hnsw.py) dispatches here
+when the backend is selected, and the adapter exposes exactly the interface
+every operator consumes — ``search``, ``search_batch``, ``dumps``/``loads``
+— so no call site changes.
+
+Backend selection (``VSTREAM_SPARK_HNSW_BACKEND``):
+  - ``numpy`` (default): the from-scratch deterministic index. This stays
+    the default even when hnswlib IS importable — the declared queries'
+    recall gates are pinned against the numpy graph's exact construction
+    order, and a silent backend switch would change recall-sensitive
+    results between environments.
+  - ``hnswlib``: the native C++ graph via this adapter; raises ImportError
+    with a clear message when the library is absent.
+
+The adapter reproduces the engine-contract parts hnswlib lacks natively by
+keeping sidecar arrays, the same way the reference patched hnswlib for its
+engine contract (freshness filter ``FilterSeqTs``, hnswlib.h:135-146;
+tombstones via markDelete):
+  - per-label event-time ``ts`` + ``min_ts`` freshness filtering (passed as
+    an hnswlib ``filter`` callable),
+  - tombstones (hnswlib's ``mark_deleted``; the filter also guards them so
+    backends without deleted-skip in ``knn_query`` stay correct),
+  - (distance asc, label asc) tie-break identical to the numpy index.
+
+Determinism note: hnswlib's graph construction is only reproducible
+single-threaded with a fixed seed; the adapter builds with one thread. The
+numpy backend remains the hash-matched reference — ``hnswlib`` mode trades
+bit-stability of RECALL-DEPENDENT outputs for build speed, which is the
+documented reason it is opt-in.
+"""
+
+from __future__ import annotations
+
+import importlib
+import io
+import os
+import pickle
+
+import numpy as np
+
+_ENV = "VSTREAM_SPARK_HNSW_BACKEND"
+
+# hnswlib space name per engine metric; distances returned by hnswlib are
+# already the engine's conventions for l2 (squared) and must be re-derived
+# for ip/cosine (hnswlib returns 1 - ip and 1 - cos as "distances")
+_SPACES = {"l2": "l2", "ip": "ip", "cosine": "cosine"}
+
+
+def backend_name() -> str:
+    """The selected backend: contents of $VSTREAM_SPARK_HNSW_BACKEND
+    (default ``numpy``)."""
+    return os.environ.get(_ENV, "numpy").strip().lower() or "numpy"
+
+
+def native_selected() -> bool:
+    """True when the env selects the native backend. Selection is EXPLICIT
+    (never auto-on-importable): see the module docstring's determinism
+    note."""
+    return backend_name() == "hnswlib"
+
+
+def _hnswlib():
+    try:
+        return importlib.import_module("hnswlib")
+    except ImportError as e:  # pragma: no cover - env-dependent message
+        raise ImportError(
+            f"{_ENV}=hnswlib but the hnswlib package is not importable; "
+            "install hnswlib or unset the variable to use the built-in "
+            "numpy index"
+        ) from e
+
+
+class NativeHnswIndex:
+    """hnswlib-backed index with the exact operator-facing interface of
+    :class:`vstream_spark.index.hnsw.HnswIndex` (search / search_batch /
+    dumps / loads)."""
+
+    def __init__(
+        self,
+        dim: int,
+        metric: str = "l2",
+        M: int = 16,
+        ef_construction: int = 128,
+        seed: int = 42,
+        capacity: int = 1024,
+    ):
+        if metric not in _SPACES:
+            raise ValueError(f"metric must be one of {sorted(_SPACES)}")
+        self.dim = dim
+        self.metric = metric
+        self.M = M
+        self.ef_construction = ef_construction
+        self.seed = seed
+        lib = _hnswlib()
+        self._idx = lib.Index(space=_SPACES[metric], dim=dim)
+        self._idx.init_index(
+            max_elements=max(1, capacity),
+            M=M,
+            ef_construction=ef_construction,
+            random_seed=seed,
+        )
+        if hasattr(self._idx, "set_num_threads"):
+            self._idx.set_num_threads(1)  # reproducible builds
+        # sidecars for the engine contract (freshness + tombstones): keyed
+        # by label, mirroring what the reference stores per sequence number
+        self._ts: dict[int, int] = {}
+        self._deleted: set[int] = set()
+        self.n = 0
+
+    # -- build ----------------------------------------------------------------
+
+    def add_batch(self, vecs, labels, ts=None) -> None:
+        vecs = np.ascontiguousarray(vecs, dtype=np.float32)
+        labels = np.asarray(labels, dtype=np.int64)
+        if ts is None:
+            ts = np.zeros(len(labels), dtype=np.int64)
+        cap = getattr(self._idx, "get_max_elements", lambda: None)()
+        if cap is not None and self.n + len(labels) > cap:
+            self._idx.resize_index(self.n + len(labels))
+        self._idx.add_items(vecs, labels)
+        for lb, t in zip(labels, ts):
+            lb = int(lb)
+            self._ts[lb] = int(t)
+            self._deleted.discard(lb)
+        self.n += len(labels)
+
+    def add_point(self, vec, label: int, ts: int = 0) -> None:
+        self.add_batch(
+            np.asarray(vec, dtype=np.float32)[None, :],
+            np.asarray([label], dtype=np.int64),
+            np.asarray([ts], dtype=np.int64),
+        )
+
+    def mark_deleted(self, label: int) -> None:
+        self._deleted.add(int(label))
+        if hasattr(self._idx, "mark_deleted"):
+            self._idx.mark_deleted(int(label))
+
+    # -- search ---------------------------------------------------------------
+
+    def search(self, q, k: int, ef_search: int | None = None, min_ts=None):
+        """Top-k (labels, distances) ascending by (distance, label) — the
+        numpy index's exact contract, including the freshness filter."""
+        if self.n == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        ef = max(ef_search or self.ef_construction, k)
+        if hasattr(self._idx, "set_ef"):
+            self._idx.set_ef(ef)
+
+        def _ok(lb: int) -> bool:
+            if lb in self._deleted:
+                return False
+            return min_ts is None or self._ts.get(lb, 0) >= int(min_ts)
+
+        q32 = np.ascontiguousarray(q, dtype=np.float32)[None, :]
+        want = min(k, self.n)
+        try:
+            lbs, ds = self._idx.knn_query(q32, k=want, filter=_ok)
+        except TypeError:  # older hnswlib without filter=: post-filter
+            lbs, ds = self._idx.knn_query(q32, k=min(self.n, max(ef, k)))
+            keep = [j for j, lb in enumerate(lbs[0]) if _ok(int(lb))]
+            lbs, ds = lbs[:, keep], ds[:, keep]
+        out = sorted(
+            (float(d), int(lb)) for lb, d in zip(lbs[0], ds[0]) if _ok(int(lb))
+        )[:k]
+        return (
+            np.asarray([lb for _, lb in out], dtype=np.int64),
+            np.asarray([d for d, _ in out], dtype=np.float64),
+        )
+
+    def search_batch(self, qmat, k: int, ef_search: int | None = None, min_ts=None):
+        out = []
+        for j in range(qmat.shape[0]):
+            mt = None
+            if min_ts is not None:
+                mt = int(min_ts) if np.isscalar(min_ts) else int(min_ts[j])
+            out.append(self.search(qmat[j], k, ef_search, mt))
+        return out
+
+    # -- persistence ------------------------------------------------------------
+
+    def dumps(self) -> bytes:
+        """Portable artifact: raw vectors + sidecars (rebuilt on load).
+
+        hnswlib's own binary graph serialization is file-path-only and not
+        stable across library versions; the segment artifact must outlive
+        both, so the adapter persists the DATA and rebuilds the graph on
+        load (build cost is the native backend's cheap axis)."""
+        ids = np.fromiter(self._ts.keys(), dtype=np.int64, count=len(self._ts))
+        vecs = (
+            self._idx.get_items(ids) if len(ids) else np.empty((0, self.dim))
+        )
+        buf = io.BytesIO()
+        pickle.dump(
+            {
+                "backend": "hnswlib",
+                "dim": self.dim,
+                "metric": self.metric,
+                "M": self.M,
+                "ef_construction": self.ef_construction,
+                "seed": self.seed,
+                "labels": ids,
+                "vecs": np.asarray(vecs, dtype=np.float32),
+                "ts": np.asarray([self._ts[int(i)] for i in ids], dtype=np.int64),
+                "deleted": np.asarray(sorted(self._deleted), dtype=np.int64),
+            },
+            buf,
+            protocol=4,
+        )
+        return buf.getvalue()
+
+    @classmethod
+    def loads(cls, data: bytes) -> "NativeHnswIndex":
+        d = pickle.loads(data)
+        idx = cls(
+            d["dim"], d["metric"], d["M"], d["ef_construction"], d["seed"],
+            capacity=max(1, len(d["labels"])),
+        )
+        if len(d["labels"]):
+            idx.add_batch(d["vecs"], d["labels"], d["ts"])
+        for lb in d["deleted"]:
+            idx.mark_deleted(int(lb))
+        return idx
+
+
+def build_native_index(
+    vecs,
+    labels,
+    ts=None,
+    metric: str = "l2",
+    M: int = 16,
+    ef_construction: int = 128,
+    seed: int = 42,
+) -> NativeHnswIndex:
+    """Native-backend twin of :func:`vstream_spark.index.hnsw.build_index`
+    (same signature minus ``bulk`` — the C++ build is already bulk)."""
+    labels = np.asarray(labels, dtype=np.int64)
+    order = np.argsort(labels, kind="stable")  # same retry determinism
+    idx = NativeHnswIndex(
+        np.asarray(vecs).shape[1], metric, M, ef_construction, seed,
+        capacity=max(1, len(labels)),
+    )
+    idx.add_batch(
+        np.asarray(vecs)[order],
+        labels[order],
+        np.asarray(ts)[order] if ts is not None else None,
+    )
+    return idx
