@@ -483,3 +483,10 @@ def test_set_similarity_shards_track_parallelism(spark, tmp_path):
     dp = spark.sparkContext.defaultParallelism
     assert shard_modulus(streaming_set_similarity(stream)) == dp
     assert shard_modulus(streaming_set_similarity(stream, state_shards=7)) == 7
+
+    # the derived value is RECOVERABLE (r9 ADVICE: the shard count is part
+    # of the checkpointed state key, so a resume must be able to pin it):
+    # derived_state_shards() is the exact expression the default uses
+    from vstream_spark.streaming.pipeline import derived_state_shards
+
+    assert derived_state_shards(spark) == dp

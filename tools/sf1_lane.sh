@@ -16,6 +16,11 @@
 # Usage: sh tools/sf1_lane.sh  [sf1_dir]    (default .localdata/sf1;
 # generate with `python tools/gen_testdata.py 1.0 .localdata/sf1`).
 # Writes BENCH_DETAIL_sf1_lane.json at the repo root (committed per round).
+#
+# Reporting convention (r9 VERDICT #6): prose cites the LATEST committed
+# measurement from `queries` (or `remeasured.*.now` when the in-run
+# re-measure is newer); `best_known` is a variance-reduction seed for the
+# outlier gate, not a headline — when quoted, label it best-known.
 set -e
 SF1_DIR=${1:-.localdata/sf1}
 cd "$(dirname "$0")/.."
