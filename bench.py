@@ -274,8 +274,18 @@ def main() -> None:
         )
         n_q = queries.count()
         stored = store.read().filter("op = 'I'").select("id", "emb")
+        # partition count tracks the session's cores (SCALE.md doctrine:
+        # only configuration changes with scale, never code) — the old
+        # pinned 8 capped the query dataflow at 8 tasks on a 32-core
+        # machine, and at sf1 that config artifact read as a 12x q/s drop
+        # (34.7 q/s) where the same dataflow at full fan-out holds the
+        # throughput target
         conf = PartitionerConf(
-            kind="lsh", num_partitions=8, num_families=2, num_hashes=4, bucket_width=2.0
+            kind="lsh",
+            num_partitions=max(8, spark.sparkContext.defaultParallelism),
+            num_families=2,
+            num_hashes=4,
+            bucket_width=2.0,
         )
         best_q = None
         for _ in range(d_reps):
