@@ -276,10 +276,14 @@ def main() -> None:
         stored = store.read().filter("op = 'I'").select("id", "emb")
         # partition count tracks the session's cores (SCALE.md doctrine:
         # only configuration changes with scale, never code) — the old
-        # pinned 8 capped the query dataflow at 8 tasks on a 32-core
-        # machine, and at sf1 that config artifact read as a 12x q/s drop
-        # (34.7 q/s) where the same dataflow at full fan-out holds the
-        # throughput target
+        # pinned 8 capped the dataflow's max fan-out at 8 on a 32-core
+        # machine. NOTE (r10 lane): widening num_partitions alone did NOT
+        # recover the sf1 query axis — the cogroup's exchange is
+        # AQE-byte-coalesced and plain-LSH routing leaves one hot bucket
+        # holding most of the pair work (observed (6+1)/7 straggler), so
+        # q/s at sf1 is skew-bound (~35 q/s) until the lane moves to a
+        # balance-aware partitioner (lsh+random / epochs) or the declared
+        # knn_partitioned_exact shape (simple partitioner, salted)
         conf = PartitionerConf(
             kind="lsh",
             num_partitions=max(8, spark.sparkContext.defaultParallelism),
