@@ -306,6 +306,13 @@ def _install_fake_hnswlib(monkeypatch):
             self._deleted.add(int(lb))
 
         def knn_query(self, q, k, filter=None):
+            # real hnswlib raises when k exceeds the retrievable element
+            # count — mirror it so the adapter's live-count clamp is pinned
+            if k > len(self._v) - len(self._deleted):
+                raise RuntimeError(
+                    "Cannot return the results in a contiguous 2D array. "
+                    "Probably ef or M is too small"
+                )
             q = np.asarray(q, dtype=np.float64)[0]
             cand = []
             for lb, v in self._v.items():
@@ -372,6 +379,69 @@ def test_native_backend_seam_no_operator_change(monkeypatch):
     assert isinstance(back, NativeHnswIndex)
     got2, _ = back.search(q, 5)
     assert got2.tolist() == got_del.tolist()
+
+
+def test_native_backend_segment_call_site_contract(monkeypatch):
+    """The segment build+search path pokes the index beyond search():
+    tombstone shadowing does ``idx._by_label.get / idx.ts[i] /
+    idx.mark_delete`` (storage/segments.py, storage/search.py) and the
+    neighbor-ts emit does ``idx.ts[idx._by_label[lb]]``
+    (storage/search.py). r10 ADVICE: the adapter lacked all three, so the
+    native backend crashed at exactly those sites. Pin the full contract —
+    including the live-count clamp against hnswlib's k-too-large
+    RuntimeError and re-added-label slot reuse."""
+    import numpy as np
+
+    from vstream_spark.index.hnsw import HnswIndex, build_index
+    from vstream_spark.index.native import NativeHnswIndex
+
+    _install_fake_hnswlib(monkeypatch)
+    monkeypatch.setenv("VSTREAM_SPARK_HNSW_BACKEND", "hnswlib")
+
+    rng = np.random.RandomState(11)
+    vecs = rng.rand(50, 8).astype(np.float32)
+    labels = np.arange(50)
+    ts = np.arange(100, 150)
+    idx = build_index(vecs, labels, ts, metric="l2")
+    assert isinstance(idx, NativeHnswIndex)
+
+    # 1) the EXACT tombstone-shadow sequence the flush/search sites run
+    #    (delete marker strictly newer than the insert kills it)
+    for del_id, del_time in [(3, 104), (7, 108), (9, 50)]:
+        i = idx._by_label.get(int(del_id))
+        if i is not None and int(del_time) > int(idx.ts[i]):
+            idx.mark_delete(int(del_id))
+    q = rng.rand(8)
+    got, _ = idx.search(q, 50)
+    got = set(got.tolist())
+    assert 3 not in got and 7 not in got
+    assert 9 in got  # marker at ts=50 is OLDER than insert ts=109: survives
+
+    # 2) the neighbor-ts lookup the search site emits per result label,
+    #    plus the neutral accessor
+    for lb in got:
+        assert int(idx.ts[idx._by_label[int(lb)]]) == 100 + lb
+        assert idx.get_ts(lb) == 100 + lb
+
+    # 3) live-count clamp: tombstone down to 5 live, ask for 10 — real
+    #    hnswlib (and the fake) raises if k > retrievable; the clamp must
+    #    prevent that and the double-count bug must not inflate live
+    for lb in range(45):
+        idx.mark_delete(lb)
+    idx.add_point(vecs[45], 45, 145)  # re-add existing: reuses slot
+    assert idx.n == 50 and idx.live == 5
+    got5, _ = idx.search(q, 10)
+    assert sorted(got5.tolist()) == [45, 46, 47, 48, 49]
+
+    # 4) the contract survives the artifact roundtrip (single unpickle
+    #    path through the shared loader)
+    back = HnswIndex.loads(idx.dumps())
+    assert isinstance(back, NativeHnswIndex)
+    assert back.live == 5 and back.n == 50
+    assert back.get_ts(46) == 146
+    assert back.ts[back._by_label[47]] == 147
+    got_b, _ = back.search(q, 10)
+    assert sorted(got_b.tolist()) == [45, 46, 47, 48, 49]
 
 
 def test_numpy_backend_remains_default(monkeypatch):

@@ -105,12 +105,11 @@ def test_sparse_topk_sums_duplicate_postings(spark):
             for r in sparse_topk(sp_df, q_df, vocab, k=5).collect()
         )
 
-    expect = [(10, 1, 6, 1), (10, 2, 7, 1)]  # doc1: 3*2=6; doc2: 1*2+5*1=7
-    expect = sorted((q, d, s, 1 if s == 7 else 2) for q, d, s, _ in expect)
+    # doc1: 3*2=6 (rank 2); doc2: 1*2+5*1=7 (rank 1)
+    expect = [(10, 1, 6, 2), (10, 2, 7, 1)]
     got = rows(sp_dup, q_dup)
     assert got == rows(sp_agg, q_agg)
-    assert [(r[0], r[1], r[2]) for r in got] == [(10, 1, 6), (10, 2, 7)]
-    assert [r[3] for r in sorted(got, key=lambda r: -r[2])] == [1, 2]
+    assert got == expect
 
 
 def test_sparse_topk_custom_column_names(spark):

@@ -170,6 +170,11 @@ class HnswIndex:
         self.deleted[i] = True
         return True
 
+    def get_ts(self, label: int) -> int:
+        """Event-time of a label (neutral accessor shared with the native
+        adapter, so segment call sites need no backend-specific poking)."""
+        return int(self.ts[self._by_label[int(label)]])
+
     # -- search ---------------------------------------------------------------
 
     def _greedy(self, q: np.ndarray, ep: int, level: int) -> int:
@@ -338,9 +343,10 @@ class HnswIndex:
         if d.get("backend") == "hnswlib":
             # a sidecar dumped by the native adapter: route through the
             # seam so segment artifacts stay loadable across backends
+            # (pass the already-unpickled payload — no second unpickle)
             from vstream_spark.index.native import NativeHnswIndex
 
-            return NativeHnswIndex.loads(data)  # type: ignore[return-value]
+            return NativeHnswIndex.from_state(d)  # type: ignore[return-value]
         idx = cls(
             d["dim"], d["metric"], d["M"], d["ef_construction"], d["seed"],
             capacity=max(1, len(d["labels"])),

@@ -65,21 +65,28 @@ def native_selected() -> bool:
     return backend_name() == "hnswlib"
 
 
-def _hnswlib():
+def _hnswlib(reason: str | None = None):
     try:
         return importlib.import_module("hnswlib")
     except ImportError as e:  # pragma: no cover - env-dependent message
         raise ImportError(
-            f"{_ENV}=hnswlib but the hnswlib package is not importable; "
-            "install hnswlib or unset the variable to use the built-in "
-            "numpy index"
+            reason
+            or (
+                f"{_ENV}=hnswlib but the hnswlib package is not importable; "
+                "install hnswlib or unset the variable to use the built-in "
+                "numpy index"
+            )
         ) from e
 
 
 class NativeHnswIndex:
     """hnswlib-backed index with the exact operator-facing interface of
-    :class:`vstream_spark.index.hnsw.HnswIndex` (search / search_batch /
-    dumps / loads)."""
+    :class:`vstream_spark.index.hnsw.HnswIndex` — not just search /
+    search_batch / dumps / loads, but also the positional sidecars the
+    segment call sites consume directly (``storage/segments.py`` tombstone
+    shadowing, ``storage/search.py`` neighbor-ts lookup): ``ts`` array,
+    ``_by_label`` dict, ``labels`` array, ``mark_delete(label) -> bool``,
+    ``get_ts(label)``."""
 
     def __init__(
         self,
@@ -107,11 +114,26 @@ class NativeHnswIndex:
         )
         if hasattr(self._idx, "set_num_threads"):
             self._idx.set_num_threads(1)  # reproducible builds
-        # sidecars for the engine contract (freshness + tombstones): keyed
-        # by label, mirroring what the reference stores per sequence number
-        self._ts: dict[int, int] = {}
+        # sidecars for the engine contract (freshness + tombstones), in the
+        # numpy index's POSITIONAL layout so segment call sites that poke
+        # idx.ts[idx._by_label[lb]] / idx.mark_delete(lb) work unchanged on
+        # either backend; mirrors what the reference stores per sequence
+        # number (FilterSeqTs, hnswlib.h:135-146)
+        self.labels = np.empty(0, dtype=np.int64)
+        self.ts = np.empty(0, dtype=np.int64)
+        self._by_label: dict[int, int] = {}
         self._deleted: set[int] = set()
-        self.n = 0
+        self.n = 0  # distinct slots (re-added labels reuse their slot)
+
+    @property
+    def live(self) -> int:
+        """Number of retrievable (non-tombstoned) elements — the hard cap
+        hnswlib.knn_query can return without raising."""
+        return self.n - len(self._deleted)
+
+    def get_ts(self, label: int) -> int:
+        """Event-time of a label (neutral accessor, both backends)."""
+        return int(self.ts[self._by_label[int(label)]])
 
     # -- build ----------------------------------------------------------------
 
@@ -120,15 +142,30 @@ class NativeHnswIndex:
         labels = np.asarray(labels, dtype=np.int64)
         if ts is None:
             ts = np.zeros(len(labels), dtype=np.int64)
+        fresh = sum(1 for lb in labels if int(lb) not in self._by_label)
         cap = getattr(self._idx, "get_max_elements", lambda: None)()
-        if cap is not None and self.n + len(labels) > cap:
-            self._idx.resize_index(self.n + len(labels))
-        self._idx.add_items(vecs, labels)
+        if cap is not None and self.n + fresh > cap:
+            self._idx.resize_index(self.n + fresh)
+        self._idx.add_items(vecs, labels)  # existing label = in-place update
+        new_lbs, new_ts = [], []
         for lb, t in zip(labels, ts):
             lb = int(lb)
-            self._ts[lb] = int(t)
+            slot = self._by_label.get(lb)
+            if slot is None:
+                self._by_label[lb] = self.n + len(new_lbs)
+                new_lbs.append(lb)
+                new_ts.append(int(t))
+            else:
+                self.ts[slot] = int(t)
             self._deleted.discard(lb)
-        self.n += len(labels)
+        if new_lbs:
+            self.labels = np.concatenate(
+                [self.labels, np.asarray(new_lbs, dtype=np.int64)]
+            )
+            self.ts = np.concatenate(
+                [self.ts, np.asarray(new_ts, dtype=np.int64)]
+            )
+            self.n += len(new_lbs)
 
     def add_point(self, vec, label: int, ts: int = 0) -> None:
         self.add_batch(
@@ -137,17 +174,27 @@ class NativeHnswIndex:
             np.asarray([ts], dtype=np.int64),
         )
 
-    def mark_deleted(self, label: int) -> None:
-        self._deleted.add(int(label))
+    def mark_delete(self, label: int) -> bool:
+        """Tombstone a label — same name/return contract as the numpy
+        index's ``mark_delete`` (the segment call sites use this name)."""
+        label = int(label)
+        if label not in self._by_label:
+            return False
+        self._deleted.add(label)
         if hasattr(self._idx, "mark_deleted"):
-            self._idx.mark_deleted(int(label))
+            self._idx.mark_deleted(label)
+        return True
+
+    def mark_deleted(self, label: int) -> None:
+        """hnswlib-style alias for :meth:`mark_delete`."""
+        self.mark_delete(label)
 
     # -- search ---------------------------------------------------------------
 
     def search(self, q, k: int, ef_search: int | None = None, min_ts=None):
         """Top-k (labels, distances) ascending by (distance, label) — the
         numpy index's exact contract, including the freshness filter."""
-        if self.n == 0:
+        if self.live == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         ef = max(ef_search or self.ef_construction, k)
         if hasattr(self._idx, "set_ef"):
@@ -156,14 +203,22 @@ class NativeHnswIndex:
         def _ok(lb: int) -> bool:
             if lb in self._deleted:
                 return False
-            return min_ts is None or self._ts.get(lb, 0) >= int(min_ts)
+            if min_ts is None:
+                return True
+            slot = self._by_label.get(lb)
+            return slot is not None and int(self.ts[slot]) >= int(min_ts)
 
         q32 = np.ascontiguousarray(q, dtype=np.float32)[None, :]
-        want = min(k, self.n)
+        # clamp to the LIVE count: hnswlib raises RuntimeError ("Cannot
+        # return the results in a contiguous 2D array") when k exceeds the
+        # retrievable element count
+        want = min(k, self.live)
         try:
             lbs, ds = self._idx.knn_query(q32, k=want, filter=_ok)
-        except TypeError:  # older hnswlib without filter=: post-filter
-            lbs, ds = self._idx.knn_query(q32, k=min(self.n, max(ef, k)))
+        except (TypeError, RuntimeError):
+            # older hnswlib without filter=, or a freshness filter that
+            # starves the result below `want`: over-fetch and post-filter
+            lbs, ds = self._idx.knn_query(q32, k=min(self.live, max(ef, k)))
             keep = [j for j, lb in enumerate(lbs[0]) if _ok(int(lb))]
             lbs, ds = lbs[:, keep], ds[:, keep]
         out = sorted(
@@ -192,7 +247,7 @@ class NativeHnswIndex:
         stable across library versions; the segment artifact must outlive
         both, so the adapter persists the DATA and rebuilds the graph on
         load (build cost is the native backend's cheap axis)."""
-        ids = np.fromiter(self._ts.keys(), dtype=np.int64, count=len(self._ts))
+        ids = self.labels[: self.n]
         vecs = (
             self._idx.get_items(ids) if len(ids) else np.empty((0, self.dim))
         )
@@ -205,9 +260,9 @@ class NativeHnswIndex:
                 "M": self.M,
                 "ef_construction": self.ef_construction,
                 "seed": self.seed,
-                "labels": ids,
+                "labels": ids.copy(),
                 "vecs": np.asarray(vecs, dtype=np.float32),
-                "ts": np.asarray([self._ts[int(i)] for i in ids], dtype=np.int64),
+                "ts": self.ts[: self.n].copy(),
                 "deleted": np.asarray(sorted(self._deleted), dtype=np.int64),
             },
             buf,
@@ -216,17 +271,39 @@ class NativeHnswIndex:
         return buf.getvalue()
 
     @classmethod
-    def loads(cls, data: bytes) -> "NativeHnswIndex":
-        d = pickle.loads(data)
+    def from_state(cls, d: dict) -> "NativeHnswIndex":
+        """Rebuild from an already-unpickled artifact dict (the shared
+        ``HnswIndex.loads`` dispatcher hands the payload through so it is
+        unpickled exactly once)."""
+        # the ImportError for the artifact-load path must not blame the
+        # backend env var — the artifact itself demands the native library
+        _hnswlib(
+            "this index artifact was built with the hnswlib backend; "
+            "install hnswlib to load it (the numpy backend cannot "
+            "reconstruct a native graph artifact)"
+        )
         idx = cls(
             d["dim"], d["metric"], d["M"], d["ef_construction"], d["seed"],
             capacity=max(1, len(d["labels"])),
         )
         if len(d["labels"]):
-            idx.add_batch(d["vecs"], d["labels"], d["ts"])
+            # rebuild in label-sorted order — the same order
+            # build_native_index used — so a roundtripped graph is
+            # deterministic and matches the original build's structure
+            labels = np.asarray(d["labels"], dtype=np.int64)
+            order = np.argsort(labels, kind="stable")
+            idx.add_batch(
+                np.asarray(d["vecs"])[order],
+                labels[order],
+                np.asarray(d["ts"], dtype=np.int64)[order],
+            )
         for lb in d["deleted"]:
-            idx.mark_deleted(int(lb))
+            idx.mark_delete(int(lb))
         return idx
+
+    @classmethod
+    def loads(cls, data: bytes) -> "NativeHnswIndex":
+        return cls.from_state(pickle.loads(data))
 
 
 def build_native_index(
