@@ -406,3 +406,73 @@ def test_single_assignment_merge_skips_dedup_window(spark):
     km = PartitionerConf(kind="kmeans", num_partitions=4, replication_factor=2)
     df_r = knn_partitioned(vectors, queries, km, k=10, metric="l2")
     assert_plan_contains(df_r, "_dup")
+
+
+def test_explicit_width_policy(spark):
+    """The shared AQE byte-coalesce guard (operators/util.explicit_width,
+    r10 VERDICT #2): width = full parallelism for pair-quadratic stages,
+    rows/rows_per_task clamped to [1, par] when sized, plan-stats sizing
+    runs NO job, and the exchange is REPARTITION_BY_NUM — the repartition
+    flavor AQE is forbidden to byte-coalesce."""
+    from vstream_spark.operators.util import explicit_width
+    from vstream_spark.sources.tables import load_table
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+
+    # default: full parallelism on the key
+    w = explicit_width(docs, "doc_id")
+    assert w.rdd.getNumPartitions() == par
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan and "hashpartitioning(doc_id" in plan
+
+    # caller-known rows: ceil(n/rows_per_task) clamped to [1, par]
+    assert (
+        explicit_width(docs, "doc_id", n_rows=4001, rows_per_task=2000)
+        .rdd.getNumPartitions()
+        == 3
+    )
+    assert (
+        explicit_width(docs, "doc_id", n_rows=10, rows_per_task=2000)
+        .rdd.getNumPartitions()
+        == 1
+    )
+    assert (
+        explicit_width(docs, "doc_id", n_rows=10**9, rows_per_task=2000)
+        .rdd.getNumPartitions()
+        == par
+    )
+
+    # plan-stats sizing (parquet scan: size known, no job) stays in bounds
+    w2 = explicit_width(docs, "doc_id", rows_per_task=2000)
+    assert 1 <= w2.rdd.getNumPartitions() <= par
+
+    # RDD-backed input without stats: falls back to full parallelism
+    rdd_df = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    rdd_df = rdd_df.rdd.toDF()  # strip local-relation stats
+    assert (
+        explicit_width(rdd_df, "doc_id", rows_per_task=2000)
+        .rdd.getNumPartitions()
+        == par
+    )
+
+
+def test_explicit_width_guard_adopted_at_trap_sites(spark):
+    """Each historical AQE byte-coalesce trap site routes through the shared
+    guard and shows an explicit (REPARTITION_BY_NUM) hash exchange on its
+    grouping key ahead of the Python/pair-quadratic stage."""
+    from vstream_spark.queries import REGISTRY
+
+    for name, key in [
+        # ngram's width is row-sized: at sf0.001 it computes 1 and renders
+        # as "Exchange SinglePartition, REPARTITION_BY_NUM" (still exempt
+        # from AQE coalescing) — so only the flavor is asserted there
+        ("dedup_ngram_jaccard", None),
+        ("dedup_semantic", "hashpartitioning(cluster_id"),
+        ("similarity_join_lsh", "hashpartitioning(partition_id"),
+    ]:
+        fn, _ = REGISTRY[name]
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "REPARTITION_BY_NUM" in plan, name
+        if key is not None:
+            assert key in plan, name

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vstream_spark.functions.text import fingerprint_sql
-from vstream_spark.operators.util import plan_stat_rows
+from vstream_spark.operators.util import explicit_width, plan_stat_rows
 
 _MERSENNE = (1 << 61) - 1
 
@@ -163,35 +163,22 @@ def ngram_jaccard_pairs(
     pref_len = (
         F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
     )
-    # Explicit width for the window exchange (r9 sf1 rehearsal): the
-    # window's implicit shuffle is AQE-coalesced by its INPUT bytes — a few
-    # hundred MB of shingle rows coalesce to 1-2 partitions — but the
-    # candidate enumeration (sum prefix-df^2 probes), the pair distinct and
-    # BOTH broadcast verification joins execute in that same post-shuffle
-    # stage, so byte-based coalescing serialized the quadratic work onto one
-    # task (>15 min at sf1 where 32-way runs in 25s). An explicit
-    # repartition with a fixed count satisfies the window's clustering and
-    # is exempt from AQE coalescing; downstream stages inherit its width.
-    # The width scales with corpus size so the small case isn't taxed with
-    # 32-way task overhead for kilobytes of shingles — the
-    # similarity_join_lsh lesson (r8 What's-wrong #2): the scale shape must
-    # not slow the small case. Sizing runs NO job (r9 ADVICE: the old
-    # count() here re-executed the full upstream pipeline when ``docs`` was
-    # a filtered/derived input, once for the width and again for the real
-    # run): callers that know their cardinality pass ``n_docs``; otherwise
-    # plan statistics estimate it (64 B/row lower bound on on-disk text
-    # rows — overestimating rows only widens, the scale-safe direction),
-    # and when stats are unavailable the width falls back to full
-    # parallelism (a few idle tasks on a tiny RDD-backed input beat an
-    # extra execution of its lineage).
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if n_docs is None:
-        rc, size = plan_stat_rows(docs)
-        n_docs = rc if rc is not None else (size // 64 if size is not None else None)
-    width = par if n_docs is None else max(1, min(par, -(-n_docs // 2000)))
+    # Explicit width for the window exchange (r9 sf1 rehearsal; now the
+    # shared explicit_width guard — r10 VERDICT #2): the window's implicit
+    # shuffle is AQE-coalesced by its INPUT bytes, but the candidate
+    # enumeration (sum prefix-df^2 probes), the pair distinct and BOTH
+    # broadcast verification joins execute in that same post-shuffle stage
+    # (>15 min at sf1 where 32-way runs in 25s). rows_per_task=2000 keeps
+    # the small case untaxed; ``n_docs`` from the caller, else plan stats
+    # of ``docs`` — never a lineage-re-executing count().
     prefix = (
-        ex.join(df_tbl, "shingle")
-        .repartition(width, "doc_id")
+        explicit_width(
+            ex.join(df_tbl, "shingle"),
+            "doc_id",
+            n_rows=n_docs,
+            rows_per_task=2000,
+            stat_df=docs,
+        )
         .withColumn("_pos", F.row_number().over(pos_w))
         .filter(F.col("_pos") <= pref_len)
         .select("doc_id", "n_shingles", "shingle")

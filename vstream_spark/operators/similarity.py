@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from vstream_spark.config import PartitionerConf
 from vstream_spark.operators.partitioned import knn_partitioned_worker
+from vstream_spark.operators.util import explicit_width
 from vstream_spark.partitioners.dispatch import fit_partitioner
 
 
@@ -205,18 +206,15 @@ def lsh_similarity_join(
         out = _verify(a_ids, amat, b_ids, bmat, triangular=hi == lo)
         return out if len(out) else _empty
 
-    # Explicit width for the verify exchange (r9 sf1 rehearsal): AQE
-    # coalesces the groupBy shuffle by its INPUT bytes (~70 MB of bucketed
-    # rows at sf1 -> 5 partitions), but each reducer then runs its block-pair
-    # groups' O(block_rows^2) numpy verification SEQUENTIALLY — 5 tasks on a
-    # 32-core machine measured 60s where 32-wide runs the same groups in
-    # ~10s. Hash-repartitioning on the exact grouping key satisfies
-    # applyInPandas's clustering requirement (no second exchange appears)
-    # and an explicit width is exempt from AQE coalescing. The exchange
-    # itself is the same bytes either way; only the reducer width changes.
-    par = vectors.sparkSession.sparkContext.defaultParallelism
+    # Explicit width for the verify exchange (r9 sf1 rehearsal; now the
+    # shared explicit_width guard — r10 VERDICT #2): AQE coalesces the
+    # groupBy shuffle by its INPUT bytes (~70 MB of bucketed rows at sf1 ->
+    # 5 partitions), but each reducer runs its block-pair groups'
+    # O(block_rows^2) numpy verification SEQUENTIALLY — 5 tasks measured
+    # 60s where 32-wide runs ~10s. Full width: the per-group cost is
+    # pair-quadratic.
     pairs = (
-        exploded.repartition(par, "partition_id", "_lo", "_hi")
+        explicit_width(exploded, "partition_id", "_lo", "_hi")
         .groupBy("partition_id", "_lo", "_hi")
         .applyInPandas(
             block_pairs, schema="id_a bigint, id_b bigint, cosine_sim double"

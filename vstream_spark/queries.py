@@ -3740,28 +3740,36 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster holds most of the quadratic work), so balance must not assume
     # clusters contribute evenly — B^2 cells split even a single giant
     # cluster across the whole machine. The SCALE.md skew note for SemDeDup
-    # names exactly this mitigation. Explicit repartition on the full key
-    # keeps AQE from byte-coalescing the verify stage back down (same trap
-    # as the LSH similarity join).
+    # names exactly this mitigation. explicit_width on the full key keeps
+    # AQE from byte-coalescing the verify stage back down (same trap as the
+    # LSH similarity join; the shared guard since r10 VERDICT #2).
+    from vstream_spark.operators.util import explicit_width
+
     par = spark.sparkContext.defaultParallelism
     n_blocks = max(1, int(math.ceil(math.sqrt(float(par)))))
     blocks = F.array(*[F.lit(j) for j in range(n_blocks)])
-    a = members.select(
-        F.col("cluster_id"),
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("_n").alias("_na"),
-        F.pmod(F.hash("vec_id"), F.lit(n_blocks)).alias("_blk_a"),
-        F.explode(blocks).alias("_blk_b"),
-    ).repartition(par, "cluster_id", "_blk_a", "_blk_b")
-    b = members.select(
-        F.col("cluster_id").alias("_cb"),
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("_n").alias("_nb"),
-        F.explode(blocks).alias("_cblk_a"),
-        F.pmod(F.hash("vec_id"), F.lit(n_blocks)).alias("_cblk_b"),
-    ).repartition(par, "_cb", "_cblk_a", "_cblk_b")
+    a = explicit_width(
+        members.select(
+            F.col("cluster_id"),
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("emb_a"),
+            F.col("_n").alias("_na"),
+            F.pmod(F.hash("vec_id"), F.lit(n_blocks)).alias("_blk_a"),
+            F.explode(blocks).alias("_blk_b"),
+        ),
+        "cluster_id", "_blk_a", "_blk_b",
+    )
+    b = explicit_width(
+        members.select(
+            F.col("cluster_id").alias("_cb"),
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("emb_b"),
+            F.col("_n").alias("_nb"),
+            F.explode(blocks).alias("_cblk_a"),
+            F.pmod(F.hash("vec_id"), F.lit(n_blocks)).alias("_cblk_b"),
+        ),
+        "_cb", "_cblk_a", "_cblk_b",
+    )
     denom = F.col("_na") * F.col("_nb")
     sim = F.when(
         denom != 0.0, dot(F.col("emb_a"), F.col("emb_b")) / denom
