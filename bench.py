@@ -235,9 +235,9 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from vstream_spark.config import PartitionerConf
-    from vstream_spark.operators.partitioned import knn_partitioned_worker
+    from vstream_spark.config import VectorIndexConf
     from vstream_spark.sources.tables import load_table
+    from vstream_spark.storage.search import SegmentSearcher
     from vstream_spark.storage.segments import SegmentStore
 
     def _measure_derived(spark, d_reps: int, tmp: str) -> dict[str, float]:
@@ -269,35 +269,80 @@ def main() -> None:
             best_ins = dt if best_ins is None else min(best_ins, dt)
         derived["insert_vec_per_s"] = round(n_vec / best_ins, 1)
 
+        # Index the ingested store (C3 sidecar artifacts): the reference's
+        # insert pipeline INCLUDES per-partition graph insertion (W1,
+        # HnswLibKeyedProcessFunction) and its SST search is always
+        # index-backed (hnsw_table_reader.cc:1653-1738) — so the lane
+        # builds the artifact at flush and reports BOTH the raw ingest
+        # rate (segment writes, comparable across rounds) and the
+        # end-to-end indexed rate (the apples-to-apples with the
+        # reference's 9,500 vec/s). kind='ivf' is the declared flush-rate
+        # scale path (config.py: ~20x cheaper build than the graph when
+        # segment churn outruns graph construction); recall at the lane's
+        # nprobe is sampled below so the throughput number carries its
+        # quality alongside.
+        # ef_search doubles as the nprobe override on IVF workers (the
+        # searcher passes max(ef_search, k) through) — keep both at 32
+        idx_conf = VectorIndexConf(
+            metric="l2", k=10, index_kind="ivf", nprobe=32, ef_search=32
+        )
+        # best-of-2 like every other axis (idempotent overwrite of the same
+        # artifact): the first build pays one-time python-worker/JIT setup
+        t_build = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for seg in store.segments():
+                store.build_segment_index(seg, metric="l2", kind="ivf")
+            dt = time.perf_counter() - t0
+            t_build = dt if t_build is None else min(t_build, dt)
+        derived["index_build_vec_per_s"] = round(n_vec / t_build, 1)
+        derived["insert_indexed_vec_per_s"] = round(n_vec / (best_ins + t_build), 1)
+
         queries = emb.select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
         )
         n_q = queries.count()
-        stored = store.read().filter("op = 'I'").select("id", "emb")
-        # partition count tracks the session's cores (SCALE.md doctrine:
-        # only configuration changes with scale, never code) — the old
-        # pinned 8 capped the dataflow's max fan-out at 8 on a 32-core
-        # machine. NOTE (r10 lane): widening num_partitions alone did NOT
-        # recover the sf1 query axis — the cogroup's exchange is
-        # AQE-byte-coalesced and plain-LSH routing leaves one hot bucket
-        # holding most of the pair work (observed (6+1)/7 straggler), so
-        # q/s at sf1 is skew-bound (~35 q/s) until the lane moves to a
-        # balance-aware partitioner (lsh+random / epochs) or the declared
-        # knn_partitioned_exact shape (simple partitioner, salted)
-        conf = PartitionerConf(
-            kind="lsh",
-            num_partitions=max(8, spark.sparkContext.defaultParallelism),
-            num_families=2,
-            num_hashes=4,
-            bucket_width=2.0,
-        )
+        # Query axis: the engine's own store-read dataflow — SegmentSearcher
+        # loads the persisted segment index ONCE per executor (C4 cache) and
+        # every task searches its query slice against it. This replaced the
+        # r10 lane's plain-LSH brute-force cogroup, which was skew-bound at
+        # sf1 (34.7 q/s: fixed-partition 1/N scan floor + one hot LSH bucket
+        # + AQE byte-coalescing — SCALE.md r10). Best-of-N keeps cold
+        # index-load reps from setting the number; the first rep pays the
+        # artifact load, later reps measure warm steady state (the
+        # reference's searched memtable is warm too).
+        searcher = SegmentSearcher(store, idx_conf)
         best_q = None
+        out_pdf = None
         for _ in range(d_reps):
             t0 = time.perf_counter()
-            knn_partitioned_worker(stored, queries, conf, k=10, metric="l2").count()
+            out_pdf = searcher.search(queries, k=10, metric="l2")
             dt = time.perf_counter() - t0
             best_q = dt if best_q is None else min(best_q, dt)
         derived["query_per_s"] = round(n_q / best_q, 1)
+
+        # Recall@10 on a query sample vs the exact scan (timed OUTSIDE the
+        # axis): an approximate-throughput number is meaningless without
+        # the recall it was measured at.
+        sample_n = 256
+        sample_qids = set(
+            r["qid"]
+            for r in queries.select("qid").limit(sample_n).collect()
+        )
+        sample_q = queries.filter(F.col("qid").isin(sample_qids))
+        stored = store.read().filter("op = 'I'").select("id", "emb")
+        from vstream_spark.operators.knn import knn_exact
+
+        exact = {}
+        for r in knn_exact(stored, sample_q, k=10, metric="l2").collect():
+            exact.setdefault(r["qid"], set()).add(r["neighbor_id"])
+        got = out_pdf[out_pdf["qid"].isin(sample_qids)]
+        hits = sum(
+            len(set(g["neighbor_id"]) & exact.get(qid, set()))
+            for qid, g in got.groupby("qid")
+        )
+        denom = sum(len(v) for v in exact.values())
+        derived["query_recall_at10_sample"] = round(hits / max(1, denom), 4)
         return derived
 
     # best-of-N on the derived axes too: single-shot numbers swing 2-3x

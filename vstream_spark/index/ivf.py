@@ -183,9 +183,18 @@ class IvfIndex:
             return np.empty(0, dtype=np.int64), np.empty(0)
         ds = _DISTS[self.metric](self.vecs[idx], q)
         take = min(k, len(idx))
-        top = np.argpartition(ds, take - 1)[:take] if take < len(idx) else np.arange(len(idx))
-        order = np.lexsort((self.labels[idx[top]], ds[top]))
-        top = top[order]
+        if take < len(idx):
+            # argpartition alone picks an ARBITRARY subset of rows tied at
+            # the kth distance, violating the (distance, label) contract —
+            # widen the candidate set to every row at or under the kth
+            # distance so the lexsort's label tie-break decides, exactly
+            # like the exact scan (one extra vectorized compare, no loop)
+            part = np.argpartition(ds, take - 1)[:take]
+            cand = np.flatnonzero(ds <= ds[part].max())
+        else:
+            cand = np.arange(len(idx))
+        order = np.lexsort((self.labels[idx[cand]], ds[cand]))[:take]
+        top = cand[order]
         return self.labels[idx[top]], ds[top]
 
     def search_batch(self, qmat: np.ndarray, k: int, ef_search=None, min_ts=None):

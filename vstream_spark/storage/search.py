@@ -372,6 +372,14 @@ class SegmentSearcher:
                      "neighbor_ts": nts}
                 )
 
-        return queries.select("qid", "emb").mapInPandas(
+        # widen the query batch (narrow-probe guard): a query parquet scan
+        # is 1-2 input splits, and mapInPandas inherits that width — the
+        # whole per-query search loop would serialize onto 1-2 tasks while
+        # every other core idles. widen() is identity once the batch is
+        # already at full width, so iterated searches pay the tiny
+        # round-robin exchange once per materialization of `queries`.
+        from vstream_spark.operators.util import widen
+
+        return widen(queries.select("qid", "emb")).mapInPandas(
             run, "qid long, neighbor_id long, distance double, neighbor_ts long"
         )
