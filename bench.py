@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     if q
     not in (
         "knn_partitioner_recall",
+        "partition_balance_gate",
         "knn_index_recall",
         "similarity_join_lsh_recall",
         "knn_streaming_ann_recall",

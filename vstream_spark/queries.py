@@ -1411,6 +1411,72 @@ def q_partitioner_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_gate_rows(spark, _PARTITIONER_RECALL_SPECS, run)
 
 
+# --- Partition balance gate (r10 VERDICT #3) ---------------------------------
+# Skew is the #1 measured scale risk (the r10 sf1 query lane was skew-bound at
+# 34.7 q/s: one hot plain-LSH bucket held most of the pair work). The
+# reference logs exactly this per epoch — max/mean partition load —
+# LSHWithSpaceFillingPartitionFunction.java:366-374; its dynamic equi-depth
+# re-learn (LSHashSpaceFillingPartitioner.java:118-145) and odyssey's
+# hot-word randomization (OdysseyPartitionFunction.java:160-329) exist to
+# bound it. This gate routes the CLUSTERED embeddings table through each
+# family and asserts max/mean under a per-family bound, with plain LSH held
+# to a loose documented-skew ceiling plus an explicit contrast row: the
+# equi-depth curve family must measure LESS skewed than plain LSH on the
+# same data (the reason the dynamic partitioner exists). All partitioners
+# are seeded, so the factors are deterministic per dataset.
+
+_BALANCE_GATE_SPECS: list[tuple[str, dict, float]] = [
+    # measured max/mean on the planted-cluster embeddings across
+    # sf0.001/0.01/0.1: simple 1.12-1.15, lsh 3.07-3.36, lsh+hilbert
+    # 1.47-1.67, hilbert 1.00-1.01, kmeans 1.11-2.06, odyssey 1.49-1.60
+    ("simple", dict(kind="simple", num_partitions=8), 1.5),
+    ("lsh", dict(kind="lsh", num_partitions=8, num_families=1, num_hashes=4,
+                 bucket_width=2.0), 6.0),
+    ("lsh+hilbert", dict(kind="lsh+hilbert", num_partitions=8, num_hashes=4,
+                         bucket_width=2.0, sfc_bits=7, replication_factor=1), 2.5),
+    ("hilbert", dict(kind="hilbert", num_partitions=8, sfc_bits=7,
+                     replication_factor=1), 1.25),
+    ("kmeans", dict(kind="kmeans", num_partitions=8), 3.0),
+    ("odyssey", dict(kind="odyssey", num_partitions=8), 2.5),
+]
+
+_BALANCE_GATE_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{v}', true)" for v, _, _ in _BALANCE_GATE_SPECS)
+    + ", ('equidepth_relieves_lsh_skew', true)"
+    + ") t(variant, balance_ok)"
+)
+
+
+@register("partition_balance_gate", _BALANCE_GATE_ORACLE)
+def q_partition_balance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max/mean partition load bound for every partitioner family on
+    clustered data, plus the skew-relief contrast (equi-depth < plain LSH).
+    Each fit+measure is fully distributed; one scalar returns per family."""
+    import sys
+
+    from vstream_spark.partitioners.dispatch import balance_factor, fit_partitioner
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+    )
+    rows = []
+    factors: dict[str, float] = {}
+    for variant, kw, bound in _BALANCE_GATE_SPECS:
+        part = fit_partitioner(PartitionerConf(**kw), emb)
+        bf = balance_factor(part.partition_data(emb))
+        factors[variant] = bf
+        print(
+            f"# balance_gate {variant}: max/mean={bf:.3f} bound={bound}",
+            file=sys.stderr,
+        )
+        rows.append((variant, bool(bf <= bound)))
+    rows.append(
+        ("equidepth_relieves_lsh_skew", bool(factors["lsh+hilbert"] < factors["lsh"]))
+    )
+    return spark.createDataFrame(rows, "variant string, balance_ok boolean")
+
+
 _INDEX_RECALL_SPECS: list[tuple[str, dict, float]] = [
     ("hnsw", dict(index_kind="hnsw", m=16, ef_construction=128, ef_search=64), 0.9),
     ("ivf", dict(), 0.7),  # handled specially: ann_topk_ivf nprobe=3/4
