@@ -127,3 +127,46 @@ def test_sparse_topk_custom_column_names(spark):
         tok_col="term", tf_col="cnt", qtf_col="w",
     ).collect()
     assert [(r["query"], r["item"], r.score, r.rank) for r in out] == [(7, 2, 12, 1)]
+
+
+def test_sparse_topk_partition_invariant_survives_adversarial_layout(spark):
+    """Mutation guard for the MUST-hash-partition-by-doc invariant
+    (operators/retrieval.py): each doc's full posting set has to land in
+    ONE partition or the partial top-k emits undercounted scores. The
+    invariant is enforced by the operator's own repartition — so feed it
+    an ADVERSARIALLY round-robined posting frame (every doc's postings
+    deliberately scattered across many input partitions) and assert the
+    result still matches the single-partition ground truth. A future edit
+    that drops the repartition passes the existing tests (small inputs
+    collapse to one task) but fails this one."""
+    import random
+
+    from vstream_spark.operators.retrieval import sparse_topk
+
+    rng = random.Random(17)
+    vocab = [f"t{j}" for j in range(20)]
+    postings = [
+        (doc, vocab[rng.randrange(20)], rng.randrange(1, 5))
+        for doc in range(40)
+        for _ in range(8)
+    ]
+    queries = [(q, vocab[rng.randrange(20)], rng.randrange(1, 4))
+               for q in range(5) for _ in range(6)]
+
+    def run(sp_df):
+        return sorted(
+            (r.qid, r.doc_id, r.score, r.rank)
+            for r in sparse_topk(
+                sp_df,
+                spark.createDataFrame(queries, "qid bigint, tok string, qtf bigint"),
+                vocab,
+                k=7,
+            ).collect()
+        )
+
+    base = spark.createDataFrame(postings, "doc_id bigint, tok string, tf bigint")
+    want = run(base.coalesce(1))
+    # scatter: round-robin across 16 partitions, so every doc's postings
+    # span many tasks on the way IN
+    got = run(base.repartition(16))
+    assert want == got and len(want) > 0
