@@ -23,17 +23,26 @@ def main() -> None:
     base = json.load(open(base_path))
     sf1 = json.load(open(sf1_path))
     b_q, s_q = base["queries"], sf1["queries"]
+    b_rows, s_rows = base.get("rows", {}), sf1.get("rows", {})
     common = sorted(set(b_q) & set(s_q), key=lambda q: -s_q[q] / max(b_q[q], 1e-9))
-    print("| query | sf0.1 s | sf1 s | ratio |")
-    print("|---|---|---|---|")
+    # rows-ratio column (r10 VERDICT #5): a super-linear TIME ratio whose
+    # ROWS ratio moved the same way is output-volume-driven (e.g.
+    # knn_range_search: planted clusters multiply matches), not a plan
+    # regression — the table should show that distinction, not bury it
+    print("| query | sf0.1 s | sf1 s | ratio | rows ratio |")
+    print("|---|---|---|---|---|")
     for q in common:
         r = s_q[q] / max(b_q[q], 1e-9)
-        print(f"| {q} | {b_q[q]:.2f} | {s_q[q]:.2f} | {r:.1f}x |")
+        if q in b_rows and q in s_rows and b_rows[q]:
+            rr = f"{s_rows[q] / b_rows[q]:.1f}x"
+        else:
+            rr = "-"
+        print(f"| {q} | {b_q[q]:.2f} | {s_q[q]:.2f} | {r:.1f}x | {rr} |")
     b_tot = sum(b_q[q] for q in common)
     s_tot = sum(s_q[q] for q in common)
     print(
         f"| **total ({len(common)} common)** | {b_tot:.1f} | {s_tot:.1f} "
-        f"| {s_tot / b_tot:.1f}x |"
+        f"| {s_tot / b_tot:.1f}x | |"
     )
     for label, doc in (("sf0.1", base), ("sf1", sf1)):
         d = doc.get("derived", {})
