@@ -292,8 +292,7 @@ def main() -> None:
         t_build = None
         for _ in range(2):
             t0 = time.perf_counter()
-            for seg in store.segments():
-                store.build_segment_index(seg, metric="l2", kind="ivf")
+            store.build_segment_indexes(store.segments(), metric="l2", kind="ivf")
             dt = time.perf_counter() - t0
             t_build = dt if t_build is None else min(t_build, dt)
         derived["index_build_vec_per_s"] = round(n_vec / t_build, 1)

@@ -304,3 +304,38 @@ def test_search_options_per_query_surface(spark, store):
         options=SearchOptions(is_evict=True),
     )
     assert len(store.segments()) == n_before - 1
+
+
+def test_parallel_multi_segment_index_build(spark, store):
+    """build_segment_indexes (r11): N segments' sidecars build in ONE Spark
+    job (one task per segment) and are byte-identical in effect to the
+    sequential per-segment path — searchers load them and match the exact
+    scan, the manifest records every artifact, and the single-segment
+    wrapper still delegates here."""
+    import os
+
+    from vstream_spark.operators.knn import knn_exact
+
+    segs = store.segments()
+    assert len(segs) == 3 and not any(s.get("index_file") for s in segs)
+    out = store.build_segment_indexes(segs, metric="l2", kind="hnsw")
+    assert len(out) == 3
+    for s in out:
+        assert os.path.exists(s["index_file"]), s
+        assert os.path.basename(s["index_file"]) == "_hnsw-l2.idx"
+    # manifest recorded all three
+    assert all(s.get("index_file") for s in store.segments())
+
+    _INDEX_CACHE.clear()
+    q = _queries(spark, store)
+    got = SegmentSearcher(store, VectorIndexConf(dim=8, ef_search=64)).search(
+        q, k=5, metric="l2"
+    )
+    want = (
+        knn_exact(store.read().filter("op = 'I'"), q, k=5, metric="l2")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert got["neighbor_id"].tolist() == want["neighbor_id"].tolist()

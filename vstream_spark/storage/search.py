@@ -46,12 +46,11 @@ _INDEX_CACHE_MAX = 64
 
 def _segment_index(seg: dict, conf: VectorIndexConf, metric: str):
     """Build-or-fetch the segment's index on this executor."""
-    from vstream_spark.index.hnsw import build_index
-    from vstream_spark.index.ivf import build_ivf
+    from vstream_spark.storage.segments import resolve_index_kind
 
-    kind = getattr(conf, "index_kind", "hnsw")
-    if kind == "auto":
-        kind = "ivf" if seg.get("count", 0) > conf.auto_ivf_threshold else "hnsw"
+    kind = resolve_index_kind(
+        getattr(conf, "index_kind", "hnsw"), seg, conf.auto_ivf_threshold
+    )
     key = f"{seg['id']}:{kind}:{metric}"
     idx = _INDEX_CACHE.get(key)
     if idx is None:
@@ -71,57 +70,19 @@ def _segment_index(seg: dict, conf: VectorIndexConf, metric: str):
             with open(sidecar, "rb") as f:
                 idx = loader.loads(f.read())
         else:
-            import pyarrow.parquet as pq
+            # cache-miss rebuild through the SAME pyarrow builder the
+            # flush-time sidecar path uses (storage/segments.py) — one
+            # audited implementation of codec dequantize + tombstone
+            # shadowing instead of two drifting copies
+            from vstream_spark.storage.segments import build_index_object
 
-            int8 = seg.get("codec") == "int8"
-            emb_cols = ["emb_q", "emb_scale"] if int8 else ["emb"]
-            cols = ["id", *emb_cols, "event_time"]
-            schema_names = pq.read_schema(
-                __import__("glob").glob(seg["path"] + "/*.parquet")[0]
-            ).names
-            has_op = "op" in schema_names
-            tbl = pq.read_table(seg["path"], columns=cols + (["op"] if has_op else []))
-            pdf = tbl.to_pandas()
-            if has_op:
-                ins = pdf[pdf["op"] == "I"]
-            else:
-                ins = pdf
-            if int8:
-                # same IEEE ops as the Catalyst dequantize projection:
-                # float32(double(q) * double(scale)) — bitwise identical
-                codes = np.stack(ins["emb_q"].to_numpy()).astype(np.float64)
-                scales = ins["emb_scale"].to_numpy().astype(np.float64)
-                vecs = (codes * scales[:, None]).astype(np.float32)
-            else:
-                vecs = np.stack(ins["emb"].to_numpy()).astype(np.float32)
-            ids = ins["id"].to_numpy().astype(np.int64)
-            ts = ins["event_time"].to_numpy().astype(np.int64)
-            if kind == "ivf":
-                idx = build_ivf(
-                    vecs, ids, ts=ts, metric=metric,
-                    nlist=conf.nlist, nprobe=conf.nprobe,
-                )
-            elif kind == "pq":
-                from vstream_spark.index.pq import build_pq
-
-                idx = build_pq(
-                    vecs, ids, ts=ts, metric=metric,
-                    m=conf.pq_m, nbits=conf.pq_nbits,
-                )
-            else:
-                idx = build_index(
-                    vecs, ids, ts=ts, metric=metric,
-                    M=conf.m,
-                    ef_construction=conf.ef_construction,
-                )
-            if has_op:
-                # intra-segment tombstones (W2): a delete marker STRICTLY
-                # newer than the insert it shadows kills it (insert wins
-                # ties — performLocalDeletes:86-96)
-                for _, row in pdf[pdf["op"] == "D"].iterrows():
-                    i = idx._by_label.get(int(row["id"]))
-                    if i is not None and int(row["event_time"]) > int(idx.ts[i]):
-                        idx.mark_delete(int(row["id"]))
+            _, idx = build_index_object(
+                seg, kind, metric,
+                m=conf.m, ef_construction=conf.ef_construction,
+                nlist=conf.nlist, nprobe=conf.nprobe,
+                auto_ivf_threshold=conf.auto_ivf_threshold,
+                pq_m=conf.pq_m, pq_nbits=conf.pq_nbits,
+            )
         if len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
             _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
         _INDEX_CACHE[key] = idx

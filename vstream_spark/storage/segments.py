@@ -46,6 +46,85 @@ def _dequantize_segment_df(df: DataFrame) -> DataFrame:
     return df.select(*cols, emb.alias("emb"))
 
 
+def resolve_index_kind(kind: str, seg: dict, auto_ivf_threshold: int) -> str:
+    """'auto' -> hnsw up to the threshold, ivf above (bulk graph
+    construction is O(n^2) BLAS and crosses over around 64k rows)."""
+    if kind == "auto":
+        return "ivf" if seg.get("count", 0) > auto_ivf_threshold else "hnsw"
+    return kind
+
+
+def build_index_object(
+    seg: dict,
+    kind: str,
+    metric: str = "l2",
+    m: int = 16,
+    ef_construction: int = 128,
+    nlist: int = 0,
+    nprobe: int = 8,
+    auto_ivf_threshold: int = 65_536,
+    pq_m: int = 8,
+    pq_nbits: int = 8,
+):
+    """Build ONE segment's index object from its parquet via pyarrow —
+    the single shared builder behind every artifact path: the flush-time
+    sidecar build (``SegmentStore.build_segment_indexes``, one executor
+    task per segment), and the search-side cache-miss rebuild
+    (``storage/search.py::_segment_index``). Returns ``(resolved_kind,
+    index)``.
+
+    Codec-aware: int8 segments dequantize with the same IEEE ops as the
+    Catalyst projection (float32(double(q) * double(scale))) — bitwise
+    identical, so artifacts built here match artifacts built from the
+    float surface. Op-aware: W2 tombstones (a delete marker STRICTLY newer
+    than the insert it shadows kills it; insert wins ties —
+    performLocalDeletes:86-96).
+    """
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from vstream_spark.index.hnsw import build_index
+    from vstream_spark.index.ivf import build_ivf
+    from vstream_spark.index.pq import build_pq
+
+    kind = resolve_index_kind(kind, seg, auto_ivf_threshold)
+    int8 = seg.get("codec") == "int8"
+    emb_cols = ["emb_q", "emb_scale"] if int8 else ["emb"]
+    cols = ["id", *emb_cols, "event_time"]
+    schema_names = pq.read_schema(
+        glob.glob(seg["path"] + "/*.parquet")[0]
+    ).names
+    has_op = "op" in schema_names
+    tbl = pq.read_table(seg["path"], columns=cols + (["op"] if has_op else []))
+    pdf = tbl.to_pandas()
+    ins = pdf[pdf["op"] == "I"] if has_op else pdf
+    if int8:
+        codes = np.stack(ins["emb_q"].to_numpy()).astype(np.float64)
+        scales = ins["emb_scale"].to_numpy().astype(np.float64)
+        vecs = (codes * scales[:, None]).astype(np.float32)
+    else:
+        vecs = np.stack(ins["emb"].to_numpy()).astype(np.float32)
+    ids = ins["id"].to_numpy().astype(np.int64)
+    ts = ins["event_time"].to_numpy().astype(np.int64)
+    if kind == "ivf":
+        idx = build_ivf(vecs, ids, ts=ts, metric=metric, nlist=nlist, nprobe=nprobe)
+    elif kind == "pq":
+        idx = build_pq(vecs, ids, ts=ts, metric=metric, m=pq_m, nbits=pq_nbits)
+    else:
+        idx = build_index(
+            vecs, ids, ts=ts, metric=metric, M=m, ef_construction=ef_construction
+        )
+    if has_op:
+        dels = pdf[pdf["op"] == "D"]
+        for rid, rtime in zip(dels["id"].to_numpy(), dels["event_time"].to_numpy()):
+            i = idx._by_label.get(int(rid))
+            if i is not None and int(rtime) > int(idx.ts[i]):
+                idx.mark_delete(int(rid))
+    return kind, idx
+
+
 class SegmentStore:
     """Append-only segmented vector store with TTL pruning + compaction."""
 
@@ -175,72 +254,75 @@ class SegmentStore:
         outruns graph construction); ``kind='pq'`` builds product-quantized
         ADC codes (~32x less memory — for RAM-bound segments);
         ``kind='auto'`` picks hnsw up to ``auto_ivf_threshold`` rows and ivf
-        above (bulk graph construction is O(n^2) BLAS — it crosses over
-        around 64k rows). The build runs in ONE executor task
-        (the reference also builds each SST's graph single-node at flush);
-        the artifact lands beside the data (``<segment>/_<kind>-<metric>.idx``,
-        underscore prefix keeps it invisible to parquet dataset discovery).
-        Rebuild-on-retry is safe: both builds are deterministic
-        (label-sorted input).
+        above. The build runs in ONE executor task (the reference also
+        builds each SST's graph single-node at flush); the artifact lands
+        beside the data (``<segment>/_<kind>-<metric>.idx``, underscore
+        prefix keeps it invisible to parquet dataset discovery).
+        Rebuild-on-retry is safe: all builds are deterministic
+        (label-sorted input). Multi-segment stores should use
+        :meth:`build_segment_indexes` — one job, one task per segment.
         """
-        import pandas as pd
+        return self.build_segment_indexes(
+            [seg], metric=metric, m=m, ef_construction=ef_construction,
+            kind=kind, nlist=nlist, nprobe=nprobe,
+            auto_ivf_threshold=auto_ivf_threshold, pq_m=pq_m, pq_nbits=pq_nbits,
+        )[0]
 
-        if kind == "auto":
-            kind = "ivf" if seg.get("count", 0) > auto_ivf_threshold else "hnsw"
-        path = seg["path"]
-        out = os.path.join(path, f"_{kind}-{metric}.idx")
+    def build_segment_indexes(
+        self,
+        segs: list[dict],
+        metric: str = "l2",
+        m: int = 16,
+        ef_construction: int = 128,
+        kind: str = "hnsw",
+        nlist: int = 0,
+        nprobe: int = 8,
+        auto_ivf_threshold: int = 65_536,
+        pq_m: int = 8,
+        pq_nbits: int = 8,
+    ) -> list[dict]:
+        """C3 at fleet scale: build MANY segments' index artifacts in ONE
+        Spark job, one task per segment. The reference builds each SST's
+        graph single-node, but many SSTs build CONCURRENTLY across the
+        cluster as memtables rotate — this is that shape: a store that
+        flushed thousands of segments indexes them cluster-wide instead of
+        one sequential driver loop of single-task jobs (the r11 change;
+        the old per-segment path also repartition(1)-shuffled every row of
+        the segment through an exchange just to reach its one build task —
+        the task now reads the segment parquet directly via pyarrow, the
+        same reader the search-side cache uses).
 
-        def build(batches):
-            import numpy as np
+        Each task writes the artifact beside its segment (tmp + atomic
+        rename, unique tmp suffix so speculative/retried tasks can't
+        torn-write); the manifest updates once, driver-side, after the job.
+        """
+        if not segs:
+            return []
+        params = dict(
+            m=m, ef_construction=ef_construction, nlist=nlist, nprobe=nprobe,
+            auto_ivf_threshold=auto_ivf_threshold, pq_m=pq_m, pq_nbits=pq_nbits,
+        )
 
-            from vstream_spark.index.hnsw import build_index
-            from vstream_spark.index.ivf import build_ivf
+        def one(seg: dict) -> tuple[str, str]:
+            import os
+            import uuid
 
-            chunks = [pdf for pdf in batches if len(pdf)]
-            if chunks:
-                pdf = pd.concat(chunks)
-                ins = pdf[pdf["op"] == "I"] if "op" in pdf.columns else pdf
-                vecs = np.stack(ins["emb"].to_numpy()).astype(np.float32)
-                ids = ins["id"].to_numpy().astype(np.int64)
-                ts = ins["event_time"].to_numpy().astype(np.int64)
-                if kind == "ivf":
-                    idx = build_ivf(
-                        vecs, ids, ts=ts, metric=metric, nlist=nlist, nprobe=nprobe
-                    )
-                elif kind == "pq":
-                    from vstream_spark.index.pq import build_pq
+            rkind, idx = build_index_object(seg, kind, metric, **params)
+            out = os.path.join(seg["path"], f"_{rkind}-{metric}.idx")
+            tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "wb") as f:
+                f.write(idx.dumps())
+            os.replace(tmp, out)
+            return seg["id"], out
 
-                    idx = build_pq(
-                        vecs, ids, ts=ts, metric=metric, m=pq_m, nbits=pq_nbits
-                    )
-                else:
-                    idx = build_index(
-                        vecs, ids, ts=ts,
-                        metric=metric, M=m, ef_construction=ef_construction,
-                    )
-                if "op" in pdf.columns:
-                    # W2 tombstones: strictly-later delete shadows the insert
-                    for _, row in pdf[pdf["op"] == "D"].iterrows():
-                        i = idx._by_label.get(int(row["id"]))
-                        if i is not None and int(row["event_time"]) > int(idx.ts[i]):
-                            idx.mark_delete(int(row["id"]))
-                tmp = out + ".tmp"
-                with open(tmp, "wb") as f:
-                    f.write(idx.dumps())
-                os.replace(tmp, out)
-            yield pd.DataFrame({"n": [len(c) for c in chunks]})
-
-        cols = ["id", "emb", "event_time"]
-        full = self.spark.read.parquet(path)
-        if seg.get("codec") == "int8":
-            full = _dequantize_segment_df(full)
-        if "op" in full.columns:
-            cols.append("op")
-        df = full.select(*cols)
-        df.repartition(1).mapInPandas(build, "n long").collect()
-        seg = dict(seg, index_file=out)
-        self.manifest.update(seg["id"], index_file=out)
-        return seg
+        sc = self.spark.sparkContext
+        results = dict(sc.parallelize(segs, len(segs)).map(one).collect())
+        out_segs = []
+        for seg in segs:
+            out = results[seg["id"]]
+            self.manifest.update(seg["id"], index_file=out)
+            out_segs.append(dict(seg, index_file=out))
+        return out_segs
 
     def dump(self) -> DataFrame | None:
         """M4 debug op (RocksDBKeyedProcessFunction.dump:143-147): all ids
@@ -474,12 +556,12 @@ class SegmentStore:
         for p in old_paths:
             shutil.rmtree(p, ignore_errors=True)
         # carry index artifacts forward: rebuild per new segment, same kind
+        # — all new segments build in one parallel job per (kind, metric)
         for kind in old_kinds:
             for metric in metrics or {"l2"}:
-                new_segs = [
-                    self.build_segment_index(s, metric=metric, kind=kind)
-                    for s in new_segs
-                ]
+                new_segs = self.build_segment_indexes(
+                    new_segs, metric=metric, kind=kind
+                )
         return self.segments()
 
     def evict(self, older_than_event_time: int) -> int:
