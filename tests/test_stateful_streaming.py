@@ -165,3 +165,59 @@ def test_partitions_isolated(spark, tmp_path):
     # only partition 0's ids can answer
     assert set(res["neighbor_id"]) <= {0, 1}
     assert set(res["partition_id"]) == {0}
+
+
+def test_continuous_trigger_matches_availablenow(spark, tmp_path):
+    """processingTime-trigger smoke (r10 VERDICT stretch #8): every other
+    streaming test drains with availableNow; this pins that the stateful
+    search path doesn't silently depend on replay semantics — the same
+    interleaved insert/query batches produce the same results under a
+    ticking continuous trigger, with state carried across ticks."""
+    import time
+
+    rng = np.random.RandomState(9)
+    vecs = [rng.rand(8).astype(np.float32).tolist() for _ in range(12)]
+    qv = vecs[3]
+    batches = [
+        # batch 0: inserts only
+        [(0, "I", i, vecs[i], 100 + i, 10**9) for i in range(8)],
+        # batch 1: more inserts + a query (sees batch-0 state too)
+        [(0, "I", i, vecs[i], 200 + i, 10**9) for i in range(8, 12)]
+        + [(0, "Q", 1000, qv, 10**6, 10**9)],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"b{i:03d}")
+        )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    conf = VectorIndexConf(dim=8, ef_search=64)
+    out = stateful_vector_search(stream, conf, k=3, metric="l2")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_pt")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("select * from stateful_pt").collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = sorted((r.distance, r.neighbor_id) for r in rows if r.qid == 1000)
+    # the query's own vector (id 3, inserted in batch 0) must be the nearest
+    # hit at distance 0: state crossed the tick boundary
+    assert len(got) == 3
+    assert got[0] == (0.0, 3)
