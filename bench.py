@@ -263,7 +263,11 @@ def main() -> None:
         n_vec = n_emb = emb.count() * loops
         best_ins = None
         for rep in range(d_reps):
-            store = SegmentStore(spark, tmp + f"/r{rep}")
+            # 250k rotation cap = the reference's vectors-per-HNSW-table
+            # (params.yaml:58): at sf1 the 400k replay batch rotates into
+            # two time-ranged segments, so the query axis exercises the
+            # real multi-segment search+merge shape, not one giant segment
+            store = SegmentStore(spark, tmp + f"/r{rep}", max_rows_per_segment=250_000)
             t0 = time.perf_counter()
             store.upsert_batch(big)
             dt = time.perf_counter() - t0

@@ -167,3 +167,62 @@ def test_dim_validation_rejects_mismatch(tmp_path, spark):
     # NULL-emb delete markers are exempt (they carry no vector)
     marker = spark.createDataFrame([(1, None, 12, 10**9, "D")], schema)
     assert st.upsert_batch(marker)["count"] == 1
+
+
+def test_segment_rotation_at_cap(spark, tmp_path):
+    """C2 rotation parity (params.yaml:58 — the reference rotates HNSW
+    tables at 250k vectors): a flush above max_rows_per_segment splits into
+    event-time-RANGED segments (compact's quantile scheme, so C6 TTL
+    pruning keeps working), written in one partitioned job; below the cap
+    the one-batch-one-segment contract is unchanged. Search over the
+    rotated store matches the exact scan."""
+    import numpy as np
+
+    from vstream_spark.storage.segments import SegmentStore
+
+    schema = "id bigint, emb array<float>, event_time bigint, ttl bigint, op string"
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, rng.rand(8).astype(np.float32).tolist(), i * 10, 10**12, "I")
+        for i in range(350)
+    ]
+    st = SegmentStore(spark, str(tmp_path / "seg"), dim=8, max_rows_per_segment=100)
+    segs = st.append_batch(spark.createDataFrame(rows, schema))
+    assert len(segs) == 4
+    assert sum(s["count"] for s in segs) == 350
+    # time-RANGED: segment windows must not interleave (C6 stays effective)
+    ordered = sorted(segs, key=lambda s: s["min_event_time"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["max_event_time"] < b["min_event_time"]
+    # TTL pruning actually skips rotated segments
+    assert len(st.prune(min_event_time=ordered[-1]["min_event_time"])) == 1
+
+    # below the cap: single segment, same as before
+    small = [(1000, rng.rand(8).astype(np.float32).tolist(), 10**6, 10**12, "I")]
+    segs2 = st.append_batch(spark.createDataFrame(small, schema))
+    assert len(segs2) == 1 and segs2[0]["count"] == 1
+
+    # search over the rotated store matches exact
+    from vstream_spark.config import VectorIndexConf
+    from vstream_spark.operators.knn import knn_exact
+    from vstream_spark.storage.search import SegmentSearcher
+
+    q = st.read().filter("id in (7, 200)").selectExpr("id as qid", "emb")
+    got = (
+        SegmentSearcher(st, VectorIndexConf(dim=8, ef_search=64))
+        .search(q, k=3, metric="l2")
+        .sort_values(["qid", "rank"])
+    )
+    want = (
+        knn_exact(st.read().filter("op = 'I'"), q, k=3, metric="l2")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+    )
+    assert got["neighbor_id"].tolist() == want["neighbor_id"].tolist()
+
+    # dim validation still enforced on the rotation path
+    import pytest as _pytest
+
+    bad = [(2000, [0.0] * 5, 5, 10**12, "I")]
+    with _pytest.raises(ValueError, match="dimension mismatch"):
+        st.append_batch(spark.createDataFrame(bad, schema))

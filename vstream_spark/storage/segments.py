@@ -134,11 +134,17 @@ class SegmentStore:
         base_dir: str,
         codec: str | None = None,
         dim: int | None = None,
+        max_rows_per_segment: int | None = None,
     ):
         if codec not in (None, "int8"):
             raise ValueError(f"unsupported segment codec: {codec!r}")
         self.spark = spark
         self.base_dir = base_dir
+        # C2 rotation cap (the reference's 250k vectors-per-HNSW-table,
+        # params.yaml:58 / hnsw_table_builder.cc): batches above the cap
+        # split into event-time-ranged segments via append_batch. None =
+        # no rotation (append_segment's one-batch-one-segment contract).
+        self.max_rows_per_segment = max_rows_per_segment
         # §1.3 parity: the reference's dimension is CONFIG, never inferred
         # (Parameters.java vectorDim; vector_options.h dim) — when set, every
         # flush validates it in the same stats pass (no extra scan)
@@ -177,9 +183,10 @@ class SegmentStore:
 
     # -- write path ----------------------------------------------------------
 
-    def append_segment(self, vectors: DataFrame) -> dict | None:
-        """Flush a batch of vector rows (id, emb, event_time, ttl, op) as one
-        immutable segment. Returns the segment metadata (None for empty)."""
+    def _flush_stats(self, vectors: DataFrame):
+        """One aggregation pass: row count, event-time range, and the dim
+        validation (§1.3: dim is config, never inferred; delete markers may
+        legitimately carry NULL emb). Raises on dimension mismatch."""
         aggs = [
             F.count("*").alias("n"),
             F.min("event_time").alias("tmin"),
@@ -187,7 +194,6 @@ class SegmentStore:
         ]
         check_dim = self.dim is not None and "emb" in vectors.columns
         if check_dim:
-            # delete markers may legitimately carry no vector (NULL emb)
             aggs.append(
                 F.sum(
                     (
@@ -196,13 +202,21 @@ class SegmentStore:
                 ).alias("bad_dim")
             )
         stats = vectors.agg(*aggs).collect()[0]
-        if stats["n"] == 0:
-            return None
         if check_dim and int(stats["bad_dim"] or 0) > 0:
             raise ValueError(
                 f"dimension mismatch: {int(stats['bad_dim'])} row(s) with "
                 f"size(emb) != {self.dim} (dim is config, never inferred)"
             )
+        return stats
+
+    def append_segment(self, vectors: DataFrame, _stats=None) -> dict | None:
+        """Flush a batch of vector rows (id, emb, event_time, ttl, op) as one
+        immutable segment. Returns the segment metadata (None for empty).
+        ``_stats``: precomputed :meth:`_flush_stats` row (append_batch's
+        rotation sizing already ran the pass — no second scan)."""
+        stats = _stats if _stats is not None else self._flush_stats(vectors)
+        if stats["n"] == 0:
+            return None
         seg_id = f"seg-{time.strftime('%Y%m%d%H%M%S')}-{uuid.uuid4().hex[:8]}"
         path = os.path.join(self.base_dir, seg_id)
         # C5 analog: the reference Gorilla-compresses vector blocks
@@ -212,14 +226,7 @@ class SegmentStore:
         # Spark's vectorized parquet reader throws "Unsupported encoding:
         # BYTE_STREAM_SPLIT" — BSS segments would break store.read(), so
         # zstd stands as the supported path (COVERAGE.md C5).
-        if self.codec == "int8" and "emb" in vectors.columns:
-            from vstream_spark.operators.quantize import quantize_expr
-
-            scale, q = quantize_expr(F.col("emb"))
-            others = [c for c in vectors.columns if c != "emb"]
-            vectors = vectors.select(
-                *others, scale.alias("emb_scale"), q.alias("emb_q")
-            )
+        vectors = self._encode(vectors)
         vectors.write.mode("errorifexists").option("compression", "zstd").parquet(path)
         seg = {
             "id": seg_id,
@@ -232,6 +239,91 @@ class SegmentStore:
             seg["codec"] = self.codec
         self.manifest.append(seg)
         return seg
+
+    def _encode(self, vectors: DataFrame) -> DataFrame:
+        """Apply the store codec to the at-rest surface (C5 int8: per-vector
+        symmetric scalar quantization); identity for the float codec."""
+        if self.codec == "int8" and "emb" in vectors.columns:
+            from vstream_spark.operators.quantize import quantize_expr
+
+            scale, q = quantize_expr(F.col("emb"))
+            others = [c for c in vectors.columns if c != "emb"]
+            vectors = vectors.select(
+                *others, scale.alias("emb_scale"), q.alias("emb_q")
+            )
+        return vectors
+
+    def append_batch(self, vectors: DataFrame) -> list[dict]:
+        """Rotation-aware flush (C2 parity): a batch larger than
+        ``max_rows_per_segment`` (the reference rotates HNSW tables at 250k
+        vectors, ``params.yaml:58``) splits into event-time-RANGED segments
+        — quantile buckets, the same scheme as :meth:`compact` and for the
+        same reason: hash-split segments would all carry the full time
+        range and defeat C6 TTL pruning forever after. Below the cap (or
+        with no cap set) this is exactly one :meth:`append_segment`.
+
+        The split writes all buckets in ONE partitioned parquet job
+        (executors write their buckets concurrently — at 100 TB a big
+        replay batch lands as hundreds of segments in a single pass), then
+        appends one manifest entry per bucket.
+        """
+        cap = self.max_rows_per_segment
+        if cap is None:
+            seg = self.append_segment(vectors)
+            return [seg] if seg is not None else []
+        # one sizing pass shared with the no-split path: row count for the
+        # split decision + the dim validation (no second scan either way)
+        stats0 = self._flush_stats(vectors)
+        n = int(stats0["n"])
+        if n == 0:
+            return []
+        if n <= cap:
+            seg = self.append_segment(vectors, _stats=stats0)
+            return [seg] if seg is not None else []
+        n_out = -(-n // cap)
+        qs = [i / n_out for i in range(1, n_out)]
+        bounds = vectors.agg(
+            F.percentile_approx("event_time", qs, 10_000).alias("b")
+        ).collect()[0]["b"]
+        bucket = sum(
+            (F.col("event_time") > F.lit(int(b))).cast("int") for b in bounds
+        )
+        staging = os.path.join(
+            self.base_dir,
+            f"flush-{time.strftime('%Y%m%d%H%M%S')}-{uuid.uuid4().hex[:8]}",
+        )
+        (
+            self._encode(vectors)
+            .withColumn("sbkt", bucket)
+            .repartition(n_out, "sbkt")
+            .write.option("compression", "zstd")
+            .partitionBy("sbkt")
+            .parquet(staging)
+        )
+        stats = (
+            self.spark.read.parquet(staging)
+            .groupBy("sbkt")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("event_time").alias("tmin"),
+                F.max("event_time").alias("tmax"),
+            )
+            .collect()
+        )
+        segs = []
+        for r in sorted(stats, key=lambda r: int(r["sbkt"])):
+            seg = {
+                "id": f"seg-{uuid.uuid4().hex[:12]}",
+                "path": os.path.join(staging, f"sbkt={int(r['sbkt'])}"),
+                "count": int(r["n"]),
+                "min_event_time": int(r["tmin"]),
+                "max_event_time": int(r["tmax"]),
+            }
+            if self.codec:
+                seg["codec"] = self.codec
+            self.manifest.append(seg)
+            segs.append(seg)
+        return segs
 
     def build_segment_index(
         self,
@@ -359,7 +451,11 @@ class SegmentStore:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        return self.append_segment(last)
+        # rotation-aware (no-op without max_rows_per_segment); returns the
+        # newest segment for the single-segment contract — callers that
+        # need every rotated segment flush via append_batch directly
+        segs = self.append_batch(last)
+        return segs[-1] if segs else None
 
     def delete_where(self, predicate, event_time: int | None = None) -> dict | None:
         """Bulk erasure: flush delete markers for every LIVE id matching

@@ -227,11 +227,15 @@ class StreamingVectorIngest:
         )
 
     def _sink(self, batch_df: DataFrame, batch_id: int) -> None:
-        seg = self.store.append_segment(batch_df)
-        if seg is not None and self.index_conf is not None:
+        # rotation-aware: a burst micro-batch above the store's
+        # max_rows_per_segment rotates into multiple time-ranged segments
+        # (the reference rotates HNSW memtables at 250k), and all their
+        # artifacts build in ONE parallel job
+        segs = self.store.append_batch(batch_df)
+        if segs and self.index_conf is not None:
             c = self.index_conf
-            self.store.build_segment_index(
-                seg, metric=c.metric, m=c.m,
+            self.store.build_segment_indexes(
+                segs, metric=c.metric, m=c.m,
                 ef_construction=c.ef_construction, kind=c.index_kind,
                 nlist=c.nlist, nprobe=c.nprobe,
                 auto_ivf_threshold=c.auto_ivf_threshold,
