@@ -55,6 +55,7 @@ BENCH_QUERIES = [
         "knn_epoch_batch_recall",
         "emb_pca_gate",
         "knn_mmr_gate",
+        "knn_filtered_route_gate",
     )
 ]
 

