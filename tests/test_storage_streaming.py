@@ -490,3 +490,44 @@ def test_set_similarity_shards_track_parallelism(spark, tmp_path):
     from vstream_spark.streaming.pipeline import derived_state_shards
 
     assert derived_state_shards(spark) == dp
+
+
+def test_stateful_state_survives_query_restart(spark, tmp_path):
+    """applyInPandasWithState state must RESTORE from the checkpoint across a
+    full query stop/start (the recovery contract of any long-lived 100 TB
+    ingest): a document ingested BEFORE the restart must pair with its
+    near-duplicate arriving AFTER it. state_shards is pinned explicitly —
+    the docstring warning's rule for any query that may restart."""
+    from vstream_spark.streaming.pipeline import streaming_set_similarity
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    schema = "doc_id bigint, text string"
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    def run_drain(batch_rows, batch_name):
+        spark.createDataFrame(batch_rows, schema).coalesce(1).write.parquet(
+            f"{src}/{batch_name}"
+        )
+        stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+        pairs = streaming_set_similarity(stream, threshold=0.5, state_shards=4)
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.doc_a, r.doc_b)
+            for r in spark.read.parquet(out).select("doc_a", "doc_b").collect()
+        }
+
+    # run 1: doc 1 alone -> no pairs, but its band signatures enter state
+    assert run_drain([(1, text)], "b000") == set()
+    # run 2 (fresh query, SAME checkpoint): doc 2 pairs with the doc 1 state
+    # restored from the checkpoint — the pair spans the restart
+    assert run_drain([(2, text)], "b001") == {(1, 2)}
+    # run 3: state keeps accumulating across restarts
+    assert run_drain([(3, text)], "b002") == {(1, 2), (1, 3), (2, 3)}
