@@ -296,14 +296,36 @@ def _install_fake_hnswlib(monkeypatch):
             pass
 
         def add_items(self, vecs, labels):
+            # real hnswlib: existing label = in-place update, but the
+            # internal deleted flag is NOT cleared (unmark_deleted is the
+            # only way back) — mirror it so the adapter's re-add path is
+            # pinned against the real semantics
             for v, lb in zip(np.asarray(vecs), np.asarray(labels)):
                 self._v[int(lb)] = np.asarray(v, dtype=np.float64)
 
         def get_items(self, ids):
+            # real hnswlib raises for unknown AND marked-deleted labels
+            for i in ids:
+                if int(i) not in self._v or int(i) in self._deleted:
+                    raise RuntimeError("Label not found")
             return np.stack([self._v[int(i)] for i in ids])
 
         def mark_deleted(self, lb):
+            # real hnswlib raises on unknown labels and on double deletes
+            if int(lb) not in self._v:
+                raise RuntimeError("Label not found")
+            if int(lb) in self._deleted:
+                raise RuntimeError(
+                    "The requested to delete element is already deleted"
+                )
             self._deleted.add(int(lb))
+
+        def unmark_deleted(self, lb):
+            if int(lb) not in self._deleted:
+                raise RuntimeError(
+                    "The requested to undelete element is not deleted"
+                )
+            self._deleted.discard(int(lb))
 
         def knn_query(self, q, k, filter=None):
             # real hnswlib raises when k exceeds the retrievable element
@@ -457,3 +479,68 @@ def test_numpy_backend_remains_default(monkeypatch):
     vecs = np.random.RandomState(3).rand(50, 8).astype(np.float32)
     idx = build_index(vecs, np.arange(50))
     assert isinstance(idx, HnswIndex)
+
+
+def test_native_duplicate_label_within_one_batch(monkeypatch):
+    """A micro-batch can carry the same id twice (StreamingVectorIngest
+    flushes raw append batches with no per-id dedup): the first occurrence
+    of a NEW label registers a slot past the current sidecar end, so the
+    second occurrence's in-place ts update used to IndexError. Last
+    occurrence must win, matching hnswlib add_items' in-place update and
+    the numpy index's upsert semantics."""
+    import numpy as np
+
+    from vstream_spark.index.native import build_native_index
+
+    _install_fake_hnswlib(monkeypatch)
+    rng = np.random.RandomState(5)
+    vecs = rng.rand(4, 8).astype(np.float32)
+    # label 5 appears twice in ONE batch (fresh index — no prior slot)
+    idx = build_native_index(
+        vecs, labels=[5, 5, 6, 7], ts=[100, 200, 300, 400], metric="l2"
+    )
+    assert idx.n == 3 and idx.live == 3
+    assert idx.get_ts(5) == 200  # last occurrence won
+    got, _ = idx.search(vecs[1], 3)
+    assert 5 in got.tolist()
+    # the winning VECTOR is the last one too (in-place update)
+    lbs, ds = idx.search(vecs[1], 1)
+    assert lbs.tolist() == [5] and ds[0] < 1e-12
+
+
+def test_native_dumps_with_tombstones_under_strict_get_items(monkeypatch):
+    """Real hnswlib's get_items raises 'Label not found' for marked-deleted
+    elements, so dumps() must not ask for them: tombstones persist as
+    (label, ts) bookkeeping only, and the restored index keeps the full
+    tombstone contract (shadow checks, get_ts, re-add) without graph
+    entries for them."""
+    import numpy as np
+
+    from vstream_spark.index.hnsw import HnswIndex
+    from vstream_spark.index.native import NativeHnswIndex, build_native_index
+
+    _install_fake_hnswlib(monkeypatch)
+    rng = np.random.RandomState(6)
+    vecs = rng.rand(10, 8).astype(np.float32)
+    idx = build_native_index(vecs, np.arange(10), ts=np.arange(100, 110))
+    for lb in (2, 4):
+        assert idx.mark_delete(lb)
+    blob = idx.dumps()  # would raise under real hnswlib before the fix
+    back = HnswIndex.loads(blob)
+    assert isinstance(back, NativeHnswIndex)
+    assert back.n == 10 and back.live == 8
+    # tombstone bookkeeping survives without vectors
+    assert back.get_ts(2) == 102 and back.get_ts(4) == 104
+    assert back.mark_delete(2)  # idempotent re-delete must not crash
+    got, _ = back.search(vecs[0], 10)
+    assert 2 not in got.tolist() and 4 not in got.tolist()
+    # a restored (graphless) tombstone can be RE-ADDED and becomes
+    # searchable again — and a second roundtrip stays consistent
+    back.add_point(vecs[2], 2, 500)
+    assert back.live == 9 and back.get_ts(2) == 500
+    lbs, ds = back.search(vecs[2], 1)
+    assert lbs.tolist() == [2] and ds[0] < 1e-12
+    back2 = HnswIndex.loads(back.dumps())
+    assert back2.live == 9 and back2.get_ts(2) == 500
+    got2, _ = back2.search(vecs[2], 9)
+    assert 2 in got2.tolist() and 4 not in got2.tolist()

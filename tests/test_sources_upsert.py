@@ -226,3 +226,64 @@ def test_segment_rotation_at_cap(spark, tmp_path):
     bad = [(2000, [0.0] * 5, 5, 10**12, "I")]
     with _pytest.raises(ValueError, match="dimension mismatch"):
         st.append_batch(spark.createDataFrame(bad, schema))
+
+
+def test_segment_rotation_cap_holds_under_tied_timestamps(spark, tmp_path):
+    """Quantile bounds compare with strict '>', so duplicate timestamps
+    collapse buckets — a bulk load stamped with ONE ingestion time used to
+    land as a single segment of n rows, silently voiding the 250k cap (and
+    the O(n^2)-sensitive HNSW sidecar build behind it). Over-cap time
+    buckets must sub-split by id hash; sub-splits share a time range
+    (overlap is fine for TTL pruning — unbounded segments are not)."""
+    import numpy as np
+
+    from vstream_spark.storage.segments import SegmentStore
+
+    schema = "id bigint, emb array<float>, event_time bigint, ttl bigint, op string"
+    rng = np.random.RandomState(7)
+    # all 350 rows share one event_time (single-stamp bulk load)
+    rows = [
+        (i, rng.rand(8).astype(np.float32).tolist(), 12345, 10**12, "I")
+        for i in range(350)
+    ]
+    st = SegmentStore(spark, str(tmp_path / "tied"), dim=8, max_rows_per_segment=100)
+    segs = st.append_batch(spark.createDataFrame(rows, schema))
+    assert sum(s["count"] for s in segs) == 350
+    assert all(s["count"] <= 100 for s in segs), [s["count"] for s in segs]
+    assert len(segs) >= 4
+    # no row lost or duplicated across the hash sub-split
+    ids = [r.id for r in st.read().select("id").collect()]
+    assert sorted(ids) == list(range(350))
+
+    # skewed (not fully tied): half the rows on one timestamp, half spread
+    rows2 = [
+        (1000 + i, rng.rand(8).astype(np.float32).tolist(),
+         777 if i < 175 else 10_000 + i, 10**12, "I")
+        for i in range(350)
+    ]
+    st2 = SegmentStore(spark, str(tmp_path / "skew"), dim=8, max_rows_per_segment=100)
+    segs2 = st2.append_batch(spark.createDataFrame(rows2, schema))
+    assert sum(s["count"] for s in segs2) == 350
+    assert all(s["count"] <= 100 for s in segs2), [s["count"] for s in segs2]
+
+
+def test_upsert_batch_rotated_return_reports_full_flush(spark, tmp_path):
+    """A rotated upsert flush must report the FULL flushed count and time
+    range (the old contract returned the last shard only, under-reporting
+    the flush)."""
+    import numpy as np
+
+    from vstream_spark.storage.segments import SegmentStore
+
+    schema = "id bigint, emb array<float>, event_time bigint, ttl bigint, op string"
+    rng = np.random.RandomState(9)
+    rows = [
+        (i, rng.rand(8).astype(np.float32).tolist(), i * 10, 10**12, "I")
+        for i in range(250)
+    ]
+    st = SegmentStore(spark, str(tmp_path / "rot"), dim=8, max_rows_per_segment=100)
+    out = st.upsert_batch(spark.createDataFrame(rows, schema))
+    assert out["count"] == 250
+    assert out["min_event_time"] == 0 and out["max_event_time"] == 2490
+    assert len(out["segments"]) >= 3
+    assert sum(s["count"] for s in out["segments"]) == 250

@@ -58,6 +58,9 @@ def _level_of(label: int, seed: int, m_l: float) -> int:
     return int(-np.log(u) * m_l)
 
 
+_TS_MISSING = object()  # get_ts sentinel: "no default given"
+
+
 class HnswIndex:
     """Hierarchical navigable small-world graph over float32 vectors."""
 
@@ -170,10 +173,16 @@ class HnswIndex:
         self.deleted[i] = True
         return True
 
-    def get_ts(self, label: int) -> int:
+    def get_ts(self, label: int, default=_TS_MISSING):
         """Event-time of a label (neutral accessor shared with the native
-        adapter, so segment call sites need no backend-specific poking)."""
-        return int(self.ts[self._by_label[int(label)]])
+        adapter, so segment call sites need no backend-specific poking).
+        Returns ``default`` for unknown labels when given, else KeyError."""
+        slot = self._by_label.get(int(label))
+        if slot is None:
+            if default is _TS_MISSING:
+                raise KeyError(label)
+            return default
+        return int(self.ts[slot])
 
     # -- search ---------------------------------------------------------------
 

@@ -26,6 +26,8 @@ import pickle
 
 import numpy as np
 
+_TS_MISSING = object()  # get_ts sentinel: "no default given"
+
 from vstream_spark.index.hnsw import _DISTS
 
 
@@ -215,6 +217,17 @@ class IvfIndex:
             return False
         self.deleted[i] = True
         return True
+
+    def get_ts(self, label: int, default=_TS_MISSING):
+        """Event-time of a label (neutral accessor shared across index
+        kinds, so segment call sites need no layout-specific poking).
+        Returns ``default`` for unknown labels when given, else KeyError."""
+        slot = self._by_label.get(int(label))
+        if slot is None:
+            if default is _TS_MISSING:
+                raise KeyError(label)
+            return default
+        return int(self.ts[slot])
 
     # -- persistence ----------------------------------------------------------
 

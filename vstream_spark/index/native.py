@@ -51,6 +51,8 @@ _ENV = "VSTREAM_SPARK_HNSW_BACKEND"
 # for ip/cosine (hnswlib returns 1 - ip and 1 - cos as "distances")
 _SPACES = {"l2": "l2", "ip": "ip", "cosine": "cosine"}
 
+_TS_MISSING = object()  # get_ts sentinel: "no default given"
+
 
 def backend_name() -> str:
     """The selected backend: contents of $VSTREAM_SPARK_HNSW_BACKEND
@@ -123,6 +125,10 @@ class NativeHnswIndex:
         self.ts = np.empty(0, dtype=np.int64)
         self._by_label: dict[int, int] = {}
         self._deleted: set[int] = set()
+        # tombstones restored from an artifact have NO graph element (their
+        # vectors are gone — hnswlib's get_items raises on deleted labels,
+        # so dumps() cannot persist them); graph calls must skip these
+        self._graphless: set[int] = set()
         self.n = 0  # distinct slots (re-added labels reuse their slot)
 
     @property
@@ -131,9 +137,15 @@ class NativeHnswIndex:
         hnswlib.knn_query can return without raising."""
         return self.n - len(self._deleted)
 
-    def get_ts(self, label: int) -> int:
-        """Event-time of a label (neutral accessor, both backends)."""
-        return int(self.ts[self._by_label[int(label)]])
+    def get_ts(self, label: int, default=_TS_MISSING):
+        """Event-time of a label (neutral accessor, both backends). Returns
+        ``default`` for unknown labels when given, else KeyError."""
+        slot = self._by_label.get(int(label))
+        if slot is None:
+            if default is _TS_MISSING:
+                raise KeyError(label)
+            return default
+        return int(self.ts[slot])
 
     # -- build ----------------------------------------------------------------
 
@@ -142,10 +154,21 @@ class NativeHnswIndex:
         labels = np.asarray(labels, dtype=np.int64)
         if ts is None:
             ts = np.zeros(len(labels), dtype=np.int64)
-        fresh = sum(1 for lb in labels if int(lb) not in self._by_label)
+        batch = {int(lb) for lb in labels}
+        # graph growth = labels new to the sidecars + graphless tombstones
+        # being re-added (their old graph element is gone)
+        grow = len(batch - self._by_label.keys()) + len(batch & self._graphless)
+        graph_count = self.n - len(self._graphless)
         cap = getattr(self._idx, "get_max_elements", lambda: None)()
-        if cap is not None and self.n + fresh > cap:
-            self._idx.resize_index(self.n + fresh)
+        if cap is not None and graph_count + grow > cap:
+            self._idx.resize_index(graph_count + grow)
+        # re-adding a tombstoned label that still HAS a graph element must
+        # clear hnswlib's internal deleted flag first — knn_query skips
+        # internally-deleted elements regardless of the filter, so add_items
+        # alone would leave the updated point unreachable
+        if hasattr(self._idx, "unmark_deleted"):
+            for lb in sorted(batch & self._deleted - self._graphless):
+                self._idx.unmark_deleted(lb)
         self._idx.add_items(vecs, labels)  # existing label = in-place update
         new_lbs, new_ts = [], []
         for lb, t in zip(labels, ts):
@@ -155,9 +178,16 @@ class NativeHnswIndex:
                 self._by_label[lb] = self.n + len(new_lbs)
                 new_lbs.append(lb)
                 new_ts.append(int(t))
-            else:
+            elif slot < self.n:
                 self.ts[slot] = int(t)
+            else:
+                # same NEW label twice in ONE batch: its slot is still
+                # PENDING (the sidecar arrays are extended only after the
+                # loop), so update the pending entry in place — last
+                # occurrence wins, matching add_items' in-place update
+                new_ts[slot - self.n] = int(t)
             self._deleted.discard(lb)
+            self._graphless.discard(lb)
         if new_lbs:
             self.labels = np.concatenate(
                 [self.labels, np.asarray(new_lbs, dtype=np.int64)]
@@ -180,8 +210,15 @@ class NativeHnswIndex:
         label = int(label)
         if label not in self._by_label:
             return False
+        already = label in self._deleted
         self._deleted.add(label)
-        if hasattr(self._idx, "mark_deleted"):
+        # forward to the graph only once and only for labels that HAVE a
+        # graph element (real hnswlib raises on unknown or double deletes)
+        if (
+            not already
+            and label not in self._graphless
+            and hasattr(self._idx, "mark_deleted")
+        ):
             self._idx.mark_deleted(label)
         return True
 
@@ -246,8 +283,19 @@ class NativeHnswIndex:
         hnswlib's own binary graph serialization is file-path-only and not
         stable across library versions; the segment artifact must outlive
         both, so the adapter persists the DATA and rebuilds the graph on
-        load (build cost is the native backend's cheap axis)."""
-        ids = self.labels[: self.n]
+        load (build cost is the native backend's cheap axis).
+
+        Tombstoned labels are persisted WITHOUT vectors (``deleted`` +
+        ``deleted_ts``): real hnswlib's ``get_items`` raises 'Label not
+        found' for marked-deleted elements, so their data is unreadable —
+        only the (label, ts) bookkeeping survives, which is all the
+        tombstone semantics need."""
+        all_ids = self.labels[: self.n]
+        all_ts = self.ts[: self.n]
+        keep = np.asarray(
+            [int(lb) not in self._deleted for lb in all_ids], dtype=bool
+        )
+        ids = all_ids[keep]
         vecs = (
             self._idx.get_items(ids) if len(ids) else np.empty((0, self.dim))
         )
@@ -262,8 +310,9 @@ class NativeHnswIndex:
                 "seed": self.seed,
                 "labels": ids.copy(),
                 "vecs": np.asarray(vecs, dtype=np.float32),
-                "ts": self.ts[: self.n].copy(),
-                "deleted": np.asarray(sorted(self._deleted), dtype=np.int64),
+                "ts": all_ts[keep].copy(),
+                "deleted": all_ids[~keep].copy(),
+                "deleted_ts": all_ts[~keep].copy(),
             },
             buf,
             protocol=4,
@@ -297,8 +346,26 @@ class NativeHnswIndex:
                 labels[order],
                 np.asarray(d["ts"], dtype=np.int64)[order],
             )
-        for lb in d["deleted"]:
-            idx.mark_delete(int(lb))
+        dels = np.asarray(d.get("deleted", ()), dtype=np.int64)
+        del_ts = np.asarray(
+            d.get("deleted_ts", np.zeros(len(dels))), dtype=np.int64
+        )
+        for lb, t in zip(dels, del_ts):
+            lb = int(lb)
+            if lb in idx._by_label:
+                # legacy artifact (tombstones persisted with vectors)
+                idx.mark_delete(lb)
+                continue
+            # sidecar-only tombstone: label + ts bookkeeping, NO graph
+            # element (its vector was unreadable at dump time)
+            idx._by_label[lb] = idx.n
+            idx.labels = np.concatenate(
+                [idx.labels, np.asarray([lb], dtype=np.int64)]
+            )
+            idx.ts = np.concatenate([idx.ts, np.asarray([t], dtype=np.int64)])
+            idx.n += 1
+            idx._deleted.add(lb)
+            idx._graphless.add(lb)
         return idx
 
     @classmethod

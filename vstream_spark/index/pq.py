@@ -27,6 +27,8 @@ import pickle
 
 import numpy as np
 
+_TS_MISSING = object()  # get_ts sentinel: "no default given"
+
 from vstream_spark.index.ivf import _kmeans
 
 _METRICS = ("l2", "ip", "cosine")
@@ -115,6 +117,17 @@ class PqIndex:
             return False
         self.deleted[i] = True
         return True
+
+    def get_ts(self, label: int, default=_TS_MISSING):
+        """Event-time of a label (neutral accessor shared across index
+        kinds, so segment call sites need no layout-specific poking).
+        Returns ``default`` for unknown labels when given, else KeyError."""
+        slot = self._by_label.get(int(label))
+        if slot is None:
+            if default is _TS_MISSING:
+                raise KeyError(label)
+            return default
+        return int(self.ts[slot])
 
     # -- persistence ----------------------------------------------------------
 

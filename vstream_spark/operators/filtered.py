@@ -124,7 +124,11 @@ def knn_filtered_adaptive(
     # ids (inner), never the reverse. AQE broadcasts the hit side when it
     # fits; at worst this is a shuffle of O(result) rows, not O(N).
     keep = pred_vectors.select(F.col("id").alias("neighbor_id"))
-    matched = ann.drop("rank").join(keep, "neighbor_id")
+    # materialize ONCE: the deficiency probe below is an action over this
+    # frame, and without truncation the returned `out` would re-run the
+    # whole ANN lineage (per-partition index build + search) a second time
+    # on the caller's first action. |Q| x k' rows — small by construction.
+    matched = ann.drop("rank").join(keep, "neighbor_id").localCheckpoint()
 
     # Per-query exact top-up: if a query keeps >= k matches inside its
     # (exact) global top-k', its filtered top-k is provably exact — any

@@ -327,7 +327,7 @@ class SegmentSearcher:
                     qids.extend([int(pdf["qid"].iloc[j])] * len(lbs))
                     nids.extend(lbs)
                     dists.extend(ds)
-                    nts.extend(int(idx.ts[idx._by_label[int(lb)]]) for lb in lbs)
+                    nts.extend(idx.get_ts(int(lb)) for lb in lbs)
                 yield pd.DataFrame(
                     {"qid": qids, "neighbor_id": nids, "distance": dists,
                      "neighbor_ts": nts}

@@ -119,8 +119,9 @@ def build_index_object(
     if has_op:
         dels = pdf[pdf["op"] == "D"]
         for rid, rtime in zip(dels["id"].to_numpy(), dels["event_time"].to_numpy()):
-            i = idx._by_label.get(int(rid))
-            if i is not None and int(rtime) > int(idx.ts[i]):
+            # neutral accessor (both index backends), not positional poking
+            t = idx.get_ts(int(rid), None)
+            if t is not None and int(rtime) > t:
                 idx.mark_delete(int(rid))
     return kind, idx
 
@@ -253,14 +254,94 @@ class SegmentStore:
             )
         return vectors
 
+    def _write_time_ranged(
+        self, df: DataFrame, n_out: int, cap: int | None, prefix: str
+    ) -> tuple[str, list]:
+        """Shared time-ranged split writer (flush rotation AND compaction —
+        one implementation so the two paths cannot drift): bucket ``df`` by
+        event-time quantiles, sub-split any bucket still over ``cap`` by id
+        hash, write ALL buckets in ONE partitioned parquet job, and return
+        ``(staging_dir, per-bucket stats rows sorted by bucket)``.
+
+        Why quantiles, not hash: hash-split segments would all carry the
+        full time range and defeat C6 TTL pruning forever after.
+
+        Why the sub-split: quantile bounds compare with strict ``>``, so
+        duplicate timestamps COLLAPSE buckets — a batch stamped with one
+        ingestion time would land as a single segment of n rows and
+        silently void the 250k cap (and the O(n^2)-sensitive HNSW sidecar
+        build behind it). Bucket loads are measured with one small agg and
+        over-cap buckets split by ``xxhash64(id)``; the sub-splits share
+        one time range, which TTL pruning tolerates (overlapping ranges are
+        fine — UNBOUNDED segments are not).
+        """
+        if n_out <= 1:
+            bucket = F.lit(0)
+        else:
+            qs = [i / n_out for i in range(1, n_out)]
+            bounds = df.agg(
+                F.percentile_approx("event_time", qs, 10_000).alias("b")
+            ).collect()[0]["b"]
+            uniq = sorted({int(b) for b in bounds})
+            bucket = sum(
+                (F.col("event_time") > F.lit(b)).cast("int") for b in uniq
+            )
+        out = df.withColumn("sbkt", bucket)
+        if cap is not None and n_out > 1:
+            loads = {
+                int(r["sbkt"]): int(r["n"])
+                for r in out.groupBy("sbkt").agg(F.count("*").alias("n")).collect()
+            }
+            layout: dict[int, tuple[int, int]] = {}  # time bucket -> (base, m)
+            base = 0
+            for tb in sorted(loads):
+                m = max(1, -(-loads[tb] // cap))
+                layout[tb] = (base, m)
+                base += m
+            if any(m > 1 for _, m in layout.values()):
+                fb = None
+                for tb, (b, m) in layout.items():
+                    val = F.lit(b) + (
+                        F.pmod(F.xxhash64(F.col("id")), F.lit(m))
+                        if m > 1
+                        else F.lit(0)
+                    )
+                    fb = (
+                        F.when(F.col("sbkt") == tb, val)
+                        if fb is None
+                        else fb.when(F.col("sbkt") == tb, val)
+                    )
+                out = out.withColumn("sbkt", fb.cast("int"))
+                n_out = base
+        staging = os.path.join(
+            self.base_dir,
+            f"{prefix}-{time.strftime('%Y%m%d%H%M%S')}-{uuid.uuid4().hex[:8]}",
+        )
+        (
+            out.repartition(n_out, "sbkt")
+            .write.option("compression", "zstd")
+            .partitionBy("sbkt")
+            .parquet(staging)
+        )
+        stats = (
+            self.spark.read.parquet(staging)
+            .groupBy("sbkt")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("event_time").alias("tmin"),
+                F.max("event_time").alias("tmax"),
+            )
+            .collect()
+        )
+        return staging, sorted(stats, key=lambda r: int(r["sbkt"]))
+
     def append_batch(self, vectors: DataFrame) -> list[dict]:
         """Rotation-aware flush (C2 parity): a batch larger than
         ``max_rows_per_segment`` (the reference rotates HNSW tables at 250k
         vectors, ``params.yaml:58``) splits into event-time-RANGED segments
-        — quantile buckets, the same scheme as :meth:`compact` and for the
-        same reason: hash-split segments would all carry the full time
-        range and defeat C6 TTL pruning forever after. Below the cap (or
-        with no cap set) this is exactly one :meth:`append_segment`.
+        via :meth:`_write_time_ranged` (shared with :meth:`compact`). Below
+        the cap (or with no cap set) this is exactly one
+        :meth:`append_segment`.
 
         The split writes all buckets in ONE partitioned parquet job
         (executors write their buckets concurrently — at 100 TB a big
@@ -281,37 +362,11 @@ class SegmentStore:
             seg = self.append_segment(vectors, _stats=stats0)
             return [seg] if seg is not None else []
         n_out = -(-n // cap)
-        qs = [i / n_out for i in range(1, n_out)]
-        bounds = vectors.agg(
-            F.percentile_approx("event_time", qs, 10_000).alias("b")
-        ).collect()[0]["b"]
-        bucket = sum(
-            (F.col("event_time") > F.lit(int(b))).cast("int") for b in bounds
-        )
-        staging = os.path.join(
-            self.base_dir,
-            f"flush-{time.strftime('%Y%m%d%H%M%S')}-{uuid.uuid4().hex[:8]}",
-        )
-        (
-            self._encode(vectors)
-            .withColumn("sbkt", bucket)
-            .repartition(n_out, "sbkt")
-            .write.option("compression", "zstd")
-            .partitionBy("sbkt")
-            .parquet(staging)
-        )
-        stats = (
-            self.spark.read.parquet(staging)
-            .groupBy("sbkt")
-            .agg(
-                F.count("*").alias("n"),
-                F.min("event_time").alias("tmin"),
-                F.max("event_time").alias("tmax"),
-            )
-            .collect()
+        staging, stats = self._write_time_ranged(
+            self._encode(vectors), n_out, cap, "flush"
         )
         segs = []
-        for r in sorted(stats, key=lambda r: int(r["sbkt"])):
+        for r in stats:
             seg = {
                 "id": f"seg-{uuid.uuid4().hex[:12]}",
                 "path": os.path.join(staging, f"sbkt={int(r['sbkt'])}"),
@@ -451,11 +506,24 @@ class SegmentStore:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # rotation-aware (no-op without max_rows_per_segment); returns the
-        # newest segment for the single-segment contract — callers that
-        # need every rotated segment flush via append_batch directly
+        # rotation-aware (no-op without max_rows_per_segment). Single
+        # segment: its metadata verbatim. Rotated flush: an AGGREGATE dict
+        # — count is the full flushed total (never one shard's), the time
+        # range spans all shards, and every segment rides under
+        # ``"segments"`` (returning segs[-1] under-reported the flush and
+        # hid the other shards from the caller).
         segs = self.append_batch(last)
-        return segs[-1] if segs else None
+        if not segs:
+            return None
+        if len(segs) == 1:
+            return segs[0]
+        return {
+            "id": segs[-1]["id"],
+            "count": sum(s["count"] for s in segs),
+            "min_event_time": min(s["min_event_time"] for s in segs),
+            "max_event_time": max(s["max_event_time"] for s in segs),
+            "segments": segs,
+        }
 
     def delete_where(self, predicate, event_time: int | None = None) -> dict | None:
         """Bulk erasure: flush delete markers for every LIVE id matching
@@ -606,37 +674,14 @@ class SegmentStore:
             for s in segs
             if s.get("index_file")
         }
-        if n_out == 1:
-            bucket = F.lit(0)
-        else:
-            qs = [i / n_out for i in range(1, n_out)]
-            bounds = df.agg(
-                F.percentile_approx("event_time", qs, 10_000).alias("b")
-            ).collect()[0]["b"]
-            bucket = sum(
-                (F.col("event_time") > F.lit(int(b))).cast("int") for b in bounds
-            )
-        staging = os.path.join(
-            self.base_dir, f"compact-{time.strftime('%Y%m%d%H%M%S')}-{uuid.uuid4().hex[:8]}"
-        )
-        df.withColumn("cbkt", bucket).repartition(n_out, "cbkt").write.option(
-            "compression", "zstd"
-        ).partitionBy("cbkt").parquet(staging)
-        stats = (
-            self.spark.read.parquet(staging)
-            .groupBy("cbkt")
-            .agg(
-                F.count("*").alias("n"),
-                F.min("event_time").alias("tmin"),
-                F.max("event_time").alias("tmax"),
-            )
-            .collect()
+        staging, stats = self._write_time_ranged(
+            df, n_out, max_rows_per_segment, "compact"
         )
         new_segs = []
-        for r in sorted(stats, key=lambda r: int(r["cbkt"])):
+        for r in stats:
             seg = {
                 "id": f"seg-compact-{uuid.uuid4().hex[:8]}",
-                "path": os.path.join(staging, f"cbkt={int(r['cbkt'])}"),
+                "path": os.path.join(staging, f"sbkt={int(r['sbkt'])}"),
                 "count": int(r["n"]),
                 "min_event_time": int(r["tmin"]),
                 "max_event_time": int(r["tmax"]),
