@@ -266,6 +266,18 @@ def test_segment_rotation_cap_holds_under_tied_timestamps(spark, tmp_path):
     assert sum(s["count"] for s in segs2) == 350
     assert all(s["count"] <= 100 for s in segs2), [s["count"] for s in segs2]
 
+    # worst case: ONE hot id carries every row at ONE timestamp (append-path
+    # upsert history) — an id-only hash sub-split would put all 350 rows in
+    # one bucket; the row-unique re-split key must still enforce the cap
+    rows3 = [
+        (42, rng.rand(8).astype(np.float32).tolist(), 999, 10**12, "I")
+        for _ in range(350)
+    ]
+    st3 = SegmentStore(spark, str(tmp_path / "hotid"), dim=8, max_rows_per_segment=100)
+    segs3 = st3.append_batch(spark.createDataFrame(rows3, schema))
+    assert sum(s["count"] for s in segs3) == 350
+    assert all(s["count"] <= 100 for s in segs3), [s["count"] for s in segs3]
+
 
 def test_upsert_batch_rotated_return_reports_full_flush(spark, tmp_path):
     """A rotated upsert flush must report the FULL flushed count and time

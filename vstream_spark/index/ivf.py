@@ -26,9 +26,9 @@ import pickle
 
 import numpy as np
 
-_TS_MISSING = object()  # get_ts sentinel: "no default given"
 
 from vstream_spark.index.hnsw import _DISTS
+from vstream_spark.index.hnsw import _TS_MISSING
 
 
 def _pairwise(q: np.ndarray, vecs: np.ndarray, metric: str) -> np.ndarray:

@@ -44,6 +44,10 @@ import pickle
 
 import numpy as np
 
+# hnsw.py imports this module only lazily (build_index dispatch), so the
+# module-level sentinel import is cycle-free
+from vstream_spark.index.hnsw import _TS_MISSING
+
 _ENV = "VSTREAM_SPARK_HNSW_BACKEND"
 
 # hnswlib space name per engine metric; distances returned by hnswlib are
@@ -51,7 +55,6 @@ _ENV = "VSTREAM_SPARK_HNSW_BACKEND"
 # for ip/cosine (hnswlib returns 1 - ip and 1 - cos as "distances")
 _SPACES = {"l2": "l2", "ip": "ip", "cosine": "cosine"}
 
-_TS_MISSING = object()  # get_ts sentinel: "no default given"
 
 
 def backend_name() -> str:
@@ -292,9 +295,11 @@ class NativeHnswIndex:
         tombstone semantics need."""
         all_ids = self.labels[: self.n]
         all_ts = self.ts[: self.n]
-        keep = np.asarray(
-            [int(lb) not in self._deleted for lb in all_ids], dtype=bool
-        )
+        if self._deleted:
+            dead = np.fromiter(self._deleted, dtype=np.int64, count=len(self._deleted))
+            keep = ~np.isin(all_ids, dead)
+        else:
+            keep = np.ones(len(all_ids), dtype=bool)
         ids = all_ids[keep]
         vecs = (
             self._idx.get_items(ids) if len(ids) else np.empty((0, self.dim))
@@ -350,6 +355,7 @@ class NativeHnswIndex:
         del_ts = np.asarray(
             d.get("deleted_ts", np.zeros(len(dels))), dtype=np.int64
         )
+        ghost_lbs, ghost_ts = [], []  # batched: one concat, not O(T^2)
         for lb, t in zip(dels, del_ts):
             lb = int(lb)
             if lb in idx._by_label:
@@ -358,14 +364,19 @@ class NativeHnswIndex:
                 continue
             # sidecar-only tombstone: label + ts bookkeeping, NO graph
             # element (its vector was unreadable at dump time)
-            idx._by_label[lb] = idx.n
-            idx.labels = np.concatenate(
-                [idx.labels, np.asarray([lb], dtype=np.int64)]
-            )
-            idx.ts = np.concatenate([idx.ts, np.asarray([t], dtype=np.int64)])
-            idx.n += 1
+            idx._by_label[lb] = idx.n + len(ghost_lbs)
+            ghost_lbs.append(lb)
+            ghost_ts.append(int(t))
             idx._deleted.add(lb)
             idx._graphless.add(lb)
+        if ghost_lbs:
+            idx.labels = np.concatenate(
+                [idx.labels, np.asarray(ghost_lbs, dtype=np.int64)]
+            )
+            idx.ts = np.concatenate(
+                [idx.ts, np.asarray(ghost_ts, dtype=np.int64)]
+            )
+            idx.n += len(ghost_lbs)
         return idx
 
     @classmethod

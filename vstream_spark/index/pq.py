@@ -27,9 +27,9 @@ import pickle
 
 import numpy as np
 
-_TS_MISSING = object()  # get_ts sentinel: "no default given"
 
 from vstream_spark.index.ivf import _kmeans
+from vstream_spark.index.hnsw import _TS_MISSING
 
 _METRICS = ("l2", "ip", "cosine")
 

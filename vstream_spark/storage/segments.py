@@ -256,25 +256,34 @@ class SegmentStore:
 
     def _write_time_ranged(
         self, df: DataFrame, n_out: int, cap: int | None, prefix: str
-    ) -> tuple[str, list]:
+    ) -> list[dict]:
         """Shared time-ranged split writer (flush rotation AND compaction —
         one implementation so the two paths cannot drift): bucket ``df`` by
-        event-time quantiles, sub-split any bucket still over ``cap`` by id
-        hash, write ALL buckets in ONE partitioned parquet job, and return
-        ``(staging_dir, per-bucket stats rows sorted by bucket)``.
+        event-time quantiles, write ALL buckets in ONE partitioned parquet
+        job, then HARD-enforce the row ``cap`` by re-splitting any staged
+        bucket still over it. Returns one ``{path, n, tmin, tmax}`` dict
+        per final bucket, ordered by (tmin, path).
 
         Why quantiles, not hash: hash-split segments would all carry the
         full time range and defeat C6 TTL pruning forever after.
 
-        Why the sub-split: quantile bounds compare with strict ``>``, so
+        Why the re-split: quantile bounds compare with strict ``>``, so
         duplicate timestamps COLLAPSE buckets — a batch stamped with one
         ingestion time would land as a single segment of n rows and
         silently void the 250k cap (and the O(n^2)-sensitive HNSW sidecar
-        build behind it). Bucket loads are measured with one small agg and
-        over-cap buckets split by ``xxhash64(id)``; the sub-splits share
-        one time range, which TTL pruning tolerates (overlapping ranges are
-        fine — UNBOUNDED segments are not).
+        build behind it). Enforcement works off the POST-write stats (which
+        the manifest needs anyway), so the common case — distinct
+        timestamps, no collapse — pays zero extra scans; only offending
+        staged buckets are re-read. The re-split key hashes a row-unique
+        tuple (id, event_time, monotonic row id), so duplicate-id mass
+        cannot defeat it, the sizing carries ~10% headroom, and the
+        worklist loops until every bucket is under cap — the cap is an
+        invariant, not a best effort. Re-split buckets share one time
+        range, which TTL pruning tolerates (overlapping ranges are fine —
+        UNBOUNDED segments are not).
         """
+        import shutil
+
         if n_out <= 1:
             bucket = F.lit(0)
         else:
@@ -286,54 +295,72 @@ class SegmentStore:
             bucket = sum(
                 (F.col("event_time") > F.lit(b)).cast("int") for b in uniq
             )
-        out = df.withColumn("sbkt", bucket)
-        if cap is not None and n_out > 1:
-            loads = {
-                int(r["sbkt"]): int(r["n"])
-                for r in out.groupBy("sbkt").agg(F.count("*").alias("n")).collect()
-            }
-            layout: dict[int, tuple[int, int]] = {}  # time bucket -> (base, m)
-            base = 0
-            for tb in sorted(loads):
-                m = max(1, -(-loads[tb] // cap))
-                layout[tb] = (base, m)
-                base += m
-            if any(m > 1 for _, m in layout.values()):
-                fb = None
-                for tb, (b, m) in layout.items():
-                    val = F.lit(b) + (
-                        F.pmod(F.xxhash64(F.col("id")), F.lit(m))
-                        if m > 1
-                        else F.lit(0)
-                    )
-                    fb = (
-                        F.when(F.col("sbkt") == tb, val)
-                        if fb is None
-                        else fb.when(F.col("sbkt") == tb, val)
-                    )
-                out = out.withColumn("sbkt", fb.cast("int"))
-                n_out = base
         staging = os.path.join(
             self.base_dir,
             f"{prefix}-{time.strftime('%Y%m%d%H%M%S')}-{uuid.uuid4().hex[:8]}",
         )
         (
-            out.repartition(n_out, "sbkt")
+            df.withColumn("sbkt", bucket)
+            .repartition(max(1, n_out), "sbkt")
             .write.option("compression", "zstd")
             .partitionBy("sbkt")
             .parquet(staging)
         )
-        stats = (
-            self.spark.read.parquet(staging)
-            .groupBy("sbkt")
-            .agg(
-                F.count("*").alias("n"),
-                F.min("event_time").alias("tmin"),
-                F.max("event_time").alias("tmax"),
+
+        def _bucket_stats(root: str, col: str) -> list[tuple]:
+            return [
+                (
+                    os.path.join(root, f"{col}={int(r[col])}"),
+                    int(r["n"]),
+                    int(r["tmin"]),
+                    int(r["tmax"]),
+                )
+                for r in (
+                    self.spark.read.parquet(root)
+                    .groupBy(col)
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.min("event_time").alias("tmin"),
+                        F.max("event_time").alias("tmax"),
+                    )
+                    .collect()
+                )
+            ]
+
+        parts: list[dict] = []
+        work = _bucket_stats(staging, "sbkt")
+        while work:
+            path, n, tmin, tmax = work.pop()
+            if cap is None or n <= cap:
+                parts.append(
+                    {"path": path, "n": n, "tmin": tmin, "tmax": tmax}
+                )
+                continue
+            # ~10% headroom so an even hash split lands under cap; the
+            # worklist re-checks each piece, so residual skew re-splits
+            m = max(2, -(-n * 10 // (cap * 9)))
+            sub_dir = os.path.join(
+                staging, f"resplit-{uuid.uuid4().hex[:8]}"
             )
-            .collect()
-        )
-        return staging, sorted(stats, key=lambda r: int(r["sbkt"]))
+            key = F.pmod(
+                F.xxhash64(
+                    F.col("id"),
+                    F.col("event_time"),
+                    F.monotonically_increasing_id(),
+                ),
+                F.lit(m),
+            ).cast("int")
+            (
+                self.spark.read.parquet(path)
+                .withColumn("rbkt", key)
+                .repartition(m, "rbkt")
+                .write.option("compression", "zstd")
+                .partitionBy("rbkt")
+                .parquet(sub_dir)
+            )
+            work.extend(_bucket_stats(sub_dir, "rbkt"))
+            shutil.rmtree(path, ignore_errors=True)  # superseded staged dir
+        return sorted(parts, key=lambda p: (p["tmin"], p["path"]))
 
     def append_batch(self, vectors: DataFrame) -> list[dict]:
         """Rotation-aware flush (C2 parity): a batch larger than
@@ -362,17 +389,15 @@ class SegmentStore:
             seg = self.append_segment(vectors, _stats=stats0)
             return [seg] if seg is not None else []
         n_out = -(-n // cap)
-        staging, stats = self._write_time_ranged(
-            self._encode(vectors), n_out, cap, "flush"
-        )
+        parts = self._write_time_ranged(self._encode(vectors), n_out, cap, "flush")
         segs = []
-        for r in stats:
+        for p in parts:
             seg = {
                 "id": f"seg-{uuid.uuid4().hex[:12]}",
-                "path": os.path.join(staging, f"sbkt={int(r['sbkt'])}"),
-                "count": int(r["n"]),
-                "min_event_time": int(r["tmin"]),
-                "max_event_time": int(r["tmax"]),
+                "path": p["path"],
+                "count": p["n"],
+                "min_event_time": p["tmin"],
+                "max_event_time": p["tmax"],
             }
             if self.codec:
                 seg["codec"] = self.codec
@@ -517,8 +542,10 @@ class SegmentStore:
             return None
         if len(segs) == 1:
             return segs[0]
+        # id=None makes the aggregate unmistakable: it is NOT one segment's
+        # metadata (no path/codec either) — address shards via "segments"
         return {
-            "id": segs[-1]["id"],
+            "id": None,
             "count": sum(s["count"] for s in segs),
             "min_event_time": min(s["min_event_time"] for s in segs),
             "max_event_time": max(s["max_event_time"] for s in segs),
@@ -674,17 +701,15 @@ class SegmentStore:
             for s in segs
             if s.get("index_file")
         }
-        staging, stats = self._write_time_ranged(
-            df, n_out, max_rows_per_segment, "compact"
-        )
+        parts = self._write_time_ranged(df, n_out, max_rows_per_segment, "compact")
         new_segs = []
-        for r in stats:
+        for p in parts:
             seg = {
                 "id": f"seg-compact-{uuid.uuid4().hex[:8]}",
-                "path": os.path.join(staging, f"sbkt={int(r['sbkt'])}"),
-                "count": int(r["n"]),
-                "min_event_time": int(r["tmin"]),
-                "max_event_time": int(r["tmax"]),
+                "path": p["path"],
+                "count": p["n"],
+                "min_event_time": p["tmin"],
+                "max_event_time": p["tmax"],
             }
             if out_codec:
                 seg["codec"] = out_codec
