@@ -121,3 +121,18 @@ def test_oversample_never_exceeds_corpus(dfs):
     got = {r.neighbor_id for r in out.collect()}
     allowed = {r.id for r in vdf.filter(pred).select("id").collect()}
     assert got <= allowed
+
+
+def test_post_filter_escalates_when_matches_below_k(dfs):
+    """Fewer matching vectors than k: every query is deficient in its
+    oversampled top-k', so the per-query top-up must escalate to the exact
+    branch and return ALL matches, exactly ranked — not a truncated or
+    empty result."""
+    vdf, qdf = dfs
+    pred = F.col("id") < 3  # only 3 matching vectors, k=5
+    out, _, _ = knn_filtered_adaptive(
+        vdf, qdf, pred, k=K, index_conf=IC, force_strategy="post_filter"
+    )
+    exact = _exact_filtered(vdf, qdf, pred)
+    _assert_same(out, exact)
+    assert out.count() == Q * 3  # every query returns all three matches
