@@ -56,6 +56,8 @@ BENCH_QUERIES = [
         "emb_pca_gate",
         "knn_mmr_gate",
         "knn_filtered_route_gate",
+        "knn_filtered_store_gate",
+        "text_bpe_gate",
     )
 ]
 

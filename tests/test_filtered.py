@@ -123,6 +123,34 @@ def test_oversample_never_exceeds_corpus(dfs):
     assert got <= allowed
 
 
+def test_force_strategy_validated(dfs):
+    """A typo like 'prefilter' must raise, not silently run post_filter
+    while reporting the bogus string as the strategy (ADVICE r11)."""
+    vdf, qdf = dfs
+    with pytest.raises(ValueError, match="force_strategy"):
+        knn_filtered_adaptive(
+            vdf, qdf, F.col("label") == 0, k=K, index_conf=IC,
+            force_strategy="prefilter",
+        )
+
+
+def test_escalation_plan_has_no_literal_in_list(dfs):
+    """The deficiency escalation is a broadcast anti/semi join against the
+    deficient-qid frame, never a collect()+isin literal — an adversarial
+    predicate (near-zero matches around every query) would otherwise bake a
+    |Q|-entry In-expression into the plan (ADVICE r11). The escalating case
+    below makes EVERY query deficient, so a literal list would be visible."""
+    vdf, qdf = dfs
+    out, _, _ = knn_filtered_adaptive(
+        vdf, qdf, F.col("id") < 3, k=K, index_conf=IC,
+        force_strategy="post_filter",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert " IN (" not in plan and " INSET " not in plan
+    # the join-based escalation is actually in the plan
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+
+
 def test_post_filter_escalates_when_matches_below_k(dfs):
     """Fewer matching vectors than k: every query is deficient in its
     oversampled top-k', so the per-query top-up must escalate to the exact

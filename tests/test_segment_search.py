@@ -77,6 +77,7 @@ def test_early_termination_skips_cold_segments(spark, store):
         termination_lower_bound=0.0,
         termination_factor=1e9,  # always under threshold once EMA is seeded
         termination_threshold=1.0,
+        segments_per_job=1,  # pin the SST-at-a-time termination granularity
     )
     searcher = SegmentSearcher(store, conf)
     q = _queries(spark, store, n=3)
@@ -98,6 +99,7 @@ def test_per_query_termination_factor_override(spark, store):
         termination_lower_bound=0.0,
         termination_factor=1e9,
         termination_threshold=1.0,
+        segments_per_job=1,  # per-segment termination checks for this test
     )
     searcher = SegmentSearcher(store, conf)
     q = _queries(spark, store, n=3)
@@ -107,6 +109,84 @@ def test_per_query_termination_factor_override(spark, store):
     searcher2 = SegmentSearcher(store, conf)
     searcher2.search(q, k=2)
     assert len(searcher2.temperature) == 1
+
+
+def test_chunked_search_matches_segment_at_a_time(spark, tmp_path):
+    """r11 VERDICT #1: segments_per_job chunking is a pure job-granularity
+    change — on a 16-segment store, K=1 (the reference's SST-at-a-time
+    shape), K=4 (default) and K=32 (one job for everything, the
+    knn_partitioned_worker degenerate) return IDENTICAL rows with
+    termination disabled, and the chunked searcher still visits every
+    segment (temperature recorded for all 16)."""
+    st = SegmentStore(spark, str(tmp_path / "seg16"))
+    for lo in range(0, 800, 50):
+        st.append_segment(spark.createDataFrame(_vec_rows(lo, lo + 50), SCHEMA))
+    assert len(st.segments()) == 16
+    q = spark.createDataFrame(
+        [(int(i), r[1]) for i, r in enumerate(_vec_rows(0, 800)) if r[0] % 97 == 0],
+        "qid long, emb array<float>",
+    )
+    outs = {}
+    for spj in (1, 4, 32):
+        conf = VectorIndexConf(
+            dim=8, ef_search=256, termination_lower_bound=1.0,
+            segments_per_job=spj,
+        )
+        searcher = SegmentSearcher(st, conf)
+        out = searcher.search(q, k=7, metric="l2")
+        outs[spj] = list(
+            zip(out["qid"], out["neighbor_id"], out["rank"],
+                out["distance"].round(6))
+        )
+        assert len(searcher.temperature) == 16  # every segment visited
+    assert outs[1] == outs[4] == outs[32]
+
+
+def test_chunked_termination_checks_per_chunk(spark, tmp_path):
+    """With an always-terminate threshold, a chunked searcher stops after
+    ONE chunk (segments_per_job segments visited), not one segment and not
+    the whole store — the C8 check runs at chunk granularity."""
+    st = SegmentStore(spark, str(tmp_path / "segterm"))
+    for lo in range(0, 400, 50):
+        st.append_segment(spark.createDataFrame(_vec_rows(lo, lo + 50), SCHEMA))
+    conf = VectorIndexConf(
+        dim=8,
+        termination_lower_bound=0.0,
+        termination_factor=1e9,
+        termination_threshold=1.0,
+        segments_per_job=3,
+    )
+    searcher = SegmentSearcher(st, conf)
+    q = spark.createDataFrame(
+        [(0, _vec_rows(0, 1)[0][1])], "qid long, emb array<float>"
+    )
+    searcher.search(q, k=2)
+    assert len(searcher.temperature) == 3  # exactly one chunk of 3
+
+
+def test_index_cache_is_lru(spark, store):
+    """r11 What's-wrong #3: eviction is LRU, not FIFO — a hot entry re-hit
+    under eviction pressure survives; the least-recently-used goes."""
+    import vstream_spark.storage.search as search_mod
+    from vstream_spark.storage.search import _INDEX_CACHE, _segment_index
+
+    segs = store.segments()
+    conf = VectorIndexConf(dim=8)
+    _INDEX_CACHE.clear()
+    old_max = search_mod._INDEX_CACHE_MAX
+    search_mod._INDEX_CACHE_MAX = 2
+    try:
+        a = _segment_index(segs[0], conf, "l2")  # cache: [0]
+        _segment_index(segs[1], conf, "l2")  # cache: [0, 1]
+        assert _segment_index(segs[0], conf, "l2") is a  # hit refreshes 0
+        _segment_index(segs[2], conf, "l2")  # evicts LRU -> 1, keeps hot 0
+        keys = set(_INDEX_CACHE)
+        assert f"{segs[0]['id']}:hnsw:l2" in keys  # hot entry retained
+        assert f"{segs[1]['id']}:hnsw:l2" not in keys  # LRU evicted
+        assert _segment_index(segs[0], conf, "l2") is a  # still the object
+    finally:
+        search_mod._INDEX_CACHE_MAX = old_max
+        _INDEX_CACHE.clear()
 
 
 def test_index_cache_reused(spark, store):

@@ -53,6 +53,15 @@ class VectorIndexConf:
     # exactly against the partition's float block (faiss IndexRefineFlat
     # pattern) — recovers the recall quantization costs at larger shards
     pq_refine: int = 4
+    # Segment-search job granularity (r11 VERDICT #1): the searcher visits
+    # this many temperature-ordered segments PER Spark job (their partials
+    # union inside one job; the M1 running merge + C8 termination check run
+    # once per chunk). 1 = the reference's SST-at-a-time shape
+    # (version_set.cc:2585-2697, where the per-file step is a C++ call, not
+    # a scheduler round trip); >1 amortizes driver job-launch latency at
+    # multi-segment stores without changing results (a chunk searches a
+    # superset of what one-at-a-time would before each termination check).
+    segments_per_job: int = 4
     # Adaptive early termination across segments (db/version_set.cc:2643-2697).
     termination_weight: float = 0.01
     termination_factor: float = 0.8
@@ -68,6 +77,8 @@ class VectorIndexConf:
             raise ValueError(
                 f"index_kind must be 'hnsw', 'ivf', 'pq' or 'auto', got {self.index_kind!r}"
             )
+        if self.segments_per_job < 1:
+            raise ValueError("segments_per_job must be >= 1")
 
 
 @dataclass(frozen=True)

@@ -91,6 +91,17 @@ def knn_filtered_adaptive(
     """
     from vstream_spark.operators.partitioned import knn_partitioned_worker
 
+    if force_strategy is not None and force_strategy not in (
+        "pre_filter",
+        "post_filter",
+    ):
+        # a typo ('prefilter') must fail loudly, not silently run post_filter
+        # while reporting the bogus string as the chosen strategy (ADVICE r11)
+        raise ValueError(
+            f"force_strategy must be 'pre_filter' or 'post_filter', "
+            f"got {force_strategy!r}"
+        )
+
     pred_vectors = vectors.filter(predicate)
     # one column-pruned scan: total + survivors together (no embedding read)
     n_total, n_match = vectors.select(
@@ -128,31 +139,39 @@ def knn_filtered_adaptive(
     # frame, and without truncation the returned `out` would re-run the
     # whole ANN lineage (per-partition index build + search) a second time
     # on the caller's first action. |Q| x k' rows — small by construction.
+    # localCheckpoint blocks live on executors (not fault-tolerant): an
+    # executor loss invalidates them and fails the caller's later actions —
+    # acceptable for this interactive search path (re-issue the query); a
+    # long-lived pipeline would persist() to replicated storage instead.
     matched = ann.drop("rank").join(keep, "neighbor_id").localCheckpoint()
 
     # Per-query exact top-up: if a query keeps >= k matches inside its
     # (exact) global top-k', its filtered top-k is provably exact — any
     # nearer match would itself sit in the top-k'. Queries below k matches
     # (predicate locally sparse around the query point) escalate to the
-    # pre-filter branch. The deficiency probe is one count over the
-    # |Q| x k' matched rows and the collect is bounded by |Q| (the query
-    # side is the small side by construction, same as every broadcast-query
-    # path here); escalation is usually empty at sane oversample factors.
+    # pre-filter branch. The deficient-qid set stays a DataFrame end to end
+    # (broadcast anti/semi joins, never a collect()+isin literal — an
+    # adversarial predicate could make that In-expression |Q| entries long
+    # and bloat the plan, ADVICE r11); the only driver value is its COUNT.
+    # Derived from the checkpointed `matched`, so computing it is O(|Q|xk').
     qcnt = (
         queries.select("qid")
         .join(matched.groupBy("qid").agg(F.count(F.lit(1)).alias("m")), "qid", "left")
         .select("qid", F.coalesce(F.col("m"), F.lit(0)).alias("m"))
     )
-    deficient = [r.qid for r in qcnt.filter(F.col("m") < k).collect()]
+    deficient = qcnt.filter(F.col("m") < k).select("qid").localCheckpoint()
+    n_deficient = deficient.count()
     out = topk(
-        matched.filter(~F.col("qid").isin(deficient)) if deficient else matched,
+        matched.join(F.broadcast(deficient), "qid", "left_anti")
+        if n_deficient
+        else matched,
         k,
         dedup=False,
     ).select("qid", "neighbor_id", "distance", "rank")
-    if deficient:
+    if n_deficient:
         escalated = knn_exact(
             pred_vectors.select("id", "emb"),
-            queries.filter(F.col("qid").isin(deficient)),
+            queries.join(F.broadcast(deficient), "qid", "left_semi"),
             k=k,
             metric=metric,
         ).select("qid", "neighbor_id", "distance", "rank")

@@ -5101,3 +5101,187 @@ def q_knn_filtered_route_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "pred_case string, strategy string, route_ok boolean"
     )
+
+
+# --- Filtered search over the PERSISTED store (r11 VERDICT #3) ---------------
+# knn_filtered_route_gate pins the adaptive router over rebuild-per-call
+# operators; this gate pins the SAME routing contract composed with the
+# SegmentStore path — persisted sidecar indexes, executor cache, chunked
+# segment loop, LWW/tombstone-visible snapshot (the reference composes its
+# filter with freshness INSIDE index traversal over persisted tables:
+# FilterSeqTs, hnswlib.h:135-146).
+
+_FILTERED_STORES: dict[str, object] = {}
+
+
+def _filtered_store(spark: SparkSession, sf_dir: str):
+    """Two-segment store over the embeddings table that PERSISTS the label
+    attribute alongside id/emb — the predicate column lives in the segment
+    parquet, so the pre-filter branch pushes it into the pruned scan."""
+    from vstream_spark.storage.segments import SegmentStore
+
+    store = _FILTERED_STORES.get(sf_dir)
+    if store is None:
+        import tempfile
+
+        store = SegmentStore(spark, tempfile.mkdtemp(prefix="knn-filtered-store-"))
+        emb = load_table(spark, sf_dir, "embeddings")
+        vectors = emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("emb"),
+            "label",
+            (F.col("vec_id") * 10).cast("long").alias("event_time"),
+            F.lit(0).cast("long").alias("ttl"),
+            F.lit("I").alias("op"),
+        )
+        for half in (vectors.filter(F.col("id") % 2 == 0),
+                     vectors.filter(F.col("id") % 2 == 1)):
+            seg = store.append_segment(half)
+            store.build_segment_index(seg, metric="l2", m=16,
+                                      ef_construction=128, kind="hnsw")
+        _FILTERED_STORES[sf_dir] = store
+    store.spark = spark
+    return store
+
+
+_FILTERED_STORE_CASES: list[tuple[str, str]] = [
+    ("selective", "pre_filter"),  # label = 0 -> ~0.10 <= threshold 0.25
+    ("weak", "post_filter"),  # label % 2 = 0 -> ~0.50 > threshold
+]
+
+_FILTERED_STORE_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{c}', '{s}', true)" for c, s in _FILTERED_STORE_CASES)
+    + ") t(pred_case, strategy, route_ok)"
+)
+
+
+@register("knn_filtered_store_gate", _FILTERED_STORE_ORACLE)
+def q_knn_filtered_store_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SegmentSearcher.search_filtered: the router picks the expected plan
+    over the persisted store, the pre_filter branch equals the exact scan of
+    the visible snapshot, and the post_filter branch (oversampled sidecar-
+    index search + re-check + escalation) clears a 0.9 recall floor — both
+    branches forced for both predicates (storage/search.py)."""
+    import sys
+
+    from vstream_spark.config import VectorIndexConf
+    from vstream_spark.functions.metrics import mean_recall
+    from vstream_spark.storage.search import SegmentSearcher
+
+    store = _filtered_store(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
+    )
+    preds = {
+        "selective": F.col("label") == 0,
+        "weak": F.col("label") % 2 == 0,
+    }
+    iconf = VectorIndexConf(
+        dim=64, m=16, ef_construction=128, ef_search=128
+    )
+    rows = []
+    for case, expect in _FILTERED_STORE_CASES:
+        pred = preds[case]
+        searcher = SegmentSearcher(store, iconf)
+        got_pdf, strategy, sel = searcher.search_filtered(
+            queries, pred, k=10, metric="l2"
+        )
+        routed = spark.createDataFrame(
+            got_pdf[["qid", "neighbor_id", "distance", "rank"]]
+        )
+        exact = knn_exact(
+            searcher.visible().filter(pred).select("id", "emb"),
+            queries, k=10, metric="l2",
+        ).cache()
+        try:
+            exact.count()
+            if strategy == "pre_filter":
+                post_pdf, _, _ = SegmentSearcher(store, iconf).search_filtered(
+                    queries, pred, k=10, metric="l2",
+                    force_strategy="post_filter",
+                )
+                post = spark.createDataFrame(
+                    post_pdf[["qid", "neighbor_id", "distance", "rank"]]
+                )
+            else:
+                post = routed
+            routed_r = mean_recall(routed, exact, k=10)
+            post_r = mean_recall(post, exact, k=10)
+            print(
+                f"# filtered_store {case}: sel={sel:.3f} strategy={strategy} "
+                f"routed_recall={routed_r:.4f} post_recall={post_r:.4f}",
+                file=sys.stderr,
+            )
+            routed_ok = routed_r >= (1.0 if strategy == "pre_filter" else 0.9)
+            ok = strategy == expect and routed_ok and post_r >= 0.9
+        finally:
+            exact.unpersist()
+        rows.append((case, strategy, bool(ok)))
+    return spark.createDataFrame(
+        rows, "pred_case string, strategy string, route_ok boolean"
+    )
+
+
+# --- BPE merge-parity gate (r11 VERDICT #5) ----------------------------------
+# text_bpe_merges is iterative (rows-only by design); this gate turns its
+# correctness into a VALUES oracle: the distributed merge sequence must equal
+# a straightforward single-node Sennrich BPE replayed over the SAME word
+# counts. The local reference runs on O(|word vocab|) driver rows — oracle
+# machinery only, the measured operator stays fully distributed.
+
+
+def _ref_bpe_local(words: dict[str, int], num_merges: int):
+    """Single-node reference BPE (Sennrich et al. 2016): greedy
+    non-overlapping merge, best pair by (count desc, pair asc) — the same
+    deterministic tiebreak train_bpe declares."""
+    syms = {w: list(w) + ["</w>"] for w in words}
+    merges = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, n in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + n
+        if not counts:
+            break
+        top = max(counts.values())
+        a, b = sorted(p for p, c in counts.items() if c == top)[0]
+        merges.append((a, b, top))
+        for w in words:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+_TEXT_BPE_GATE_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"({i}, true)" for i in range(1, 9))
+    + ") t(merge_rank, merge_ok)"
+)
+
+
+@register("text_bpe_gate", _TEXT_BPE_GATE_ORACLE)
+def q_text_bpe_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each of the 8 distributed BPE merges (pair, count, order) equals the
+    single-node reference replay — operators/bpe.py's Catalyst fold vs a
+    pure-Python Sennrich loop over identical word counts."""
+    from vstream_spark.operators.bpe import train_bpe, word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = train_bpe(docs, num_merges=8)
+    words = {r["word"]: int(r["n"]) for r in word_counts(docs).collect()}
+    want = _ref_bpe_local(words, 8)
+    rows = [
+        (i + 1, bool(i < len(got) and i < len(want) and got[i] == want[i]))
+        for i in range(8)
+    ]
+    return spark.createDataFrame(rows, "merge_rank int, merge_ok boolean")

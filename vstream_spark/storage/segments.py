@@ -274,8 +274,10 @@ class SegmentStore:
         build behind it). Enforcement works off the POST-write stats (which
         the manifest needs anyway), so the common case — distinct
         timestamps, no collapse — pays zero extra scans; only offending
-        staged buckets are re-read. The re-split key hashes a row-unique
-        tuple (id, event_time, monotonic row id), so duplicate-id mass
+        staged buckets are re-read. The re-split key is deterministic and
+        row-unique (xxhash64 over every data column plus a duplicate-group
+        row_number — retry/speculation-safe, unlike
+        monotonically_increasing_id; ADVICE r11), so duplicate-id mass
         cannot defeat it, the sizing carries ~10% headroom, and the
         worklist loops until every bucket is under cap — the cap is an
         invariant, not a best effort. Re-split buckets share one time
@@ -342,17 +344,34 @@ class SegmentStore:
             sub_dir = os.path.join(
                 staging, f"resplit-{uuid.uuid4().hex[:8]}"
             )
+            over = self.spark.read.parquet(path)
+            # Deterministic row-unique re-split key (ADVICE r11):
+            # monotonically_increasing_id() is nondeterministic across task
+            # retries/speculation — a retried task would re-bucket rows
+            # differently than the committed attempt wrote (the SPARK-23207
+            # row-loss/duplication class). Instead: xxhash64 over EVERY data
+            # column spreads distinct rows, and exact-duplicate rows get a
+            # row_number within their duplicate group (identical rows are
+            # interchangeable, so any 1..n assignment yields the same result
+            # set on every attempt) — duplicate-row mass still cannot defeat
+            # the cap. The per-split SALT breaks nested-modulus correlation:
+            # every row in this bucket already satisfies hash % parent_m ==
+            # this bucket's index, so re-hashing the SAME value mod a
+            # divisor of parent_m would put all rows back into ONE child
+            # bucket and loop forever. The salt is a driver-chosen literal
+            # baked into the plan BEFORE the job runs — identical on every
+            # task attempt, so retry-safety is preserved. The window's hash
+            # shuffle only runs on the rare over-cap path, never the flush.
+            salt = os.path.basename(sub_dir)
+            rowhash = F.xxhash64(*[F.col(c) for c in over.columns])
+            dup_seq = F.row_number().over(
+                Window.partitionBy(rowhash).orderBy(F.lit(0))
+            )
             key = F.pmod(
-                F.xxhash64(
-                    F.col("id"),
-                    F.col("event_time"),
-                    F.monotonically_increasing_id(),
-                ),
-                F.lit(m),
+                F.xxhash64(F.lit(salt), rowhash, dup_seq), F.lit(m)
             ).cast("int")
             (
-                self.spark.read.parquet(path)
-                .withColumn("rbkt", key)
+                over.withColumn("rbkt", key)
                 .repartition(m, "rbkt")
                 .write.option("compression", "zstd")
                 .partitionBy("rbkt")
