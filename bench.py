@@ -350,6 +350,35 @@ def main() -> None:
         )
         denom = sum(len(v) for v in exact.values())
         derived["query_recall_at10_sample"] = round(hits / max(1, denom), 4)
+
+        # Multi-segment query axis (r11 VERDICT #2): the main lane's 250k
+        # cap rotates into only a couple of segments, so C7 temperature
+        # ordering, C8 early termination and the chunked running merge are
+        # barely exercised where the headline q/s is minted. Re-ingest the
+        # same batch at a cap that forces >= 8 segments and measure q/s +
+        # recall through the identical dataflow — the per-segment-count
+        # overhead the SegmentSearcher chunking (segments_per_job) is meant
+        # to keep flat.
+        cap8 = max(1, -(-n_vec // 8))
+        store8 = SegmentStore(spark, tmp + "/seg8", max_rows_per_segment=cap8)
+        store8.upsert_batch(big)
+        store8.build_segment_indexes(store8.segments(), metric="l2", kind="ivf")
+        searcher8 = SegmentSearcher(store8, idx_conf)
+        best_q8 = None
+        out8 = None
+        for _ in range(d_reps):
+            t0 = time.perf_counter()
+            out8 = searcher8.search(queries, k=10, metric="l2")
+            dt = time.perf_counter() - t0
+            best_q8 = dt if best_q8 is None else min(best_q8, dt)
+        derived["multiseg_segments"] = float(len(store8.segments()))
+        derived["multiseg_query_per_s"] = round(n_q / best_q8, 1)
+        got8 = out8[out8["qid"].isin(sample_qids)]
+        hits8 = sum(
+            len(set(g["neighbor_id"]) & exact.get(qid, set()))
+            for qid, g in got8.groupby("qid")
+        )
+        derived["multiseg_recall_at10_sample"] = round(hits8 / max(1, denom), 4)
         return derived
 
     # best-of-N on the derived axes too: single-shot numbers swing 2-3x
@@ -402,6 +431,85 @@ def main() -> None:
     for a, v in derived.items():
         derived_best_known[a] = round(max(v, derived_best_known.get(a, v)), 1)
 
+    # Drift control (r11 VERDICT #6): when official per-query timings moved
+    # vs the PREVIOUS committed round, re-measure the top movers AT THE
+    # PRIOR COMMIT (git worktree) in this same session window — the
+    # mechanical version of the two-commit A/B that adjudicated r11's +20%
+    # suite drift as machine noise. The control runs with the current
+    # session STOPPED (never two Spark sessions at once — concurrent local
+    # sessions contend and manufacture fake regressions) and its results
+    # land in the committed detail so every round's drift story carries its
+    # receipts. Best-effort: any git/subprocess failure is recorded, never
+    # fatal.
+    drift_control: dict = {}
+    if is_official and os.environ.get("SPARK_GRAFT_BENCH_DRIFT_CONTROL", "1") == "1":
+        try:
+            import subprocess
+
+            with open(official_detail) as f:
+                prev_q = json.load(f).get("queries", {})
+            movers = sorted(
+                (
+                    (q, round(timings[q] / prev_q[q], 3))
+                    for q in timings
+                    if q in prev_q and prev_q[q] > 0
+                ),
+                key=lambda kv: -kv[1],
+            )
+            movers = [(q, r) for q, r in movers if r > 1.25][:3]
+            if movers:
+                commit = subprocess.run(
+                    ["git", "log", "-n1", "--format=%H", "--", "BENCH_DETAIL.json"],
+                    cwd=repo_dir, capture_output=True, text=True, check=True,
+                ).stdout.strip()
+                wt = tempfile.mkdtemp(prefix="bench-prior-")
+                subprocess.run(
+                    ["git", "worktree", "add", "--detach", "--force", wt, commit],
+                    cwd=repo_dir, capture_output=True, check=True,
+                )
+                try:
+                    print(
+                        f"# drift control: re-measuring {[q for q, _ in movers]} "
+                        f"at prior commit {commit[:12]}",
+                        file=sys.stderr,
+                    )
+                    spark.stop()
+                    env = dict(
+                        os.environ,
+                        SPARK_GRAFT_BENCH_ONLY=",".join(q for q, _ in movers),
+                        SPARK_GRAFT_BENCH_SKIP_DERIVED="1",
+                        SPARK_GRAFT_BENCH_DETAIL=os.path.join(wt, "drift.json"),
+                        SPARK_GRAFT_BENCH_DRIFT_CONTROL="0",
+                    )
+                    subprocess.run(
+                        [sys.executable, "bench.py"], cwd=wt, env=env,
+                        capture_output=True, check=True, timeout=2400,
+                    )
+                    with open(os.path.join(wt, "drift.json")) as f:
+                        prior = json.load(f).get("queries", {})
+                    drift_control = {
+                        "prior_commit": commit,
+                        "movers": {
+                            q: {
+                                "prev_round": prev_q[q],
+                                "now": timings[q],
+                                "at_prior_commit": prior.get(q),
+                                "ratio": r,
+                            }
+                            for q, r in movers
+                        },
+                    }
+                finally:
+                    subprocess.run(
+                        ["git", "worktree", "remove", "--force", wt],
+                        cwd=repo_dir, capture_output=True,
+                    )
+            else:
+                drift_control = {"movers": {}}
+        except Exception as e:  # noqa: BLE001 - control is evidence, not a gate
+            drift_control = {"error": f"{type(e).__name__}: {e}"[:300]}
+            print(f"# drift control: ERROR {drift_control['error']}", file=sys.stderr)
+
     total = round(sum(timings.values()), 4)
     detail = {
         "metric": "declared_query_suite_seconds",
@@ -416,6 +524,7 @@ def main() -> None:
         "derived_remeasured": derived_remeasured,
         "errors": errors,
         "remeasured": remeasured,
+        "drift_control": drift_control,
         "queries": dict(sorted(timings.items())),
         # result row counts: scale rehearsals must show the verify paths are
         # live (r8 found dedup lanes returning 0 rows at sf1 — a candidate-
