@@ -359,26 +359,33 @@ def main() -> None:
         # recall through the identical dataflow — the per-segment-count
         # overhead the SegmentSearcher chunking (segments_per_job) is meant
         # to keep flat.
-        cap8 = max(1, -(-n_vec // 8))
-        store8 = SegmentStore(spark, tmp + "/seg8", max_rows_per_segment=cap8)
-        store8.upsert_batch(big)
-        store8.build_segment_indexes(store8.segments(), metric="l2", kind="ivf")
-        searcher8 = SegmentSearcher(store8, idx_conf)
-        best_q8 = None
-        out8 = None
-        for _ in range(d_reps):
-            t0 = time.perf_counter()
-            out8 = searcher8.search(queries, k=10, metric="l2")
-            dt = time.perf_counter() - t0
-            best_q8 = dt if best_q8 is None else min(best_q8, dt)
-        derived["multiseg_segments"] = float(len(store8.segments()))
-        derived["multiseg_query_per_s"] = round(n_q / best_q8, 1)
-        got8 = out8[out8["qid"].isin(sample_qids)]
-        hits8 = sum(
-            len(set(g["neighbor_id"]) & exact.get(qid, set()))
-            for qid, g in got8.groupby("qid")
-        )
-        derived["multiseg_recall_at10_sample"] = round(hits8 / max(1, denom), 4)
+        # own try/except: a multiseg failure (e.g. disk exhaustion on the
+        # second store copy) must not discard the axes already measured
+        try:
+            cap8 = max(1, -(-n_vec // 8))
+            store8 = SegmentStore(spark, tmp + "/seg8", max_rows_per_segment=cap8)
+            store8.upsert_batch(big)
+            store8.build_segment_indexes(store8.segments(), metric="l2", kind="ivf")
+            searcher8 = SegmentSearcher(store8, idx_conf)
+            best_q8 = None
+            out8 = None
+            for _ in range(d_reps):
+                t0 = time.perf_counter()
+                out8 = searcher8.search(queries, k=10, metric="l2")
+                dt = time.perf_counter() - t0
+                best_q8 = dt if best_q8 is None else min(best_q8, dt)
+            derived["multiseg_segments"] = float(len(store8.segments()))
+            derived["multiseg_query_per_s"] = round(n_q / best_q8, 1)
+            got8 = out8[out8["qid"].isin(sample_qids)]
+            hits8 = sum(
+                len(set(g["neighbor_id"]) & exact.get(qid, set()))
+                for qid, g in got8.groupby("qid")
+            )
+            derived["multiseg_recall_at10_sample"] = round(
+                hits8 / max(1, denom), 4
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"# multiseg axis: ERROR {e}", file=sys.stderr)
         return derived
 
     # best-of-N on the derived axes too: single-shot numbers swing 2-3x
@@ -429,7 +436,10 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
     derived_best_known = dict(prev_derived)
     for a, v in derived.items():
-        derived_best_known[a] = round(max(v, derived_best_known.get(a, v)), 1)
+        # recall fractions need 4 decimals — round(..., 1) would commit a
+        # 0.96 sample as best-known 1.0 and mask every later regression
+        nd = 4 if "recall" in a else 1
+        derived_best_known[a] = round(max(v, derived_best_known.get(a, v)), nd)
 
     # Drift control (r11 VERDICT #6): when official per-query timings moved
     # vs the PREVIOUS committed round, re-measure the top movers AT THE

@@ -109,6 +109,27 @@ def test_escalation_when_matches_below_k(store, queries):
     assert got.groupby("qid").size().eq(3).all()
 
 
+def test_oversample_clamp_escalates_instead_of_degrading(store, queries):
+    """max_oversample_k bounds the |Q| x k' driver materialization when a
+    caller forces post_filter on a selective predicate; the clamp must not
+    change the ANSWER — queries left under k matches escalate per-query to
+    the exact branch (judged against the FULL query frame, so no query can
+    silently vanish from the output)."""
+    searcher = SegmentSearcher(store, CONF)
+    pred = F.col("label") == 3  # 10%: k' would be ~100 unclamped
+    got, strategy, _ = searcher.search_filtered(
+        queries, pred, k=K, force_strategy="post_filter", max_oversample_k=K
+    )
+    assert strategy == "post_filter"
+    exact = knn_exact(
+        searcher.visible().filter(pred).select("id", "emb"), queries, k=K, metric="l2"
+    )
+    _assert_same(got, exact)
+    # every query is present with a full k
+    n_q = queries.select("qid").distinct().count()
+    assert got.groupby("qid").size().eq(K).all() and got["qid"].nunique() == n_q
+
+
 def test_force_strategy_validated(store, queries):
     with pytest.raises(ValueError, match="force_strategy"):
         SegmentSearcher(store, CONF).search_filtered(

@@ -50,7 +50,47 @@ from pyspark.sql import functions as F
 from vstream_spark.config import PartitionerConf, VectorIndexConf
 from vstream_spark.operators.knn import knn_exact, topk
 
-__all__ = ["knn_filtered_adaptive"]
+__all__ = [
+    "compute_k_over",
+    "knn_filtered_adaptive",
+    "validate_force_strategy",
+]
+
+
+def validate_force_strategy(force_strategy: str | None) -> None:
+    """A typo ('prefilter') must fail loudly, not silently run post_filter
+    while reporting the bogus string as the chosen strategy (ADVICE r11).
+    Shared by the operator and the SegmentSearcher store path so the two
+    routing surfaces cannot drift."""
+    if force_strategy is not None and force_strategy not in (
+        "pre_filter",
+        "post_filter",
+    ):
+        raise ValueError(
+            f"force_strategy must be 'pre_filter' or 'post_filter', "
+            f"got {force_strategy!r}"
+        )
+
+
+def compute_k_over(
+    k: int,
+    oversample: float,
+    selectivity: float,
+    n_total: int,
+    max_oversample_k: int | None = None,
+) -> int:
+    """Oversampled candidate depth k' = ceil(k * oversample / selectivity),
+    clamped to [k, n_total] and optionally to ``max_oversample_k``. The cap
+    bounds the |Q| x k' candidate materialization when a caller FORCES
+    post_filter on a near-empty predicate (selectivity -> 1/N drives k' ->
+    N); capping never makes the answer wrong — queries left under k matches
+    escalate per-query to the exact branch either way, the cap only makes
+    escalation more frequent."""
+    sel = max(selectivity, 1.0 / max(n_total, 1))
+    k_over = int(min(max(k, math.ceil(k * oversample / sel)), n_total))
+    if max_oversample_k is not None:
+        k_over = max(k, min(k_over, max_oversample_k))
+    return k_over
 
 
 def knn_filtered_adaptive(
@@ -91,16 +131,7 @@ def knn_filtered_adaptive(
     """
     from vstream_spark.operators.partitioned import knn_partitioned_worker
 
-    if force_strategy is not None and force_strategy not in (
-        "pre_filter",
-        "post_filter",
-    ):
-        # a typo ('prefilter') must fail loudly, not silently run post_filter
-        # while reporting the bogus string as the chosen strategy (ADVICE r11)
-        raise ValueError(
-            f"force_strategy must be 'pre_filter' or 'post_filter', "
-            f"got {force_strategy!r}"
-        )
+    validate_force_strategy(force_strategy)
 
     pred_vectors = vectors.filter(predicate)
     # one column-pruned scan: total + survivors together (no embedding read)
@@ -120,8 +151,7 @@ def knn_filtered_adaptive(
         return out.select("qid", "neighbor_id", "distance", "rank"), strategy, selectivity
 
     # post-filter: oversampled index search over the FULL set, then re-check
-    sel = max(selectivity, 1.0 / max(n_total, 1))
-    k_over = int(min(max(k, math.ceil(k * oversample / sel)), n_total))
+    k_over = compute_k_over(k, oversample, selectivity, n_total)
     iconf = index_conf or VectorIndexConf(index_kind="hnsw")
     ann = knn_partitioned_worker(
         vectors.select("id", "emb"),

@@ -859,32 +859,47 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HNSW_STORES: dict[str, object] = {}
 
 
-def _hnsw_store(spark: SparkSession, sf_dir: str):
+def _segment_store_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    cache: dict[str, object],
+    prefix: str,
+    extra_cols: tuple[str, ...] = (),
+):
+    """ONE recipe for every declared-query segment store (embeddings table
+    -> two flushed segments, each with its HNSW sidecar): the search paths
+    exercise the multi-segment merge AND the artifact load path.
+    ``extra_cols`` persists attribute columns (e.g. 'label') in the segment
+    parquet for predicate-filtered searches. Per-sf caching + the
+    store.spark session refresh live here once, not per copy."""
     from vstream_spark.storage.segments import SegmentStore
 
-    store = _HNSW_STORES.get(sf_dir)
+    store = cache.get(sf_dir)
     if store is None:
         import tempfile
 
-        store = SegmentStore(spark, tempfile.mkdtemp(prefix="knn-hnsw-store-"))
+        store = SegmentStore(spark, tempfile.mkdtemp(prefix=prefix))
         emb = load_table(spark, sf_dir, "embeddings")
         vectors = emb.select(
             F.col("vec_id").alias("id"),
             F.col("embedding").alias("emb"),
+            *extra_cols,
             (F.col("vec_id") * 10).cast("long").alias("event_time"),
             F.lit(0).cast("long").alias("ttl"),
             F.lit("I").alias("op"),
         )
-        # two flushes -> two segments, each with its graph artifact: the
-        # search exercises the multi-segment merge AND the load path
         for half in (vectors.filter(F.col("id") % 2 == 0),
                      vectors.filter(F.col("id") % 2 == 1)):
             seg = store.append_segment(half)
             store.build_segment_index(seg, metric="l2", m=16,
                                       ef_construction=128, kind="hnsw")
-        _HNSW_STORES[sf_dir] = store
+        cache[sf_dir] = store
     store.spark = spark
     return store
+
+
+def _hnsw_store(spark: SparkSession, sf_dir: str):
+    return _segment_store_fixture(spark, sf_dir, _HNSW_STORES, "knn-hnsw-store-")
 
 
 @register("knn_hnsw_ann")  # rows-only: persisted per-segment HNSW graphs
@@ -5115,33 +5130,14 @@ _FILTERED_STORES: dict[str, object] = {}
 
 
 def _filtered_store(spark: SparkSession, sf_dir: str):
-    """Two-segment store over the embeddings table that PERSISTS the label
-    attribute alongside id/emb — the predicate column lives in the segment
-    parquet, so the pre-filter branch pushes it into the pruned scan."""
-    from vstream_spark.storage.segments import SegmentStore
-
-    store = _FILTERED_STORES.get(sf_dir)
-    if store is None:
-        import tempfile
-
-        store = SegmentStore(spark, tempfile.mkdtemp(prefix="knn-filtered-store-"))
-        emb = load_table(spark, sf_dir, "embeddings")
-        vectors = emb.select(
-            F.col("vec_id").alias("id"),
-            F.col("embedding").alias("emb"),
-            "label",
-            (F.col("vec_id") * 10).cast("long").alias("event_time"),
-            F.lit(0).cast("long").alias("ttl"),
-            F.lit("I").alias("op"),
-        )
-        for half in (vectors.filter(F.col("id") % 2 == 0),
-                     vectors.filter(F.col("id") % 2 == 1)):
-            seg = store.append_segment(half)
-            store.build_segment_index(seg, metric="l2", m=16,
-                                      ef_construction=128, kind="hnsw")
-        _FILTERED_STORES[sf_dir] = store
-    store.spark = spark
-    return store
+    """Two-segment store that PERSISTS the label attribute alongside id/emb
+    — the predicate column lives in the segment parquet, so the pre-filter
+    branch pushes it into the pruned scan. Same recipe as `_hnsw_store`
+    (shared `_segment_store_fixture`)."""
+    return _segment_store_fixture(
+        spark, sf_dir, _FILTERED_STORES, "knn-filtered-store-",
+        extra_cols=("label",),
+    )
 
 
 _FILTERED_STORE_CASES: list[tuple[str, str]] = [

@@ -298,8 +298,24 @@ class SegmentSearcher:
         if df is None:
             return None
         if "op" in df.columns:
+            # final xxhash64 tiebreak: two inserts of the same id at the SAME
+            # event_time have no semantic winner — pick one deterministically
+            # (data-dependent, attempt-stable) so repeated visible() calls
+            # and the gates built on them never flake. Stores with unique
+            # (id, event_time) pairs — every store this engine writes —
+            # never reach the tiebreak. Map-typed attribute columns are
+            # excluded (not hashable in Spark).
+            from pyspark.sql.types import MapType
+
+            tie_cols = [
+                f.name
+                for f in df.schema.fields
+                if not isinstance(f.dataType, MapType)
+            ]
             w = Window.partitionBy("id").orderBy(
-                F.col("event_time").desc(), F.col("op").desc()
+                F.col("event_time").desc(),
+                F.col("op").desc(),
+                F.xxhash64(*[F.col(c) for c in tie_cols]).asc(),
             )
             df = (
                 df.withColumn("_v", F.row_number().over(w))
@@ -322,6 +338,7 @@ class SegmentSearcher:
         max_event_time: int | None = None,
         ef_search: int | None = None,
         force_strategy: str | None = None,
+        max_oversample_k: int | None = 10_000,
     ) -> tuple[pd.DataFrame, str, float]:
         """Attribute-filtered top-k over the PERSISTED store (r11 VERDICT
         #3): the selectivity-adaptive pre/post routing of
@@ -330,38 +347,42 @@ class SegmentSearcher:
         traversal over persisted tables (``FilterSeqTs``,
         ``hnswlib.h:135-146``). ``predicate`` is a Column over the store's
         row schema (segments may persist arbitrary attribute columns
-        alongside id/emb).
+        alongside id/emb). Routing/validation/k' scaffolding is SHARED with
+        ``knn_filtered_adaptive`` (same module-of-truth, no drift).
 
         - **pre_filter** (selectivity <= threshold): exact brute scan over
           the predicate's survivors in the :meth:`visible` snapshot — the
           predicate pushes into the pruned parquet scan.
         - **post_filter**: the normal segment-loop :meth:`search` (loaded
           sidecar indexes, C7/C8, chunked jobs) for an oversampled
-          ``k' = ceil(k * oversample / selectivity)``, then hits are
-          re-checked against the predicate's id set (result-ids broadcast
-          semi-join into the column-pruned match scan — the big side never
-          shuffles) and each query keeps its k best. Queries left with
-          fewer than k matching hits escalate per-query to the exact
-          branch — the same contract as ``knn_filtered_adaptive``; the
-          residual approximation is the index's own recall.
+          ``k' = ceil(k * oversample / selectivity)`` (clamped by
+          ``max_oversample_k`` — a forced post_filter on a near-empty
+          predicate must not materialize |Q| x N driver rows), then hits
+          are re-checked against the predicate's id set (result-ids
+          broadcast semi-join into the column-pruned match scan — the big
+          side never shuffles) and each query keeps its k best. Deficiency
+          is judged against the FULL query frame: any query left under k
+          matching hits — including one whose every hit was tombstoned
+          away — escalates per-query to the exact branch, the same
+          contract as ``knn_filtered_adaptive``; the residual
+          approximation is the index's own recall.
 
-        Returns ``(result, strategy, selectivity)``; result is the pandas
-        (qid, neighbor_id, distance, rank) frame of :meth:`search`.
+        The visible() snapshot is cache()d for the call (probe + branch +
+        escalation would otherwise each replay its scan + LWW shuffle) and
+        unpersisted before returning — the returned pandas frame owns no
+        lineage. Returns ``(result, strategy, selectivity)``; result is
+        the pandas (qid, neighbor_id, distance, rank) frame of
+        :meth:`search`.
         """
-        import math
-
         from pyspark.sql import functions as F
 
+        from vstream_spark.operators.filtered import (
+            compute_k_over,
+            validate_force_strategy,
+        )
         from vstream_spark.operators.knn import knn_exact
 
-        if force_strategy is not None and force_strategy not in (
-            "pre_filter",
-            "post_filter",
-        ):
-            raise ValueError(
-                f"force_strategy must be 'pre_filter' or 'post_filter', "
-                f"got {force_strategy!r}"
-            )
+        validate_force_strategy(force_strategy)
         empty = pd.DataFrame(
             {"qid": [], "neighbor_id": [], "distance": [], "rank": []}
         ).astype(
@@ -371,86 +392,109 @@ class SegmentSearcher:
         vis = self.visible(min_event_time, max_event_time)
         if vis is None:
             return empty, "pre_filter", 0.0
-        # one column-pruned probe: total + survivors together (no emb read);
-        # on a real deployment this comes free from catalog statistics
-        n_total, n_match = vis.select(
-            F.count(F.lit(1)).alias("n"), F.count_if(predicate).alias("m")
-        ).first()
-        selectivity = (n_match / n_total) if n_total else 0.0
-        strategy = force_strategy or (
-            "pre_filter" if selectivity <= selectivity_threshold else "post_filter"
-        )
-
-        def _finish(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(
-                ["qid", "distance", "neighbor_id"], kind="stable"
-            ).reset_index(drop=True)
-            pdf["rank"] = pdf.groupby("qid").cumcount().astype("int32") + 1
-            return pdf[["qid", "neighbor_id", "distance", "rank"]]
-
-        pred_vis = vis.filter(predicate)
-        if strategy == "pre_filter":
-            out = knn_exact(
-                pred_vis.select("id", "emb"), queries, k=k, metric=metric
-            )
-            return (
-                _finish(out.select("qid", "neighbor_id", "distance").toPandas()),
-                strategy,
-                selectivity,
+        vis = vis.cache()
+        try:
+            # one column-pruned probe: total + survivors together (no emb
+            # read); at deployment scale this comes free from catalog stats
+            n_total, n_match = vis.select(
+                F.count(F.lit(1)).alias("n"), F.count_if(predicate).alias("m")
+            ).first()
+            selectivity = (n_match / n_total) if n_total else 0.0
+            strategy = force_strategy or (
+                "pre_filter"
+                if selectivity <= selectivity_threshold
+                else "post_filter"
             )
 
-        sel = max(selectivity, 1.0 / max(n_total, 1))
-        k_over = int(min(max(k, math.ceil(k * oversample / sel)), n_total))
-        res = self.search(
-            queries,
-            k=k_over,
-            metric=metric,
-            min_event_time=min_event_time,
-            max_event_time=max_event_time,
-            ef_search=max(ef_search or self.conf.ef_search, k_over),
-        )
-        if not len(res):
-            return empty, strategy, selectivity
-        # predicate re-check: the DISTINCT hit ids (<= |Q| x k', the result
-        # itself) broadcast-semi-join into the column-pruned match-id scan;
-        # the collect is bounded by the result size, never O(N)
-        spark = queries.sparkSession
-        hit_ids = spark.createDataFrame(
-            [(int(i),) for i in sorted(set(res["neighbor_id"]))], "id bigint"
-        )
-        kept = {
-            r["id"]
-            for r in pred_vis.select("id")
-            .join(F.broadcast(hit_ids), "id", "left_semi")
-            .collect()
-        }
-        got = res[res["neighbor_id"].isin(kept)]
-        got = (
-            got.sort_values(["qid", "distance", "neighbor_id"], kind="stable")
-            .groupby("qid")
-            .head(k)
-        )
-        counts = got.groupby("qid").size()
-        deficient = sorted(
-            int(q) for q in res["qid"].unique() if counts.get(q, 0) < k
-        )
-        if deficient:
-            dq = queries.join(
-                F.broadcast(
-                    spark.createDataFrame([(q,) for q in deficient], "qid bigint")
-                ),
-                "qid",
-                "left_semi",
+            def _finish(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values(
+                    ["qid", "distance", "neighbor_id"], kind="stable"
+                ).reset_index(drop=True)
+                pdf["rank"] = pdf.groupby("qid").cumcount().astype("int32") + 1
+                return pdf[["qid", "neighbor_id", "distance", "rank"]]
+
+            pred_vis = vis.filter(predicate)
+            if strategy == "pre_filter":
+                out = knn_exact(
+                    pred_vis.select("id", "emb"), queries, k=k, metric=metric
+                )
+                return (
+                    _finish(
+                        out.select("qid", "neighbor_id", "distance").toPandas()
+                    ),
+                    strategy,
+                    selectivity,
+                )
+
+            k_over = compute_k_over(
+                k, oversample, selectivity, n_total, max_oversample_k
             )
-            esc = (
-                knn_exact(pred_vis.select("id", "emb"), dq, k=k, metric=metric)
-                .select("qid", "neighbor_id", "distance")
-                .toPandas()
+            res = self.search(
+                queries,
+                k=k_over,
+                metric=metric,
+                min_event_time=min_event_time,
+                max_event_time=max_event_time,
+                ef_search=max(ef_search or self.conf.ef_search, k_over),
             )
-            got = pd.concat(
-                [got[~got["qid"].isin(deficient)], esc], ignore_index=True
-            )
-        return _finish(got), strategy, selectivity
+            # deficiency is judged against the FULL query frame — a query
+            # whose every oversampled hit was tombstoned/filtered away must
+            # still escalate, not silently vanish from the result. The
+            # collect is O(|Q|) (queries are the small side by convention).
+            qids = [
+                int(r["qid"])
+                for r in queries.select("qid").distinct().collect()
+            ]
+            spark = queries.sparkSession
+            if len(res):
+                # predicate re-check: the DISTINCT hit ids (<= |Q| x k', the
+                # result itself) broadcast-semi-join into the column-pruned
+                # match-id scan; the collect is bounded by the result size
+                hit_ids = spark.createDataFrame(
+                    [(int(i),) for i in sorted(set(res["neighbor_id"]))],
+                    "id bigint",
+                )
+                kept = {
+                    r["id"]
+                    for r in pred_vis.select("id")
+                    .join(F.broadcast(hit_ids), "id", "left_semi")
+                    .collect()
+                }
+                got = res[res["neighbor_id"].isin(kept)]
+                got = (
+                    got.sort_values(
+                        ["qid", "distance", "neighbor_id"], kind="stable"
+                    )
+                    .groupby("qid")
+                    .head(k)
+                )
+            else:
+                got = empty.copy()
+            counts = got.groupby("qid").size()
+            deficient = sorted(q for q in qids if counts.get(q, 0) < k)
+            if deficient:
+                dq = queries.join(
+                    F.broadcast(
+                        spark.createDataFrame(
+                            [(q,) for q in deficient], "qid bigint"
+                        )
+                    ),
+                    "qid",
+                    "left_semi",
+                )
+                esc = (
+                    knn_exact(
+                        pred_vis.select("id", "emb"), dq, k=k, metric=metric
+                    )
+                    .select("qid", "neighbor_id", "distance")
+                    .toPandas()
+                )
+                got = pd.concat(
+                    [got[~got["qid"].isin(deficient)], esc], ignore_index=True
+                )
+            return _finish(got), strategy, selectivity
+        finally:
+            vis.unpersist()
 
     def _tombstones(
         self, min_event_time: int | None, max_event_time: int | None

@@ -31,6 +31,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 
 from vstream_spark.storage.manifest import ManifestLog
 
@@ -360,12 +361,26 @@ class SegmentStore:
             # divisor of parent_m would put all rows back into ONE child
             # bucket and loop forever. The salt is a driver-chosen literal
             # baked into the plan BEFORE the job runs — identical on every
-            # task attempt, so retry-safety is preserved. The window's hash
-            # shuffle only runs on the rare over-cap path, never the flush.
+            # task attempt, so retry-safety is preserved. Ordering the
+            # window by the key columns themselves (not a constant) keeps
+            # dup_seq deterministic even for DISTINCT rows that collide on
+            # xxhash64 (null-field skipping or the 2^-64 case) — equal rows
+            # remain interchangeable either way. Map-typed attribute
+            # columns are excluded (Spark can neither hash nor order them);
+            # rows differing only in a map column count as duplicates and
+            # spread via dup_seq. The window's hash shuffle only runs on
+            # the rare over-cap path, never the common flush.
             salt = os.path.basename(sub_dir)
-            rowhash = F.xxhash64(*[F.col(c) for c in over.columns])
+            key_cols = [
+                f.name
+                for f in over.schema.fields
+                if not isinstance(f.dataType, MapType)
+            ]
+            rowhash = F.xxhash64(*[F.col(c) for c in key_cols])
             dup_seq = F.row_number().over(
-                Window.partitionBy(rowhash).orderBy(F.lit(0))
+                Window.partitionBy(rowhash).orderBy(
+                    *[F.col(c).asc_nulls_first() for c in key_cols]
+                )
             )
             key = F.pmod(
                 F.xxhash64(F.lit(salt), rowhash, dup_seq), F.lit(m)
