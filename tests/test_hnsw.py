@@ -544,3 +544,62 @@ def test_native_dumps_with_tombstones_under_strict_get_items(monkeypatch):
     assert back2.live == 9 and back2.get_ts(2) == 500
     got2, _ = back2.search(vecs[2], 9)
     assert 2 in got2.tolist() and 4 not in got2.tolist()
+
+
+def test_allow_filter_in_traversal_matches_exact():
+    """In-index attribute filtering (the FilterSeqTs-functor analog,
+    hnswlib.h:135-146): with an allowlist threaded into the level-0 walk
+    and ef >= n, the filtered beam search is exhaustive over the connected
+    graph — results equal the brute-force top-k over allowed labels, with
+    the (distance, label) tiebreak, and never contain a disallowed label."""
+    vecs, labels = _data(n=300)
+    idx = build_index(vecs, labels, M=16, ef_construction=128)
+    allow = labels[labels % 3 == 0]
+    rng = np.random.RandomState(11)
+    queries = rng.rand(15, vecs.shape[1])
+    res = idx.search_batch(queries, 10, ef_search=300, allow_labels=allow)
+    aset = set(allow.tolist())
+    for q, (lbs, ds) in zip(queries, res):
+        assert set(lbs) <= aset
+        assert list(ds) == sorted(ds)
+        want = _exact_topk(vecs[allow], allow, q, 10)
+        assert list(lbs) == list(want)
+
+
+def test_allow_composes_with_tombstones_and_freshness():
+    vecs, labels = _data(n=200)
+    ts = np.arange(200, dtype=np.int64)
+    idx = build_index(vecs, labels, ts=ts, M=16, ef_construction=128)
+    idx.mark_delete(30)  # allowed label, tombstoned
+    allow = labels[labels % 2 == 0]
+    q = vecs[0].astype(np.float64)
+    lbs, _ = idx.search(q, 20, ef_search=200, min_ts=20,
+                        allow=idx._allow_mask(allow))
+    assert 30 not in lbs  # deleted never returns, even when allowed
+    assert all(lb % 2 == 0 and lb >= 20 for lb in lbs)
+    want = _exact_topk(vecs, labels, q, 20, min_ts=20, ts=ts, deleted=(30,))
+    want = [lb for lb in want if lb % 2 == 0]
+    got_exact = _exact_topk(
+        vecs[allow], allow, q, 20, min_ts=20, ts=ts[allow], deleted=(30,)
+    )
+    assert list(lbs) == list(got_exact)
+
+
+def test_allow_no_eligible_returns_empty():
+    vecs, labels = _data(n=100)
+    idx = build_index(vecs, labels)
+    res = idx.search_batch(vecs[:3], 5, ef_search=100,
+                           allow_labels=np.array([10_000], dtype=np.int64))
+    assert all(len(lbs) == 0 for lbs, _ in res)
+
+
+def test_allow_none_path_unchanged():
+    """allow_labels=None must route through the legacy unfiltered search
+    byte-identically (the hot path the hash-matched gates stand on)."""
+    vecs, labels = _data(n=250)
+    idx = build_index(vecs, labels)
+    rng = np.random.RandomState(13)
+    for q in rng.rand(10, vecs.shape[1]):
+        a_l, a_d = idx.search(q, 10, ef_search=64)
+        b = idx.search_batch(q[None, :], 10, ef_search=64, allow_labels=None)
+        assert list(a_l) == list(b[0][0]) and list(a_d) == list(b[0][1])

@@ -137,3 +137,26 @@ def test_ivf_boundary_ties_break_by_label():
     # top-5 = the 5 smallest labels among the copies (7, 47, 87, ...)
     assert ds.max() < 1e-12 and len(set(ds.tolist())) == 1
     assert got.tolist() == [7, 47, 87, 127, 167]
+
+
+def test_allow_labels_filters_in_index():
+    """In-index attribute filter: disallowed rows never enter the probed
+    cells' distance scan; with nprobe=all the result is exact over the
+    allowed set."""
+    vecs, labels = _data(500)
+    idx = build_ivf(vecs, labels, metric="l2", nlist=8)
+    allow = labels[labels % 5 == 0]
+    rng = np.random.RandomState(3)
+    for q in rng.rand(10, 16).astype(np.float64):
+        # slot mask is over the index's INTERNAL (cell-sorted) row order
+        lbs, ds = idx.search(q, 10, ef_search=8,
+                             allow=np.isin(idx.labels[: idx.n], allow))
+        assert set(lbs) <= set(allow.tolist())
+        assert list(lbs) == _exact_topk(vecs[allow], allow, q, 10)
+    # batch surface builds the slot mask once from labels
+    res = idx.search_batch(vecs[:4].astype(np.float64), 10, ef_search=8,
+                           allow_labels=allow)
+    for j, (lbs, _) in enumerate(res):
+        assert list(lbs) == _exact_topk(
+            vecs[allow], allow, vecs[j].astype(np.float64), 10
+        )

@@ -116,3 +116,17 @@ def test_segment_store_pq_artifact(spark, tmp_path):
     q = spark.createDataFrame([(0, rows[7][1])], "qid long, emb array<float>")
     got = SegmentSearcher(st, conf).search(q, k=5, metric="l2")
     assert got["neighbor_id"].iloc[0] == 7  # 256 codes/subspace: self found
+
+
+def test_allow_labels_filters_adc_scan():
+    """In-index attribute filter on the ADC path: the allow mask composes
+    with tombstones before the code gather; only allowed labels return."""
+    vecs, labels = _data(1000)
+    idx = build_pq(vecs, labels, metric="l2", m=4)
+    allow = labels[labels % 4 == 0]
+    idx.mark_delete(8)  # allowed but tombstoned
+    res = idx.search_batch(vecs[:5].astype(np.float64), 10,
+                           allow_labels=allow)
+    for lbs, ds in res:
+        assert set(lbs) <= set(allow.tolist()) - {8}
+        assert list(ds) == sorted(ds)

@@ -61,6 +61,16 @@ def _level_of(label: int, seed: int, m_l: float) -> int:
 _TS_MISSING = object()  # get_ts sentinel: "no default given"
 
 
+def _as_label_array(allow_labels) -> np.ndarray:
+    """Allowlist in any shape (ndarray / list / set) -> int64 array without
+    a Python-object round trip for the common ndarray case."""
+    if isinstance(allow_labels, np.ndarray):
+        return allow_labels.astype(np.int64, copy=False)
+    if isinstance(allow_labels, (set, frozenset)):
+        return np.fromiter(allow_labels, dtype=np.int64, count=len(allow_labels))
+    return np.asarray(list(allow_labels), dtype=np.int64)
+
+
 class HnswIndex:
     """Hierarchical navigable small-world graph over float32 vectors."""
 
@@ -274,18 +284,88 @@ class HnswIndex:
                         heapq.heappop(best)
         return sorted((-nd, nb) for nd, nb in best)
 
+    def _search_layer_filtered(
+        self, q: np.ndarray, eps: list[int], ef: int, eligible: np.ndarray
+    ):
+        """Level-0 best-first search under a node eligibility mask — the
+        in-traversal attribute filter (hnswlib's ``searchBaseLayerST`` with a
+        filter functor, the shape the reference threads ``FilterSeqTs``
+        through: ``hnswlib.h:135-146``, ``hnsw_table_reader.cc:1653-1738``).
+
+        Every visited node CONDUCTS the walk (ineligible nodes still expand
+        — dropping them would fragment the graph under selective filters),
+        but only eligible nodes enter the result heap, so the ef bound and
+        the termination test are over eligible candidates only. With no
+        eligible node reachable the walk degrades to exhaustive — the
+        routing layer keeps truly-selective predicates on the pre-filter
+        branch for exactly this reason. Returns sorted (dist, node) pairs,
+        all eligible.
+        """
+        links0, l0len = self._ensure_packed()
+        visited = np.zeros(self.n, dtype=bool)
+        visited[eps] = True
+        d0 = self._dist(self.vecs[eps], q)
+        cand = [(float(d), e) for d, e in zip(d0, eps)]  # traversal min-heap
+        heapq.heapify(cand)
+        best = [  # result max-heap (neg dist), ELIGIBLE nodes only
+            (-float(d), e) for d, e in zip(d0, eps) if eligible[e]
+        ]
+        heapq.heapify(best)
+        while cand:
+            d, c = heapq.heappop(cand)
+            full = len(best) >= ef
+            if full and d > -best[0][0]:
+                break
+            nb = links0[c, : l0len[c]]
+            nb = nb[~visited[nb]]
+            if len(nb) == 0:
+                continue
+            visited[nb] = True
+            ds = self._dist(self.vecs[nb], q)
+            if full:
+                sel = ds < -best[0][0]
+                nb, ds = nb[sel], ds[sel]
+            for nd, nb_i in zip(ds, nb.tolist()):
+                nd = float(nd)
+                if len(best) < ef or nd < -best[0][0]:
+                    heapq.heappush(cand, (nd, nb_i))
+                    if eligible[nb_i]:
+                        heapq.heappush(best, (-nd, nb_i))
+                        if len(best) > ef:
+                            heapq.heappop(best)
+        return sorted((-nd, nb) for nd, nb in best)
+
+    def _eligibility(self, min_ts: int | None, allow: np.ndarray | None):
+        """Slot-level eligibility mask combining the tombstone, freshness and
+        allowlist filters, or None when the legacy post-filter path applies
+        (no allowlist — keeps the unfiltered hot path byte-identical)."""
+        if allow is None:
+            return None
+        eligible = allow & ~self.deleted[: self.n]
+        if min_ts is not None:
+            eligible &= self.ts[: self.n] >= min_ts
+        return eligible
+
     def search(
         self,
         q: np.ndarray,
         k: int,
         ef_search: int | None = None,
         min_ts: int | None = None,
+        allow: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (labels, distances), ascending by (distance, label).
 
         min_ts replicates the reference's freshness filter: only nodes with
         ts >= min_ts qualify (query.event_time - TTL). Tombstoned nodes never
         qualify. Matches the exact-path tiebreak (dist asc, id asc).
+
+        ``allow`` (optional) is a slot-level bool mask: when given, the
+        level-0 walk filters IN-TRAVERSAL (deleted/stale/disallowed nodes
+        route but never enter the result heap), so a filtered search does
+        ~ef eligible-candidate work instead of oversampling — the
+        ``FilterSeqTs``-functor analog. Without it the legacy path
+        (post-filter the ef results) is unchanged.
         """
         if self.n == 0 or self.entry < 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
@@ -294,32 +374,49 @@ class HnswIndex:
         ep = self.entry
         for lv in range(self.max_level, 0, -1):
             ep = self._greedy(q, ep, lv)
-        found = self._search_layer(q, [ep], ef, 0, packed=self._ensure_packed())
-        ok = []
-        for d, i in found:
-            if self.deleted[i]:
-                continue
-            if min_ts is not None and self.ts[i] < min_ts:
-                continue
-            ok.append((float(d), int(self.labels[i])))
-        ok.sort()
-        ok = ok[:k]
+        eligible = self._eligibility(min_ts, allow)
+        if eligible is not None:
+            found = self._search_layer_filtered(q, [ep], ef, eligible)
+            ok = sorted((float(d), int(self.labels[i])) for d, i in found)[:k]
+        else:
+            found = self._search_layer(q, [ep], ef, 0, packed=self._ensure_packed())
+            ok = []
+            for d, i in found:
+                if self.deleted[i]:
+                    continue
+                if min_ts is not None and self.ts[i] < min_ts:
+                    continue
+                ok.append((float(d), int(self.labels[i])))
+            ok.sort()
+            ok = ok[:k]
         return (
             np.asarray([lb for _, lb in ok], dtype=np.int64),
             np.asarray([d for d, _ in ok], dtype=np.float64),
         )
 
+    def _allow_mask(self, allow_labels) -> np.ndarray:
+        """Label collection -> slot-level bool mask (shared batch helper)."""
+        return np.isin(self.labels[: self.n], _as_label_array(allow_labels))
+
     def search_batch(
-        self, qmat: np.ndarray, k: int, ef_search: int | None = None, min_ts=None
+        self,
+        qmat: np.ndarray,
+        k: int,
+        ef_search: int | None = None,
+        min_ts=None,
+        allow_labels=None,
     ):
         """Batched search: (qids-aligned) lists of label/distance arrays.
-        min_ts may be a scalar or a per-query array (per-query TTL)."""
+        min_ts may be a scalar or a per-query array (per-query TTL);
+        allow_labels (optional) is a label collection applied in-traversal
+        to every query in the batch (mask built once)."""
+        allow = self._allow_mask(allow_labels) if allow_labels is not None else None
         out = []
         for j in range(qmat.shape[0]):
             mt = None
             if min_ts is not None:
                 mt = int(min_ts) if np.isscalar(min_ts) else int(min_ts[j])
-            out.append(self.search(qmat[j], k, ef_search, mt))
+            out.append(self.search(qmat[j], k, ef_search, mt, allow=allow))
         return out
 
     # -- persistence (C3/C4 analog: segment index artifact) -------------------

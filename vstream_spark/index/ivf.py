@@ -168,9 +168,14 @@ class IvfIndex:
         k: int,
         ef_search: int | None = None,
         min_ts: int | None = None,
+        allow: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (labels, distances) ascending by (distance, label), scanning
-        the ``nprobe`` nearest cells. ``ef_search`` overrides nprobe."""
+        the ``nprobe`` nearest cells. ``ef_search`` overrides nprobe.
+        ``allow`` (optional slot-level bool mask) filters candidates inside
+        the probed cells — the in-index attribute filter (FilterSeqTs
+        analog): disallowed rows never enter the distance scan, so a
+        filtered search costs the same probe work as an unfiltered one."""
         q = np.asarray(q, dtype=np.float64)
         nprobe = ef_search or self.nprobe
         rows = [np.arange(self.offsets[c], self.offsets[c + 1]) for c in self._probe_cells(q, nprobe)]
@@ -180,6 +185,8 @@ class IvfIndex:
         ok = ~self.deleted[idx]
         if min_ts is not None:
             ok &= self.ts[idx] >= min_ts
+        if allow is not None:
+            ok &= allow[idx]
         idx = idx[ok]
         if len(idx) == 0:
             return np.empty(0, dtype=np.int64), np.empty(0)
@@ -199,14 +206,24 @@ class IvfIndex:
         top = cand[order]
         return self.labels[idx[top]], ds[top]
 
-    def search_batch(self, qmat: np.ndarray, k: int, ef_search=None, min_ts=None):
-        """Batched search; min_ts may be scalar or per-query array."""
+    def search_batch(
+        self, qmat: np.ndarray, k: int, ef_search=None, min_ts=None,
+        allow_labels=None,
+    ):
+        """Batched search; min_ts may be scalar or per-query array.
+        allow_labels (optional label collection) applies in-index to every
+        query in the batch (slot mask built once)."""
+        allow = None
+        if allow_labels is not None:
+            from vstream_spark.index.hnsw import _as_label_array
+
+            allow = np.isin(self.labels[: self.n], _as_label_array(allow_labels))
         out = []
         for j in range(qmat.shape[0]):
             mt = None
             if min_ts is not None:
                 mt = int(min_ts[j]) if np.ndim(min_ts) else int(min_ts)
-            out.append(self.search(qmat[j], k, ef_search, mt))
+            out.append(self.search(qmat[j], k, ef_search, mt, allow=allow))
         return out
 
     # -- mutation -------------------------------------------------------------

@@ -231,9 +231,14 @@ class NativeHnswIndex:
 
     # -- search ---------------------------------------------------------------
 
-    def search(self, q, k: int, ef_search: int | None = None, min_ts=None):
+    def search(
+        self, q, k: int, ef_search: int | None = None, min_ts=None, allow=None
+    ):
         """Top-k (labels, distances) ascending by (distance, label) — the
-        numpy index's exact contract, including the freshness filter."""
+        numpy index's exact contract, including the freshness filter.
+        ``allow`` (optional label set) rides the SAME filter functor hnswlib
+        threads through graph traversal (``knn_query(filter=...)``) — the
+        native backend's in-index attribute filter."""
         if self.live == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         ef = max(ef_search or self.ef_construction, k)
@@ -242,6 +247,8 @@ class NativeHnswIndex:
 
         def _ok(lb: int) -> bool:
             if lb in self._deleted:
+                return False
+            if allow is not None and lb not in allow:
                 return False
             if min_ts is None:
                 return True
@@ -269,13 +276,19 @@ class NativeHnswIndex:
             np.asarray([d for d, _ in out], dtype=np.float64),
         )
 
-    def search_batch(self, qmat, k: int, ef_search: int | None = None, min_ts=None):
+    def search_batch(
+        self, qmat, k: int, ef_search: int | None = None, min_ts=None,
+        allow_labels=None,
+    ):
+        allow = (
+            {int(lb) for lb in allow_labels} if allow_labels is not None else None
+        )
         out = []
         for j in range(qmat.shape[0]):
             mt = None
             if min_ts is not None:
                 mt = int(min_ts) if np.isscalar(min_ts) else int(min_ts[j])
-            out.append(self.search(qmat[j], k, ef_search, mt))
+            out.append(self.search(qmat[j], k, ef_search, mt, allow=allow))
         return out
 
     # -- persistence ------------------------------------------------------------

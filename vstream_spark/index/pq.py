@@ -81,14 +81,19 @@ class PqIndex:
         k: int,
         ef_search: int | None = None,
         min_ts: int | None = None,
+        allow: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Top-k (labels, approx distances) ascending by (distance, label)."""
+        """Top-k (labels, approx distances) ascending by (distance, label).
+        ``allow`` (optional slot-level bool mask) filters rows before the
+        ADC gather — the in-index attribute filter (FilterSeqTs analog)."""
         if self.n == 0:
             return np.empty(0, dtype=np.int64), np.empty(0)
         tab = self._adc_table(np.asarray(q, dtype=np.float64))
         ok = ~self.deleted[: self.n]
         if min_ts is not None:
             ok &= self.ts[: self.n] >= min_ts
+        if allow is not None:
+            ok &= allow
         idx = np.nonzero(ok)[0]
         if len(idx) == 0:
             return np.empty(0, dtype=np.int64), np.empty(0)
@@ -100,13 +105,21 @@ class PqIndex:
         top = top[order]
         return self.labels[idx[top]], ds[top].astype(np.float64)
 
-    def search_batch(self, qmat: np.ndarray, k: int, ef_search=None, min_ts=None):
+    def search_batch(
+        self, qmat: np.ndarray, k: int, ef_search=None, min_ts=None,
+        allow_labels=None,
+    ):
+        allow = None
+        if allow_labels is not None:
+            from vstream_spark.index.hnsw import _as_label_array
+
+            allow = np.isin(self.labels[: self.n], _as_label_array(allow_labels))
         out = []
         for j in range(qmat.shape[0]):
             mt = None
             if min_ts is not None:
                 mt = int(min_ts[j]) if np.ndim(min_ts) else int(min_ts)
-            out.append(self.search(qmat[j], k, ef_search, mt))
+            out.append(self.search(qmat[j], k, ef_search, mt, allow=allow))
         return out
 
     # -- mutation -------------------------------------------------------------

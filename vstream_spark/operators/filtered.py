@@ -57,18 +57,20 @@ __all__ = [
 ]
 
 
-def validate_force_strategy(force_strategy: str | None) -> None:
+def validate_force_strategy(
+    force_strategy: str | None,
+    allowed: tuple[str, ...] = ("pre_filter", "post_filter"),
+) -> None:
     """A typo ('prefilter') must fail loudly, not silently run post_filter
     while reporting the bogus string as the chosen strategy (ADVICE r11).
     Shared by the operator and the SegmentSearcher store path so the two
-    routing surfaces cannot drift."""
-    if force_strategy is not None and force_strategy not in (
-        "pre_filter",
-        "post_filter",
-    ):
+    routing surfaces cannot drift; the store path additionally allows
+    'in_index' (its segments persist the attribute columns the in-traversal
+    allowlist is built from — the rebuild-per-call operator has no such
+    persisted surface)."""
+    if force_strategy is not None and force_strategy not in allowed:
         raise ValueError(
-            f"force_strategy must be 'pre_filter' or 'post_filter', "
-            f"got {force_strategy!r}"
+            f"force_strategy must be one of {allowed}, got {force_strategy!r}"
         )
 
 

@@ -5220,6 +5220,97 @@ def q_knn_filtered_store_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- In-index attribute filtering gate (r12 VERDICT missing #1) --------------
+# knn_filtered_store_gate pins the pre/post routing over the persisted
+# store; this gate pins the third branch — the full FilterSeqTs analog:
+# each segment task builds an allowlist from ITS OWN persisted attribute
+# columns (executor-side, no driver id set) and threads it INTO graph
+# traversal (hnswlib.h:135-146, hnsw_table_reader.cc:1653-1738), so a
+# filtered search does ~k eligible-candidate work instead of oversampling.
+
+_ININDEX_CASES: list[tuple[str, str]] = [
+    # weak predicate + matching SQL hint -> routed to in_index, exact-recall
+    ("weak_hint", "in_index"),
+    # always-true hint forced onto in_index: permissive allowlist is the
+    # contract's safe direction (superset of matches) — still correct
+    ("permissive_hint", "in_index"),
+    # a hint the predicate does NOT imply would silently exclude true
+    # matches from the allowlist without tripping the deficiency check —
+    # the probe's mechanical implication guard must reject it
+    ("guard_rejects", "rejected"),
+]
+
+_ININDEX_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{c}', '{s}', true)" for c, s in _ININDEX_CASES)
+    + ") t(pred_case, strategy, route_ok)"
+)
+
+
+@register("knn_inindex_filter_gate", _ININDEX_ORACLE)
+def q_knn_inindex_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SegmentSearcher.search_filtered's in_index branch: a weak predicate
+    with a SQL hint routes to in-traversal filtering at depth k (no
+    oversampling), clears the same recall floor as the sibling branches, a
+    permissive hint stays correct, and a non-implied hint is rejected by
+    the probe's implication guard (storage/search.py)."""
+    import sys
+
+    from vstream_spark.config import VectorIndexConf
+    from vstream_spark.functions.metrics import mean_recall
+    from vstream_spark.storage.search import SegmentSearcher
+
+    store = _filtered_store(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
+    )
+    iconf = VectorIndexConf(dim=64, m=16, ef_construction=128, ef_search=128)
+    pred = F.col("label") % 2 == 0  # ~0.5 selectivity: above the pre bound
+
+    rows = []
+    for case, _expect in _ININDEX_CASES:
+        searcher = SegmentSearcher(store, iconf)
+        if case == "guard_rejects":
+            try:
+                searcher.search_filtered(
+                    queries, pred, k=10, metric="l2",
+                    force_strategy="in_index", predicate_expr="label = 3",
+                )
+                strategy, ok = "not_rejected", False
+            except ValueError:
+                strategy, ok = "rejected", True
+            rows.append((case, strategy, ok))
+            continue
+        expr = "label % 2 = 0" if case == "weak_hint" else "label >= 0"
+        force = None if case == "weak_hint" else "in_index"
+        got_pdf, strategy, sel = searcher.search_filtered(
+            queries, pred, k=10, metric="l2",
+            predicate_expr=expr, force_strategy=force,
+        )
+        got = spark.createDataFrame(
+            got_pdf[["qid", "neighbor_id", "distance", "rank"]]
+        )
+        exact = knn_exact(
+            searcher.visible().filter(pred).select("id", "emb"),
+            queries, k=10, metric="l2",
+        ).cache()
+        try:
+            exact.count()
+            r = mean_recall(got, exact, k=10)
+        finally:
+            exact.unpersist()
+        print(
+            f"# inindex_filter {case}: sel={sel:.3f} strategy={strategy} "
+            f"recall={r:.4f}",
+            file=sys.stderr,
+        )
+        rows.append((case, strategy, bool(strategy == "in_index" and r >= 0.9)))
+    return spark.createDataFrame(
+        rows, "pred_case string, strategy string, route_ok boolean"
+    )
+
+
 # --- BPE merge-parity gate (r11 VERDICT #5) ----------------------------------
 # text_bpe_merges is iterative (rows-only by design); this gate turns its
 # correctness into a VALUES oracle: the distributed merge sequence must equal
