@@ -57,6 +57,7 @@ BENCH_QUERIES = [
         "knn_mmr_gate",
         "knn_filtered_route_gate",
         "knn_filtered_store_gate",
+        "knn_inindex_filter_gate",
         "text_bpe_gate",
     )
 ]

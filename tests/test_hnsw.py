@@ -603,3 +603,42 @@ def test_allow_none_path_unchanged():
         a_l, a_d = idx.search(q, 10, ef_search=64)
         b = idx.search_batch(q[None, :], 10, ef_search=64, allow_labels=None)
         assert list(a_l) == list(b[0][0]) and list(a_d) == list(b[0][1])
+
+
+def test_ts_in_traversal_fills_k_where_post_hoc_underfills():
+    """FilterSeqTs parity (hnswlib.h:135-146): with a hard freshness bound
+    leaving few eligible nodes, the legacy post-hoc filter drops stale
+    nodes AFTER they occupied ef result slots — the result can under-fill
+    k. In-traversal ts filtering routes through stale nodes but fills the
+    heap with eligible ones only, returning the exact fresh top-k."""
+    vecs, labels = _data(n=400)
+    ts = np.arange(400, dtype=np.int64)
+    idx = build_index(vecs, labels, ts=ts, M=16, ef_construction=128)
+    min_ts = 380  # only 20 eligible nodes
+    k, ef = 10, 16
+    rng = np.random.RandomState(21)
+    underfilled = 0
+    for q in rng.rand(20, vecs.shape[1]):
+        legacy, _ = idx.search(q, k, ef_search=ef, min_ts=min_ts)
+        strict, sd = idx.search(
+            q, k, ef_search=ef, min_ts=min_ts, ts_in_traversal=True
+        )
+        underfilled += len(legacy) < k
+        assert len(strict) == k
+        assert all(lb >= min_ts for lb in strict)
+        assert list(sd) == sorted(sd)
+        # exact against brute force over the fresh subset (walk covers the
+        # whole component once eligible count < ef)
+        want = _exact_topk(vecs, labels, q, k, min_ts=min_ts, ts=ts)
+        assert list(strict) == list(want)
+    assert underfilled > 0  # the gap is real on this data/ef, not vacuous
+
+
+def test_ts_in_traversal_noop_without_bound():
+    vecs, labels = _data(n=200)
+    idx = build_index(vecs, labels)
+    rng = np.random.RandomState(2)
+    for q in rng.rand(5, vecs.shape[1]):
+        a = idx.search(q, 10, ef_search=64)
+        b = idx.search(q, 10, ef_search=64, ts_in_traversal=True)
+        assert list(a[0]) == list(b[0]) and list(a[1]) == list(b[1])

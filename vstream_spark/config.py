@@ -62,6 +62,13 @@ class VectorIndexConf:
     # multi-segment stores without changing results (a chunk searches a
     # superset of what one-at-a-time would before each termination check).
     segments_per_job: int = 4
+    # FilterSeqTs parity toggle (hnswlib.h:135-146): move the freshness
+    # bound INTO graph traversal — stale nodes route but never occupy ef
+    # result slots, so a hard TTL can't under-fill k the way the post-hoc
+    # filter can. Off by default: the unfiltered walk is the hash-matched
+    # hot path, and the flat IVF/PQ scans already filter pre-selection
+    # (the flag is a no-op there).
+    ts_in_traversal: bool = False
     # Adaptive early termination across segments (db/version_set.cc:2643-2697).
     termination_weight: float = 0.01
     termination_factor: float = 0.8

@@ -335,13 +335,26 @@ class HnswIndex:
                             heapq.heappop(best)
         return sorted((-nd, nb) for nd, nb in best)
 
-    def _eligibility(self, min_ts: int | None, allow: np.ndarray | None):
+    def _eligibility(
+        self,
+        min_ts: int | None,
+        allow: np.ndarray | None,
+        ts_in_traversal: bool = False,
+    ):
         """Slot-level eligibility mask combining the tombstone, freshness and
         allowlist filters, or None when the legacy post-filter path applies
-        (no allowlist — keeps the unfiltered hot path byte-identical)."""
-        if allow is None:
+        (no allowlist, no ts_in_traversal — keeps the unfiltered hot path
+        byte-identical). ``ts_in_traversal`` opts the freshness bound into
+        the in-walk filter WITHOUT an allowlist — the exact ``FilterSeqTs``
+        shape (``hnswlib.h:135-146``): under a hard TTL the post-hoc path
+        can return fewer than k because stale nodes occupied ef result
+        slots during the walk; in-traversal they route but never occupy."""
+        if allow is None and not (ts_in_traversal and min_ts is not None):
             return None
-        eligible = allow & ~self.deleted[: self.n]
+        eligible = (
+            allow.copy() if allow is not None else np.ones(self.n, dtype=bool)
+        )
+        eligible &= ~self.deleted[: self.n]
         if min_ts is not None:
             eligible &= self.ts[: self.n] >= min_ts
         return eligible
@@ -353,6 +366,7 @@ class HnswIndex:
         ef_search: int | None = None,
         min_ts: int | None = None,
         allow: np.ndarray | None = None,
+        ts_in_traversal: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (labels, distances), ascending by (distance, label).
 
@@ -364,8 +378,11 @@ class HnswIndex:
         level-0 walk filters IN-TRAVERSAL (deleted/stale/disallowed nodes
         route but never enter the result heap), so a filtered search does
         ~ef eligible-candidate work instead of oversampling — the
-        ``FilterSeqTs``-functor analog. Without it the legacy path
-        (post-filter the ef results) is unchanged.
+        ``FilterSeqTs``-functor analog. ``ts_in_traversal=True`` applies
+        the SAME in-walk discipline to the freshness bound alone (no
+        allowlist needed): under a hard TTL the legacy post-hoc filter can
+        under-fill k because stale nodes occupied ef result slots. Without
+        either, the legacy path (post-filter the ef results) is unchanged.
         """
         if self.n == 0 or self.entry < 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
@@ -374,7 +391,7 @@ class HnswIndex:
         ep = self.entry
         for lv in range(self.max_level, 0, -1):
             ep = self._greedy(q, ep, lv)
-        eligible = self._eligibility(min_ts, allow)
+        eligible = self._eligibility(min_ts, allow, ts_in_traversal)
         if eligible is not None:
             found = self._search_layer_filtered(q, [ep], ef, eligible)
             ok = sorted((float(d), int(self.labels[i])) for d, i in found)[:k]
@@ -405,18 +422,25 @@ class HnswIndex:
         ef_search: int | None = None,
         min_ts=None,
         allow_labels=None,
+        ts_in_traversal: bool = False,
     ):
         """Batched search: (qids-aligned) lists of label/distance arrays.
         min_ts may be a scalar or a per-query array (per-query TTL);
         allow_labels (optional) is a label collection applied in-traversal
-        to every query in the batch (mask built once)."""
+        to every query in the batch (mask built once); ts_in_traversal
+        moves the freshness bound into the walk as well (FilterSeqTs)."""
         allow = self._allow_mask(allow_labels) if allow_labels is not None else None
         out = []
         for j in range(qmat.shape[0]):
             mt = None
             if min_ts is not None:
                 mt = int(min_ts) if np.isscalar(min_ts) else int(min_ts[j])
-            out.append(self.search(qmat[j], k, ef_search, mt, allow=allow))
+            out.append(
+                self.search(
+                    qmat[j], k, ef_search, mt, allow=allow,
+                    ts_in_traversal=ts_in_traversal,
+                )
+            )
         return out
 
     # -- persistence (C3/C4 analog: segment index artifact) -------------------

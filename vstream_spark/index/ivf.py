@@ -208,11 +208,14 @@ class IvfIndex:
 
     def search_batch(
         self, qmat: np.ndarray, k: int, ef_search=None, min_ts=None,
-        allow_labels=None,
+        allow_labels=None, ts_in_traversal: bool = False,
     ):
         """Batched search; min_ts may be scalar or per-query array.
         allow_labels (optional label collection) applies in-index to every
-        query in the batch (slot mask built once)."""
+        query in the batch (slot mask built once). ``ts_in_traversal`` is
+        accepted for worker-surface parity and ignored: the flat cell scan
+        ALREADY filters min_ts before candidate selection, so it can never
+        under-fill k the way a post-hoc graph filter can."""
         allow = None
         if allow_labels is not None:
             from vstream_spark.index.hnsw import _as_label_array

@@ -278,8 +278,10 @@ class NativeHnswIndex:
 
     def search_batch(
         self, qmat, k: int, ef_search: int | None = None, min_ts=None,
-        allow_labels=None,
+        allow_labels=None, ts_in_traversal: bool = False,
     ):
+        # ts_in_traversal accepted for worker-surface parity, ignored:
+        # hnswlib's filter functor already evaluates min_ts IN traversal
         allow = (
             {int(lb) for lb in allow_labels} if allow_labels is not None else None
         )

@@ -107,8 +107,10 @@ class PqIndex:
 
     def search_batch(
         self, qmat: np.ndarray, k: int, ef_search=None, min_ts=None,
-        allow_labels=None,
+        allow_labels=None, ts_in_traversal: bool = False,
     ):
+        # ts_in_traversal accepted for worker-surface parity, ignored: the
+        # ADC scan already filters min_ts before top-k selection
         allow = None
         if allow_labels is not None:
             from vstream_spark.index.hnsw import _as_label_array

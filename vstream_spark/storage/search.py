@@ -865,7 +865,10 @@ class SegmentSearcher:
                 qmat = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
                 qids, nids, dists, nts = [], [], [], []
                 for j, (lbs, ds) in enumerate(
-                    idx.search_batch(qmat, k, ef, min_ts, allow_labels=allow)
+                    idx.search_batch(
+                        qmat, k, ef, min_ts, allow_labels=allow,
+                        ts_in_traversal=getattr(conf, "ts_in_traversal", False),
+                    )
                 ):
                     qids.extend([int(pdf["qid"].iloc[j])] * len(lbs))
                     nids.extend(lbs)
