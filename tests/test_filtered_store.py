@@ -298,3 +298,68 @@ def test_in_index_respects_tombstones_and_lww(spark, tmp_path):
     assert strategy == "in_index"
     assert 3 not in set(got["neighbor_id"])
     assert 5 in set(got["neighbor_id"])
+
+
+def test_hint_grammar_validated():
+    """The hint is evaluated by TWO engines (Spark guard, duckdb
+    allowlists); constructs whose semantics diverge across them — '^' is
+    XOR in Spark but POWER in duckdb, functions in general — are rejected
+    up front instead of silently narrowing the allowlist."""
+    from vstream_spark.storage.search import validate_hint_expr
+
+    for ok in (
+        "label % 2 = 0",
+        "label < 5 AND id IS NOT NULL",
+        "label IN (1, 2, 3) OR label BETWEEN 7 AND 9",
+        "name <> 'x''y'",
+        "NOT (label >= 4)",
+        "label == 0",  # '==' is equality in BOTH engines — safe
+    ):
+        validate_hint_expr(ok)
+    for bad in ("label ^ 1 = 0", "abs(label) > 0", "a || b = 'x'",
+                "label & 1 = 0"):
+        with pytest.raises(ValueError):
+            validate_hint_expr(bad)
+
+
+def test_in_index_segment_with_no_matches_is_skipped(spark, tmp_path):
+    """Time-ranged segment whose allowlist is empty under the hint: the
+    segment task short-circuits (no exhaustive component walk, no index
+    load) and the result still matches exact — the other segment carries
+    the matches; LWW/merge unaffected."""
+    st = SegmentStore(spark, str(tmp_path / "segskip"))
+    # segment 1: ids 0..39 (labels 0-9 cycle); segment 2: ids 1000..1039
+    # with label column forced to a value the predicate excludes
+    st.append_segment(spark.createDataFrame(_rows(0, 40), SCHEMA))
+    rows2 = [
+        (1000 + i, np.random.RandomState(i).rand(DIM).astype(np.float32).tolist(),
+         99, 10_000 + i, 10**12, "I")
+        for i in range(40)
+    ]
+    st.append_segment(spark.createDataFrame(rows2, SCHEMA))
+    searcher = SegmentSearcher(st, CONF)
+    pred = F.col("label") < 10
+    got, strategy, _ = searcher.search_filtered(
+        spark.createDataFrame([(0, [0.4] * DIM)], "qid long, emb array<float>"),
+        pred, k=K, force_strategy="in_index", predicate_expr="label < 10",
+    )
+    assert strategy == "in_index"
+    assert (got["neighbor_id"] < 1000).all()
+    exact = knn_exact(
+        searcher.visible().filter(pred).select("id", "emb"),
+        spark.createDataFrame([(0, [0.4] * DIM)], "qid long, emb array<float>"),
+        k=K, metric="l2",
+    )
+    _assert_same(got, exact)
+
+
+def test_search_filter_expr_never_writes_ema(store, queries):
+    """filter_expr on the PUBLIC search surface forces the EMA write off —
+    filtered kth distances are inflated vs plain ones, so letting a direct
+    search(filter_expr=...) caller seed the threshold would re-open the
+    ADVICE-r12 contamination one layer above search_filtered."""
+    searcher = SegmentSearcher(store, CONF)
+    searcher.search(queries, k=K, filter_expr="label % 2 = 0")
+    assert searcher.termination_threshold == 0.0
+    df = searcher.search_df(queries, k=K, filter_expr="label % 2 = 0")
+    assert df is not None and searcher.termination_threshold == 0.0

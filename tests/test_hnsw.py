@@ -577,8 +577,9 @@ def test_allow_composes_with_tombstones_and_freshness():
                         allow=idx._allow_mask(allow))
     assert 30 not in lbs  # deleted never returns, even when allowed
     assert all(lb % 2 == 0 and lb >= 20 for lb in lbs)
-    want = _exact_topk(vecs, labels, q, 20, min_ts=20, ts=ts, deleted=(30,))
-    want = [lb for lb in want if lb % 2 == 0]
+    # NOTE: the right expectation is filter-DURING-walk (top-k over the
+    # eligible subset), not global-top-k-then-filter — the whole point of
+    # in-traversal eligibility is that those two differ.
     got_exact = _exact_topk(
         vecs[allow], allow, q, 20, min_ts=20, ts=ts[allow], deleted=(30,)
     )
@@ -642,3 +643,15 @@ def test_ts_in_traversal_noop_without_bound():
         a = idx.search(q, 10, ef_search=64)
         b = idx.search(q, 10, ef_search=64, ts_in_traversal=True)
         assert list(a[0]) == list(b[0]) and list(a[1]) == list(b[1])
+
+
+def test_allow_smaller_than_k_returns_all_eligible():
+    """Eligible population below k: the beam clamps to n_eligible (the
+    heap can hold every eligible node), returns exactly those — no
+    exhaustive-walk blowup, no phantom fill."""
+    vecs, labels = _data(n=300)
+    idx = build_index(vecs, labels)
+    allow = np.array([5, 50, 500_000], dtype=np.int64)  # 2 real, 1 unknown
+    res = idx.search_batch(vecs[:4], 10, ef_search=64, allow_labels=allow)
+    for lbs, _ in res:
+        assert sorted(lbs) == [5, 50]

@@ -71,6 +71,13 @@ def _as_label_array(allow_labels) -> np.ndarray:
     return np.asarray(list(allow_labels), dtype=np.int64)
 
 
+def allow_mask(labels: np.ndarray, allow_labels) -> np.ndarray:
+    """Label collection -> slot-level bool mask over ``labels`` — THE
+    shared allowlist-mask builder for every index kind (hnsw/ivf/pq), so
+    dtype/shape handling lives once."""
+    return np.isin(labels, _as_label_array(allow_labels))
+
+
 class HnswIndex:
     """Hierarchical navigable small-world graph over float32 vectors."""
 
@@ -367,6 +374,7 @@ class HnswIndex:
         min_ts: int | None = None,
         allow: np.ndarray | None = None,
         ts_in_traversal: bool = False,
+        eligible: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (labels, distances), ascending by (distance, label).
 
@@ -383,6 +391,10 @@ class HnswIndex:
         allowlist needed): under a hard TTL the legacy post-hoc filter can
         under-fill k because stale nodes occupied ef result slots. Without
         either, the legacy path (post-filter the ef results) is unchanged.
+        ``eligible`` (optional) is a PRE-COMPOSED eligibility mask — the
+        batch surface hoists the three O(n) boolean passes out of the
+        per-query loop; when given, ``allow``/``ts_in_traversal``/
+        tombstone/``min_ts`` composition is the caller's responsibility.
         """
         if self.n == 0 or self.entry < 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
@@ -391,9 +403,25 @@ class HnswIndex:
         ep = self.entry
         for lv in range(self.max_level, 0, -1):
             ep = self._greedy(q, ep, lv)
-        eligible = self._eligibility(min_ts, allow, ts_in_traversal)
+        if eligible is None:
+            eligible = self._eligibility(min_ts, allow, ts_in_traversal)
         if eligible is not None:
-            found = self._search_layer_filtered(q, [ep], ef, eligible)
+            n_elig = int(eligible.sum())
+            if n_elig == 0:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+            # clamp the beam to the eligible population: with fewer
+            # eligible nodes than ef the result heap could never fill, the
+            # termination bound would never arm, and the walk would degrade
+            # to an exhaustive component scan (the hnswlib
+            # selective-filter pathology). ef = n_eligible keeps the beam
+            # wide enough to hold EVERY eligible node while letting the
+            # (dist > bound) cut prune distant regions. (ef >= k already;
+            # when n_elig < k the beam holds every eligible node — all
+            # that exist — and the store-level deficiency check escalates
+            # the under-filled query regardless.)
+            found = self._search_layer_filtered(
+                q, [ep], min(ef, n_elig), eligible
+            )
             ok = sorted((float(d), int(self.labels[i])) for d, i in found)[:k]
         else:
             found = self._search_layer(q, [ep], ef, 0, packed=self._ensure_packed())
@@ -413,7 +441,7 @@ class HnswIndex:
 
     def _allow_mask(self, allow_labels) -> np.ndarray:
         """Label collection -> slot-level bool mask (shared batch helper)."""
-        return np.isin(self.labels[: self.n], _as_label_array(allow_labels))
+        return allow_mask(self.labels[: self.n], allow_labels)
 
     def search_batch(
         self,
@@ -428,8 +456,19 @@ class HnswIndex:
         min_ts may be a scalar or a per-query array (per-query TTL);
         allow_labels (optional) is a label collection applied in-traversal
         to every query in the batch (mask built once); ts_in_traversal
-        moves the freshness bound into the walk as well (FilterSeqTs)."""
+        moves the freshness bound into the walk as well (FilterSeqTs).
+        The composed eligibility mask is hoisted out of the per-query loop
+        whenever min_ts is query-invariant (scalar or None) — three O(n)
+        boolean passes per BATCH, not per query."""
         allow = self._allow_mask(allow_labels) if allow_labels is not None else None
+        per_query_ts = min_ts is not None and not np.isscalar(min_ts)
+        eligible = (
+            self._eligibility(
+                None if min_ts is None else int(min_ts), allow, ts_in_traversal
+            )
+            if not per_query_ts
+            else None
+        )
         out = []
         for j in range(qmat.shape[0]):
             mt = None
@@ -438,7 +477,7 @@ class HnswIndex:
             out.append(
                 self.search(
                     qmat[j], k, ef_search, mt, allow=allow,
-                    ts_in_traversal=ts_in_traversal,
+                    ts_in_traversal=ts_in_traversal, eligible=eligible,
                 )
             )
         return out

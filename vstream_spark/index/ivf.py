@@ -218,9 +218,9 @@ class IvfIndex:
         under-fill k the way a post-hoc graph filter can."""
         allow = None
         if allow_labels is not None:
-            from vstream_spark.index.hnsw import _as_label_array
+            from vstream_spark.index.hnsw import allow_mask
 
-            allow = np.isin(self.labels[: self.n], _as_label_array(allow_labels))
+            allow = allow_mask(self.labels[: self.n], allow_labels)
         out = []
         for j in range(qmat.shape[0]):
             mt = None

@@ -113,9 +113,9 @@ class PqIndex:
         # ADC scan already filters min_ts before top-k selection
         allow = None
         if allow_labels is not None:
-            from vstream_spark.index.hnsw import _as_label_array
+            from vstream_spark.index.hnsw import allow_mask
 
-            allow = np.isin(self.labels[: self.n], _as_label_array(allow_labels))
+            allow = allow_mask(self.labels[: self.n], allow_labels)
         out = []
         for j in range(qmat.shape[0]):
             mt = None

@@ -67,6 +67,65 @@ _INDEX_CACHE_MAX = 64
 _ALLOW_CACHE: OrderedDict[str, np.ndarray] = OrderedDict()
 _ALLOW_CACHE_MAX = 128
 
+# Pushdown-safe hint grammar (the DSv2-filter-pushdown discipline): the
+# hint string is evaluated by TWO engines — Spark (the driver's implication
+# guard) and duckdb (the executor allowlists) — so only constructs whose
+# semantics PROVABLY agree across both are admitted: comparisons,
+# arithmetic (+ - * / %), AND/OR/NOT, IN, BETWEEN, IS [NOT] NULL,
+# literals, identifiers, parens. Everything else is rejected LOUDLY —
+# e.g. '^' (bitwise XOR in Spark, POWER in duckdb) or any function call
+# could make duckdb match FEWER rows than the guard validated, silently
+# narrowing the allowlist below the matches (a false negative the
+# deficiency check cannot see when a query still fills k).
+_HINT_TOKEN = __import__("re").compile(
+    r"""\s+                                  # whitespace
+      | '(?:[^']|'')*'                       # SQL string literal
+      | \d+(?:\.\d*)?(?:[eE][+-]?\d+)?       # numeric literal
+      | [A-Za-z_][A-Za-z_0-9]*               # identifier / keyword
+      | <> | != | <= | >= | [=<>+\-*/%(),]   # safe operators
+    """,
+    __import__("re").X,
+)
+_HINT_KEYWORDS = {
+    "and", "or", "not", "in", "between", "is", "null", "true", "false",
+}
+
+
+def validate_hint_expr(expr: str) -> None:
+    """Reject hint expressions outside the two-engine-safe grammar.
+
+    Identifiers immediately followed by ``(`` (function calls) are also
+    rejected — no function whitelist yet, and function semantics are the
+    classic cross-engine divergence surface."""
+    import re as _re
+
+    pos, prev_ident = 0, False
+    for m in _re.finditer(_HINT_TOKEN, expr):
+        if m.start() != pos:
+            raise ValueError(
+                f"predicate_expr contains an unsupported construct at "
+                f"offset {pos}: {expr[pos:pos+20]!r} — hints are limited "
+                "to comparisons, + - * / %, AND/OR/NOT, IN, BETWEEN, "
+                "IS [NOT] NULL, literals and column names (the subset "
+                "whose Spark and duckdb semantics provably agree)"
+            )
+        tok = m.group(0)
+        if prev_ident and tok == "(":
+            raise ValueError(
+                "predicate_expr must not contain function calls — only "
+                "the operator subset whose Spark and duckdb semantics "
+                f"provably agree is supported: {expr!r}"
+            )
+        prev_ident = bool(
+            _re.match(r"[A-Za-z_]", tok) and tok.lower() not in _HINT_KEYWORDS
+        )
+        pos = m.end()
+    if pos != len(expr):
+        raise ValueError(
+            f"predicate_expr contains an unsupported construct at offset "
+            f"{pos}: {expr[pos:pos+20]!r}"
+        )
+
 
 def _segment_allowlist(seg: dict, expr: str) -> np.ndarray:
     """Labels in this segment whose persisted attribute row satisfies
@@ -78,14 +137,16 @@ def _segment_allowlist(seg: dict, expr: str) -> np.ndarray:
     attribute columns (column-pruned pyarrow read, embeddings never loaded).
 
     ``expr`` is a SQL boolean expression over the segment's non-vector
-    columns (e.g. ``"label % 2 = 0"``), evaluated here by duckdb so the
-    dialect is the SAME string the driver's implication guard parses with
-    ``F.expr`` — one expression, two engines, no translation layer. Any
-    insert version of an id matching keeps the id (permissive: LWW and the
-    predicate re-check resolve versions downstream). Falls back to
-    ``pandas.query`` when duckdb is absent on a worker (lowercase and/or
-    subset — documented best-effort; correctness never depends on it
-    because hits are re-checked against the authoritative predicate).
+    columns (e.g. ``"label % 2 = 0"``), pre-validated against the
+    two-engine-safe grammar (:func:`validate_hint_expr`) and evaluated
+    here by duckdb — the same string the driver's implication guard parses
+    with ``F.expr``; the grammar restriction is what makes the two
+    readings provably agree. A missing duckdb on a worker raises loudly
+    (no silent fallback engine: a THIRD dialect could narrow the allowlist
+    below the matches, a false negative the deficiency check cannot see
+    when a query still fills k). Any insert version of an id matching
+    keeps the id (permissive: LWW and the predicate re-check resolve
+    versions downstream).
     """
     key = f"{seg['id']}:{expr}"
     ids = _ALLOW_CACHE.get(key)
@@ -105,19 +166,22 @@ def _segment_allowlist(seg: dict, expr: str) -> np.ndarray:
         pdf = pdf[pdf["op"] == "I"]
     try:
         import duckdb
-
-        con = duckdb.connect()
-        try:
-            con.register("t", pdf)
-            matched = con.execute(
-                f"SELECT id FROM t WHERE {expr}"  # noqa: S608 - expr is the
-                # caller's own filter over its own data, same trust level as
-                # the Spark Column predicate it hints
-            ).fetchnumpy()["id"]
-        finally:
-            con.close()
-    except ImportError:  # pragma: no cover - duckdb is present in CI
-        matched = pdf.query(expr)["id"].to_numpy()
+    except ImportError as e:  # pragma: no cover - duckdb is present in CI
+        raise RuntimeError(
+            "in-index filtered search requires duckdb on every worker "
+            "(the allowlist hint is evaluated executor-side); install "
+            "duckdb or use the post_filter branch (no predicate_expr)"
+        ) from e
+    con = duckdb.connect()
+    try:
+        con.register("t", pdf)
+        matched = con.execute(
+            f"SELECT id FROM t WHERE {expr}"  # noqa: S608 - expr is the
+            # caller's own filter over its own data, same trust level as
+            # the Spark Column predicate it hints
+        ).fetchnumpy()["id"]
+    finally:
+        con.close()
     ids = np.unique(np.asarray(matched, dtype=np.int64))
     if len(_ALLOW_CACHE) >= _ALLOW_CACHE_MAX:
         _ALLOW_CACHE.popitem(last=False)
@@ -430,10 +494,16 @@ class SegmentSearcher:
         k/ef_search overrides, memtable-only search, temperature-ordering
         bypass, eviction-on-search, per-query termination_factor.
         ``filter_expr`` threads an attribute allowlist INTO index traversal
-        on every segment (see :func:`_segment_allowlist`);
+        on every segment (see :func:`_segment_allowlist`); it also FORCES
+        ``update_termination=False`` — filtered per-query kth distances are
+        systematically larger than unfiltered ones, so letting them seed
+        the C8 EMA would re-open the ADVICE-r12 contamination one layer up.
         ``update_termination=False`` runs the search without writing the
         C8 EMA state (internal oversampled/filtered calls).
         """
+        if filter_expr is not None:
+            validate_hint_expr(filter_expr)
+            update_termination = False
         merged, searched_ids = self._run_loop(
             queries, k, metric, min_event_time, max_event_time,
             ef_search, options, filter_expr,
@@ -478,7 +548,12 @@ class SegmentSearcher:
         collect only the FINAL |Q| x k result). Stats (C7/C8) come from one
         O(|Q| x segments) aggregation over the checkpointed merge. Returns
         ``None`` when no segment survives pruning; ranks are NOT attached
-        (the caller cuts/ranks after its own joins)."""
+        (the caller cuts/ranks after its own joins). ``filter_expr``
+        forces ``update_termination=False`` (same rationale as
+        :meth:`search`)."""
+        if filter_expr is not None:
+            validate_hint_expr(filter_expr)
+            update_termination = False
         merged, searched_ids = self._run_loop(
             queries, k, metric, min_event_time, max_event_time,
             ef_search, options, filter_expr,
@@ -628,6 +703,8 @@ class SegmentSearcher:
         validate_force_strategy(
             force_strategy, allowed=("pre_filter", "post_filter", "in_index")
         )
+        if predicate_expr is not None:
+            validate_hint_expr(predicate_expr)
         if force_strategy == "in_index" and predicate_expr is None:
             raise ValueError(
                 "force_strategy='in_index' requires predicate_expr (the "
@@ -859,9 +936,19 @@ class SegmentSearcher:
                 if len(pdf) == 0:
                     continue
                 if idx is None:
-                    idx = _segment_index(seg, conf, metric)
                     if filter_expr is not None:
                         allow = _segment_allowlist(seg, filter_expr)
+                        if len(allow) == 0:
+                            # time-ranged segments can be predicate-empty
+                            # even when GLOBAL selectivity routed to
+                            # in_index (attribute correlated with ingest
+                            # time): an empty allowlist would otherwise
+                            # degrade the filtered walk to an exhaustive
+                            # component scan per query just to return
+                            # nothing — skip the segment outright (no
+                            # index load either)
+                            return
+                    idx = _segment_index(seg, conf, metric)
                 qmat = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
                 qids, nids, dists, nts = [], [], [], []
                 for j, (lbs, ds) in enumerate(
