@@ -394,6 +394,75 @@ def main() -> None:
             )
         except Exception as e:  # noqa: BLE001
             print(f"# multiseg axis: ERROR {e}", file=sys.stderr)
+
+        # Filtered-query axis (r13): the in-index allowlist path measured
+        # per-round, not just in the one-off A/B tool. A SEPARATE store
+        # persists a label attribute (the main ingest store's schema must
+        # stay byte-comparable across rounds) at an 8x replay / 4-segment
+        # rotation; the predicate sits in the mid-selectivity band (0.30,
+        # just above the 0.25 pre-filter threshold — the band where the
+        # r12 post_filter oversampled hardest) and the routing picks
+        # in_index from the supplied SQL hint. Recall is reported against
+        # the exact pre-filter anchor computed once, untimed. Own
+        # try/except: a filtered-axis failure must not discard the axes
+        # already measured.
+        try:
+            loops_f = 8
+            vec_lbl = emb.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").alias("emb"),
+                (F.col("vec_id") % 100).cast("int").alias("label"),
+                (F.col("vec_id") * 10).alias("event_time"),
+                F.lit(10**12).alias("ttl"),
+                F.lit("I").alias("op"),
+            )
+            bigf = replay(vec_lbl, loops_f, event_time_col="event_time", advance=10**9)
+            bigf = bigf.withColumn(
+                "id",
+                F.col("id") + (F.col("event_time") / 10**9).cast("long") * 10**9,
+            )
+            n_f = n_emb * loops_f // 20
+            storef = SegmentStore(
+                spark, tmp + "/segf", max_rows_per_segment=max(1, -(-n_f // 4))
+            )
+            storef.upsert_batch(bigf)
+            storef.build_segment_indexes(storef.segments(), metric="l2", kind="hnsw")
+            qf = queries.filter(F.col("qid") % 25 == 0)
+            n_qf = qf.count()
+            pred = F.col("label") < 30
+            iconf_f = VectorIndexConf(
+                metric="l2", k=10, index_kind="hnsw", ef_search=128,
+                termination_lower_bound=1.0,  # rep-stable full depth
+            )
+            best_qf = None
+            outf = None
+            for _ in range(d_reps):
+                searcherf = SegmentSearcher(storef, iconf_f)
+                t0 = time.perf_counter()
+                outf, strat_f, _sel_f = searcherf.search_filtered(
+                    qf, pred, k=10, metric="l2", predicate_expr="label < 30"
+                )
+                dt = time.perf_counter() - t0
+                best_qf = dt if best_qf is None else min(best_qf, dt)
+            derived["filtered_segments"] = float(len(storef.segments()))
+            derived["filtered_query_per_s"] = round(n_qf / best_qf, 1)
+            # recall vs the exact anchor (untimed; forced pre_filter is the
+            # brute scan over the predicate's survivors)
+            anchorf, _, _ = SegmentSearcher(storef, iconf_f).search_filtered(
+                qf, pred, k=10, metric="l2", force_strategy="pre_filter"
+            )
+            a_pairs = set(zip(anchorf["qid"], anchorf["neighbor_id"]))
+            g_pairs = set(zip(outf["qid"], outf["neighbor_id"]))
+            derived["filtered_recall_at10_sample"] = round(
+                len(a_pairs & g_pairs) / max(1, len(a_pairs)), 4
+            )
+            if strat_f != "in_index":
+                print(
+                    f"# filtered axis: unexpected strategy {strat_f}",
+                    file=sys.stderr,
+                )
+        except Exception as e:  # noqa: BLE001
+            print(f"# filtered axis: ERROR {e}", file=sys.stderr)
         return derived
 
     # best-of-N on the derived axes too: single-shot numbers swing 2-3x

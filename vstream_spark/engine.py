@@ -90,10 +90,14 @@ class VStreamEngine:
         """Current manifest version — the token for snapshot (as_of) reads."""
         return store.manifest.version()
 
-    def searcher(self, store):
+    def searcher(self, store, restore_state: bool = False):
+        """``restore_state=True`` reloads persisted C7 temperature + C8
+        termination EMA from the store's sidecar (util/metrics.h:77-109
+        analog) so a restarted deployment searches warm, not cold; pair
+        with ``searcher.save_state()`` at shutdown/checkpoint."""
         from vstream_spark.storage.search import SegmentSearcher
 
-        return SegmentSearcher(store, self.conf.index)
+        return SegmentSearcher(store, self.conf.index, restore_state=restore_state)
 
     # -- streaming ------------------------------------------------------------
 
