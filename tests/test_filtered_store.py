@@ -363,3 +363,74 @@ def test_search_filter_expr_never_writes_ema(store, queries):
     assert searcher.termination_threshold == 0.0
     df = searcher.search_df(queries, k=K, filter_expr="label % 2 = 0")
     assert df is not None and searcher.termination_threshold == 0.0
+
+
+def test_prunable_terms_parser():
+    """Only pure range conjunctions qualify for zone-map pruning; anything
+    a [min,max] test cannot refute returns None (sound default)."""
+    from vstream_spark.storage.search import prunable_terms
+
+    assert prunable_terms("label < 30") == [("label", "<", 30.0)]
+    assert prunable_terms("5 <= label AND id > 100") == [
+        ("label", ">=", 5.0), ("id", ">", 100.0),
+    ]
+    assert prunable_terms("label = 3 and ts != 0") == [
+        ("label", "=", 3.0), ("ts", "!=", 0.0),
+    ]
+    for none_case in (
+        "label % 2 = 0",          # arithmetic: range can't refute
+        "label < 30 OR id > 2",   # disjunction
+        "NOT label < 3",          # negation
+        "label IN (1,2)",         # membership
+        "(label < 3)",            # parens (keep the parser dumb and sound)
+        "label < id",             # col-col compare
+    ):
+        assert prunable_terms(none_case) is None, none_case
+
+
+def test_segment_prunable_ranges():
+    from vstream_spark.storage.search import segment_prunable
+
+    seg = {"col_stats": {"label": [10, 20]}}
+    assert segment_prunable(seg, [("label", "<", 10.0)])
+    assert segment_prunable(seg, [("label", ">", 20.0)])
+    assert segment_prunable(seg, [("label", "=", 30.0)])
+    assert not segment_prunable(seg, [("label", "<=", 10.0)])
+    assert not segment_prunable(seg, [("label", "=", 15.0)])
+    assert not segment_prunable(seg, [("other", "<", 0.0)])  # no stats
+    assert not segment_prunable({}, [("label", "<", 0.0)])   # no zone map
+
+
+def test_zone_map_prunes_segments_before_jobs(spark, tmp_path):
+    """End-to-end: a store whose segments carry disjoint label ranges only
+    SEARCHES the segments the hint's range can reach — observable through
+    C7 temperature (only searched segments get entries) — and the result
+    still matches exact."""
+    st = SegmentStore(spark, str(tmp_path / "segzone"))
+    rng = np.random.RandomState(0)
+    for base, lab_lo in ((0, 0), (100, 50)):
+        rows = [
+            (base + i, rng.rand(DIM).astype(np.float32).tolist(),
+             lab_lo + (i % 50), (base + i) * 100, 10**12, "I")
+            for i in range(60)
+        ]
+        seg = st.append_segment(spark.createDataFrame(rows, SCHEMA))
+        assert "col_stats" in seg and "label" in seg["col_stats"]
+        st.build_segment_index(seg, metric="l2", m=16, ef_construction=128)
+    searcher = SegmentSearcher(st, CONF)
+    q = spark.createDataFrame([(0, [0.5] * DIM)], "qid long, emb array<float>")
+    got, strategy, _ = searcher.search_filtered(
+        q, F.col("label") < 40, k=K, force_strategy="in_index",
+        predicate_expr="label < 40",
+    )
+    assert strategy == "in_index"
+    # the [50,99]-label segment was pruned driver-side: never searched,
+    # so it never acquired a temperature entry
+    seg_ids = [s["id"] for s in st.segments()]
+    assert seg_ids[0] in searcher.temperature
+    assert seg_ids[1] not in searcher.temperature
+    exact = knn_exact(
+        searcher.visible().filter(F.col("label") < 40).select("id", "emb"),
+        q, k=K, metric="l2",
+    )
+    _assert_same(got, exact)

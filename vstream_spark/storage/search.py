@@ -91,6 +91,65 @@ _HINT_KEYWORDS = {
 }
 
 
+_TERM_RE = __import__("re").compile(
+    r"^\s*(?:(?P<c1>[A-Za-z_][A-Za-z_0-9]*)\s*(?P<op1><=|>=|<>|!=|==|=|<|>)\s*"
+    r"(?P<n1>-?\d+(?:\.\d*)?(?:[eE][+-]?\d+)?)"
+    r"|(?P<n2>-?\d+(?:\.\d*)?(?:[eE][+-]?\d+)?)\s*(?P<op2><=|>=|<>|!=|==|=|<|>)\s*"
+    r"(?P<c2>[A-Za-z_][A-Za-z_0-9]*))\s*$"
+)
+_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+
+
+def prunable_terms(expr: str) -> list[tuple[str, str, float]] | None:
+    """Parse a hint into a conjunction of ``(column, cmp, constant)`` terms
+    for zone-map pruning, or None when the expr is anything richer — the
+    sound default is NO pruning. Only ``col <cmp> numeric`` terms joined by
+    AND qualify: OR/NOT/IN/BETWEEN/parens/arithmetic all return None (a
+    range test cannot refute ``label % 2 = 0`` from [min,max]).
+    """
+    import re as _re
+
+    terms: list[tuple[str, str, float]] = []
+    for part in _re.split(r"\s+(?:AND|and|And)\s+", expr.strip()):
+        m = _TERM_RE.match(part)
+        if m is None:
+            return None
+        if m.group("c1") is not None:
+            col, op, num = m.group("c1"), m.group("op1"), m.group("n1")
+        else:
+            col, op, num = m.group("c2"), m.group("op2"), m.group("n2")
+            op = _FLIP.get(op, op)  # 5 < col  ==  col > 5
+        if col.lower() in _HINT_KEYWORDS:
+            return None
+        terms.append((col, op, float(num)))
+    return terms or None
+
+
+def segment_prunable(seg: dict, terms: list[tuple[str, str, float]]) -> bool:
+    """True when the segment's zone map PROVES some conjunct matches no row
+    in the segment (C6's event-time skip generalized to attributes — the
+    reference prunes SSTs from per-table properties the same way,
+    ``version_set.cc:2591``). Columns without recorded stats never prune;
+    NULL-valued rows cannot satisfy a comparison, so footer min/max over
+    non-null values is the complete matchable range."""
+    stats = seg.get("col_stats") or {}
+    for col, op, c in terms:
+        rng = stats.get(col)
+        if not rng:
+            continue
+        mn, mx = float(rng[0]), float(rng[1])
+        if (
+            (op == "<" and mn >= c)
+            or (op == "<=" and mn > c)
+            or (op == ">" and mx <= c)
+            or (op == ">=" and mx < c)
+            or (op in ("=", "==") and (c < mn or c > mx))
+            or (op in ("<>", "!=") and mn == mx == c)
+        ):
+            return True
+    return False
+
+
 def validate_hint_expr(expr: str) -> None:
     """Reject hint expressions outside the two-engine-safe grammar.
 
@@ -357,6 +416,15 @@ class SegmentSearcher:
             if options.is_evict and min_event_time is not None:
                 self.store.evict(min_event_time)
         segs = self.store.prune(min_event_time, max_event_time)
+        if filter_expr is not None and segs:
+            # attribute zone-map pruning (r13): when the hint is a pure
+            # range conjunction, segments whose footer-derived [min,max]
+            # provably exclude it drop here — BEFORE any job launches
+            # (the in-task empty-allowlist skip still catches everything
+            # a range test can't refute, e.g. modulo predicates)
+            terms = prunable_terms(filter_expr)
+            if terms:
+                segs = [s for s in segs if not segment_prunable(s, terms)]
         if options is not None and not options.search_sst:
             # memtable-only: the newest segment is the flush-most-recent
             # analog of the in-memory table

@@ -55,6 +55,65 @@ def resolve_index_kind(kind: str, seg: dict, auto_ivf_threshold: int) -> str:
     return kind
 
 
+_ZONE_CORE_COLS = {"emb", "emb_q", "emb_scale", "op", "sbkt", "rbkt"}
+
+
+def attr_zone_stats(path: str) -> dict[str, list]:
+    """Per-segment zone map: ``{column: [min, max]}`` for every NUMERIC
+    attribute column, read from parquet row-group FOOTER statistics — no
+    data scan, O(files) driver work at flush. The SST-properties analog of
+    the reference's per-table metadata: C6 prunes segments by event-time
+    range; these let the searcher prune segments by ATTRIBUTE range for
+    in-index filtered search (``storage/search.py``) before any task
+    launches.
+
+    Soundness discipline: a column appears ONLY if every row group either
+    carries min/max statistics or is provably all-NULL for it (NULL rows
+    can never satisfy a comparison, so skipping them keeps the range a
+    superset of the matchable values). Any row group with data but no
+    stats drops the column entirely — absent column = never pruned.
+    Booleans and non-numerics are excluded.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    out: dict[str, list] = {}
+    dropped: set[str] = set()
+    for fp in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+        md = _pq.ParquetFile(fp).metadata
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name in _ZONE_CORE_COLS or "." in name or name in dropped:
+                    continue
+                st = col.statistics
+                if st is not None and st.null_count == row_group.num_rows:
+                    continue  # all-NULL group: no matchable values here
+                if st is None or not st.has_min_max:
+                    dropped.add(name)  # data without stats: never prune
+                    out.pop(name, None)
+                    continue
+                mn, mx = st.min, st.max
+                if (
+                    isinstance(mn, bool)
+                    or not isinstance(mn, (int, float))
+                    or not isinstance(mx, (int, float))
+                ):
+                    dropped.add(name)
+                    out.pop(name, None)
+                    continue
+                cur = out.get(name)
+                if cur is None:
+                    out[name] = [mn, mx]
+                else:
+                    cur[0] = min(cur[0], mn)
+                    cur[1] = max(cur[1], mx)
+    return out
+
+
 def build_index_object(
     seg: dict,
     kind: str,
@@ -237,6 +296,9 @@ class SegmentStore:
             "min_event_time": int(stats["tmin"]),
             "max_event_time": int(stats["tmax"]),
         }
+        zs = attr_zone_stats(path)
+        if zs:
+            seg["col_stats"] = zs  # attribute zone map (footer-read, no scan)
         if self.codec:
             seg["codec"] = self.codec
         self.manifest.append(seg)
@@ -433,6 +495,9 @@ class SegmentStore:
                 "min_event_time": p["tmin"],
                 "max_event_time": p["tmax"],
             }
+            zs = attr_zone_stats(p["path"])
+            if zs:
+                seg["col_stats"] = zs
             if self.codec:
                 seg["codec"] = self.codec
             self.manifest.append(seg)
@@ -745,6 +810,9 @@ class SegmentStore:
                 "min_event_time": p["tmin"],
                 "max_event_time": p["tmax"],
             }
+            zs = attr_zone_stats(p["path"])
+            if zs:
+                seg["col_stats"] = zs
             if out_codec:
                 seg["codec"] = out_codec
             new_segs.append(seg)
