@@ -5234,6 +5234,9 @@ _ININDEX_CASES: list[tuple[str, str]] = [
     # always-true hint forced onto in_index: permissive allowlist is the
     # contract's safe direction (superset of matches) — still correct
     ("permissive_hint", "in_index"),
+    # BETWEEN hint (r13 VERDICT #6): the range form rides the extended
+    # zone-map grammar end-to-end through routing + allowlist + re-check
+    ("between_hint", "in_index"),
     # a hint the predicate does NOT imply would silently exclude true
     # matches from the allowlist without tripping the deficiency check —
     # the probe's mechanical implication guard must reject it
@@ -5266,10 +5269,10 @@ def q_knn_inindex_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
     )
     iconf = VectorIndexConf(dim=64, m=16, ef_construction=128, ef_search=128)
-    pred = F.col("label") % 2 == 0  # ~0.5 selectivity: above the pre bound
 
     rows = []
     for case, _expect in _ININDEX_CASES:
+        pred = F.col("label") % 2 == 0  # ~0.5 selectivity: above the pre bound
         searcher = SegmentSearcher(store, iconf)
         if case == "guard_rejects":
             try:
@@ -5282,8 +5285,16 @@ def q_knn_inindex_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 strategy, ok = "rejected", True
             rows.append((case, strategy, ok))
             continue
-        expr = "label % 2 = 0" if case == "weak_hint" else "label >= 0"
-        force = None if case == "weak_hint" else "in_index"
+        if case == "between_hint":
+            # ~0.6 selectivity range predicate over the fixture's label
+            # domain [0, 9], hint in the BETWEEN form the r14 grammar
+            # extension admits (desugars to two range terms for zone
+            # pruning; duckdb and Spark agree on its semantics)
+            pred = (F.col("label") >= 2) & (F.col("label") <= 7)
+            expr, force = "label BETWEEN 2 AND 7", None
+        else:
+            expr = "label % 2 = 0" if case == "weak_hint" else "label >= 0"
+            force = None if case == "weak_hint" else "in_index"
         got_pdf, strategy, sel = searcher.search_filtered(
             queries, pred, k=10, metric="l2",
             predicate_expr=expr, force_strategy=force,

@@ -63,9 +63,14 @@ _INDEX_CACHE_MAX = 64
 # executor-process-global allowlist cache: (segment id, expr) -> sorted
 # label array. Sits beside the index cache with the same LRU discipline —
 # a repeated filtered search over a hot segment must not re-read + re-eval
-# the attribute columns every batch.
+# the attribute columns every batch. Bounded by TOTAL BYTES, not entry
+# count (ADVICE r13): each entry is an O(segment-rows) int64 array, so a
+# count bound could pin hundreds of MB per executor process at large
+# segments x several distinct exprs; evicting LRU-first until under budget
+# keeps the cache's footprint a fixed fraction of executor memory.
 _ALLOW_CACHE: OrderedDict[str, np.ndarray] = OrderedDict()
-_ALLOW_CACHE_MAX = 128
+_ALLOW_CACHE_MAX_BYTES = 64 * 1024 * 1024
+_ALLOW_CACHE_BYTES = 0
 
 # Pushdown-safe hint grammar (the DSv2-filter-pushdown discipline): the
 # hint string is evaluated by TWO engines — Spark (the driver's implication
@@ -91,53 +96,150 @@ _HINT_KEYWORDS = {
 }
 
 
-_TERM_RE = __import__("re").compile(
-    r"^\s*(?:(?P<c1>[A-Za-z_][A-Za-z_0-9]*)\s*(?P<op1><=|>=|<>|!=|==|=|<|>)\s*"
-    r"(?P<n1>-?\d+(?:\.\d*)?(?:[eE][+-]?\d+)?)"
-    r"|(?P<n2>-?\d+(?:\.\d*)?(?:[eE][+-]?\d+)?)\s*(?P<op2><=|>=|<>|!=|==|=|<|>)\s*"
-    r"(?P<c2>[A-Za-z_][A-Za-z_0-9]*))\s*$"
-)
 _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+_CMP_OPS = {"=", "==", "<>", "!=", "<", "<=", ">", ">="}
 
 
-def prunable_terms(expr: str) -> list[tuple[str, str, float]] | None:
-    """Parse a hint into a conjunction of ``(column, cmp, constant)`` terms
-    for zone-map pruning, or None when the expr is anything richer — the
-    sound default is NO pruning. Only ``col <cmp> numeric`` terms joined by
-    AND qualify: OR/NOT/IN/BETWEEN/parens/arithmetic all return None (a
-    range test cannot refute ``label % 2 = 0`` from [min,max]).
-    """
+def _hint_tokens(expr: str) -> list[str] | None:
+    """Tokenize a hint with the validated grammar's lexer; None on any gap
+    (an unlexable character means the expr is outside the grammar — the
+    sound parse result is 'no pruning'). Adjacent ``= =`` re-merges to
+    ``==`` (the lexer emits single-char ``=``); a unary minus fuses into
+    the following numeric literal so ``label > -5`` parses."""
+    toks: list[str] = []
+    pos = 0
+    for m in _HINT_TOKEN.finditer(expr):
+        if m.start() != pos:
+            return None
+        pos = m.end()
+        t = m.group(0)
+        if t.strip() == "":
+            continue
+        if t == "=" and toks and toks[-1] in ("=", "<", ">", "!"):
+            toks[-1] += t
+            continue
+        if (
+            t[0].isdigit()
+            and toks
+            and toks[-1] == "-"
+            and (len(toks) < 2 or toks[-2].lower() in ("and", "or", "not", "(", ",", "in", "between") or toks[-2] in _CMP_OPS)
+        ):
+            toks[-1] = "-" + t
+            continue
+        toks.append(t)
+    if pos != len(expr):
+        return None
+    return toks
+
+
+def _num(tok: str) -> float | None:
+    try:
+        return float(tok)
+    except ValueError:
+        return None
+
+
+def _is_ident(tok: str) -> bool:
     import re as _re
 
-    terms: list[tuple[str, str, float]] = []
-    for part in _re.split(r"\s+(?:AND|and|And)\s+", expr.strip()):
-        m = _TERM_RE.match(part)
-        if m is None:
-            return None
-        if m.group("c1") is not None:
-            col, op, num = m.group("c1"), m.group("op1"), m.group("n1")
+    return bool(
+        _re.match(r"^[A-Za-z_][A-Za-z_0-9]*$", tok)
+        and tok.lower() not in _HINT_KEYWORDS
+    )
+
+
+def prunable_terms(expr: str) -> list[tuple] | None:
+    """Parse a hint into a conjunction of range-refutable terms for
+    zone-map pruning, or None when the expr is anything richer — the sound
+    default is NO pruning. Terms joined by AND qualify when they are:
+
+    - ``col <cmp> numeric`` / ``numeric <cmp> col`` -> ``(col, cmp, c)``
+    - ``col BETWEEN lo AND hi`` -> two comparison terms (r13 VERDICT #6)
+    - ``col IN (v, v, ...)``    -> ``(col, 'in', (v, ...))`` — prunable
+      when EVERY listed value falls outside the segment's [min, max]
+
+    OR/NOT/parens/arithmetic/col-col comparisons all return None (a range
+    test cannot refute ``label % 2 = 0`` from [min,max])."""
+    toks = _hint_tokens(expr)
+    if toks is None:
+        return None
+    terms: list[tuple] = []
+    i, n = 0, len(toks)
+    while i < n:
+        t = toks[i]
+        kw = toks[i + 1].lower() if i + 1 < n else ""
+        if _is_ident(t) and kw == "between":
+            # col BETWEEN lo AND hi  ==  col >= lo AND col <= hi
+            lo = _num(toks[i + 2]) if i + 2 < n else None
+            hi = _num(toks[i + 4]) if i + 4 < n else None
+            if lo is None or hi is None or toks[i + 3].lower() != "and":
+                return None
+            terms.append((t, ">=", lo))
+            terms.append((t, "<=", hi))
+            i += 5
+        elif _is_ident(t) and kw == "in":
+            # col IN ( v, v, ... ) — numeric literals only
+            if i + 2 >= n or toks[i + 2] != "(":
+                return None
+            j, vals = i + 3, []
+            while j < n and toks[j] != ")":
+                v = _num(toks[j])
+                if v is None:
+                    return None
+                vals.append(v)
+                j += 1
+                if j < n and toks[j] == ",":
+                    j += 1
+                elif j < n and toks[j] != ")":
+                    return None
+            if j >= n or not vals:
+                return None
+            terms.append((t, "in", tuple(vals)))
+            i = j + 1
+        elif _is_ident(t) and i + 2 < n and toks[i + 1] in _CMP_OPS:
+            v = _num(toks[i + 2])
+            if v is None:
+                return None
+            terms.append((t, toks[i + 1], v))
+            i += 3
+        elif (
+            _num(t) is not None
+            and i + 2 < n
+            and toks[i + 1] in _CMP_OPS
+            and _is_ident(toks[i + 2])
+        ):
+            # 5 < col  ==  col > 5
+            op = _FLIP.get(toks[i + 1], toks[i + 1])
+            terms.append((toks[i + 2], op, _num(t)))
+            i += 3
         else:
-            col, op, num = m.group("c2"), m.group("op2"), m.group("n2")
-            op = _FLIP.get(op, op)  # 5 < col  ==  col > 5
-        if col.lower() in _HINT_KEYWORDS:
             return None
-        terms.append((col, op, float(num)))
+        if i == n:
+            break
+        if toks[i].lower() != "and" or i + 1 == n:
+            return None
+        i += 1
     return terms or None
 
 
-def segment_prunable(seg: dict, terms: list[tuple[str, str, float]]) -> bool:
+def segment_prunable(seg: dict, terms: list[tuple]) -> bool:
     """True when the segment's zone map PROVES some conjunct matches no row
     in the segment (C6's event-time skip generalized to attributes — the
     reference prunes SSTs from per-table properties the same way,
     ``version_set.cc:2591``). Columns without recorded stats never prune;
-    NULL-valued rows cannot satisfy a comparison, so footer min/max over
-    non-null values is the complete matchable range."""
+    NULL-valued rows cannot satisfy a comparison (or IN), so footer min/max
+    over non-null values is the complete matchable range. An ``in`` term
+    prunes only when EVERY listed value is outside [min, max]."""
     stats = seg.get("col_stats") or {}
     for col, op, c in terms:
         rng = stats.get(col)
         if not rng:
             continue
         mn, mx = float(rng[0]), float(rng[1])
+        if op == "in":
+            if all(v < mn or v > mx for v in c):
+                return True
+            continue
         if (
             (op == "<" and mn >= c)
             or (op == "<=" and mn > c)
@@ -242,9 +344,14 @@ def _segment_allowlist(seg: dict, expr: str) -> np.ndarray:
     finally:
         con.close()
     ids = np.unique(np.asarray(matched, dtype=np.int64))
-    if len(_ALLOW_CACHE) >= _ALLOW_CACHE_MAX:
-        _ALLOW_CACHE.popitem(last=False)
+    global _ALLOW_CACHE_BYTES
+    while _ALLOW_CACHE and _ALLOW_CACHE_BYTES + ids.nbytes > _ALLOW_CACHE_MAX_BYTES:
+        _, old = _ALLOW_CACHE.popitem(last=False)
+        _ALLOW_CACHE_BYTES -= old.nbytes
+    # an entry larger than the whole budget still caches (it IS the active
+    # allowlist); the next insert evicts it first
     _ALLOW_CACHE[key] = ids
+    _ALLOW_CACHE_BYTES += ids.nbytes
     return ids
 
 
@@ -541,6 +648,35 @@ class SegmentSearcher:
         for sid in searched_ids:
             self._update_temperature(sid, hits=int(seg_hits.get(sid, 0)))
 
+    def _recheck_filter(
+        self,
+        merged: DataFrame,
+        filter_expr: str,
+        min_event_time: int | None,
+        max_event_time: int | None,
+    ) -> DataFrame:
+        """LWW-consistent predicate re-check for the public ``filter_expr``
+        surfaces (ADVICE r13 medium): the per-segment allowlist is
+        PERMISSIVE — any insert version of an id matching the expr keeps
+        the id — so when only a STALE version of an id satisfies the expr,
+        that stale hit would win the LWW merge (the live version never
+        entered its own segment's allowlist, so it isn't in the merge to
+        outrank it) and the result would contain an id whose CURRENT
+        visible attributes fail the filter, at the stale vector's distance.
+        One broadcast-friendly semi-join against the ids whose
+        LWW-resolved visible row satisfies the expr removes exactly those
+        hits. The hit side is |Q| x k (tiny); the visible scan is
+        column-pruned to id/event_time/op + the expr's columns."""
+        from pyspark.sql import functions as F
+
+        vis = self.visible(min_event_time, max_event_time)
+        if vis is None:
+            return merged
+        keep = vis.filter(F.expr(filter_expr)).select(
+            F.col("id").alias("neighbor_id")
+        )
+        return merged.join(keep, "neighbor_id", "left_semi")
+
     def search(
         self,
         queries: DataFrame,
@@ -552,6 +688,7 @@ class SegmentSearcher:
         options: "SearchOptions | None" = None,
         update_termination: bool = True,
         filter_expr: str | None = None,
+        recheck_filter: bool = True,
     ) -> pd.DataFrame:
         """Returns a pandas frame (qid, neighbor_id, distance, rank).
 
@@ -566,6 +703,13 @@ class SegmentSearcher:
         ``update_termination=False`` — filtered per-query kth distances are
         systematically larger than unfiltered ones, so letting them seed
         the C8 EMA would re-open the ADVICE-r12 contamination one layer up.
+        Returned hits are re-checked against the LWW-visible snapshot
+        (:meth:`_recheck_filter`) so every returned id's CURRENT attributes
+        satisfy the expr — a query may therefore return FEWER than k rows
+        when only stale versions of eligible ids were walked; callers that
+        need fill guarantees use :meth:`search_filtered`, which escalates
+        deficient queries to the exact branch. ``recheck_filter=False``
+        skips that join for callers that re-check downstream themselves.
         ``update_termination=False`` runs the search without writing the
         C8 EMA state (internal oversampled/filtered calls).
         """
@@ -576,6 +720,10 @@ class SegmentSearcher:
             queries, k, metric, min_event_time, max_event_time,
             ef_search, options, filter_expr,
         )
+        if merged is not None and filter_expr is not None and recheck_filter:
+            merged = self._recheck_filter(
+                merged, filter_expr, min_event_time, max_event_time
+            )
         if merged is None:
             return pd.DataFrame(
                 {"qid": [], "neighbor_id": [], "distance": [], "rank": []}
@@ -608,6 +756,7 @@ class SegmentSearcher:
         options: "SearchOptions | None" = None,
         update_termination: bool = True,
         filter_expr: str | None = None,
+        recheck_filter: bool = True,
     ) -> DataFrame | None:
         """:meth:`search`'s DataFrame surface: the same chunked loop, but
         the merged (qid, neighbor_id, distance) frame stays ON THE CLUSTER
@@ -617,8 +766,11 @@ class SegmentSearcher:
         O(|Q| x segments) aggregation over the checkpointed merge. Returns
         ``None`` when no segment survives pruning; ranks are NOT attached
         (the caller cuts/ranks after its own joins). ``filter_expr``
-        forces ``update_termination=False`` (same rationale as
-        :meth:`search`)."""
+        forces ``update_termination=False`` and, like :meth:`search`,
+        re-checks hits against the LWW-visible snapshot unless
+        ``recheck_filter=False`` (``search_filtered`` passes False — its
+        own predicate re-check is at least as strict, so the extra join
+        would be pure overhead on the hot filtered path)."""
         if filter_expr is not None:
             validate_hint_expr(filter_expr)
             update_termination = False
@@ -628,6 +780,10 @@ class SegmentSearcher:
         )
         if merged is None:
             return None
+        if filter_expr is not None and recheck_filter:
+            merged = self._recheck_filter(
+                merged, filter_expr, min_event_time, max_event_time
+            )
         from pyspark.sql import functions as F
 
         stat = (
@@ -861,6 +1017,10 @@ class SegmentSearcher:
                 ef_search=max(ef_search or self.conf.ef_search, k_search),
                 update_termination=False,
                 filter_expr=expr,
+                # the predicate re-check below is at least as strict as the
+                # expr re-check (predicate => expr), so the generic
+                # _recheck_filter join would be pure overhead here
+                recheck_filter=False,
             )
             spark = queries.sparkSession
             if res is None:

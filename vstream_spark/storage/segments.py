@@ -72,7 +72,13 @@ def attr_zone_stats(path: str) -> dict[str, list]:
     can never satisfy a comparison, so skipping them keeps the range a
     superset of the matchable values). Any row group with data but no
     stats drops the column entirely — absent column = never pruned.
-    Booleans and non-numerics are excluded.
+    Booleans and non-numerics are excluded. FLOAT/DOUBLE columns are
+    excluded too (ADVICE r13): parquet writers may emit NaN-IGNORING
+    min/max with has_min_max=True, while Spark and duckdb both order NaN
+    ABOVE every value — a hint like ``score > 1e9`` could then zone-prune
+    a segment whose NaN rows actually match, a silent false negative the
+    deficiency check only catches when a query under-fills k. Integer
+    columns have no NaN, so their footer range is exact.
     """
     import glob as _glob
 
@@ -88,6 +94,11 @@ def attr_zone_stats(path: str) -> dict[str, list]:
                 col = row_group.column(ci)
                 name = col.path_in_schema
                 if name in _ZONE_CORE_COLS or "." in name or name in dropped:
+                    continue
+                if col.physical_type in ("FLOAT", "DOUBLE"):
+                    # NaN-stats hazard (see docstring): never zone-map floats
+                    dropped.add(name)
+                    out.pop(name, None)
                     continue
                 st = col.statistics
                 if st is not None and st.null_count == row_group.num_rows:
