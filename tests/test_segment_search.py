@@ -456,3 +456,45 @@ def test_searcher_state_drops_stale_segments(spark, store):
     assert "gone-segment" not in s2.temperature
     live = {s["id"] for s in store.segments()}
     assert set(s2.temperature) <= live
+
+
+def test_chunk_lookahead_identical_results_and_state(spark, tmp_path):
+    """r13 VERDICT #2 (C4 prefetcher analog): chunk lookahead is pure job
+    scheduling — on a 16-segment store, lookahead on/off return IDENTICAL
+    rows at full depth, and under aggressive termination both stop after
+    the SAME one chunk (a prefetched-but-discarded chunk contributes no
+    hits, no temperature, no EMA state)."""
+    st = SegmentStore(spark, str(tmp_path / "segla"))
+    for lo in range(0, 800, 50):
+        st.append_segment(spark.createDataFrame(_vec_rows(lo, lo + 50), SCHEMA))
+    q = spark.createDataFrame(
+        [(int(i), r[1]) for i, r in enumerate(_vec_rows(0, 800)) if r[0] % 97 == 0],
+        "qid long, emb array<float>",
+    )
+    outs, temps = {}, {}
+    for la in (True, False):
+        conf = VectorIndexConf(
+            dim=8, ef_search=256, termination_lower_bound=1.0,
+            segments_per_job=3, chunk_lookahead=la,
+        )
+        searcher = SegmentSearcher(st, conf)
+        out = searcher.search(q, k=7, metric="l2")
+        outs[la] = list(
+            zip(out["qid"], out["neighbor_id"], out["rank"],
+                out["distance"].round(6))
+        )
+        temps[la] = set(searcher.temperature)
+        assert len(searcher.temperature) == 16
+    assert outs[True] == outs[False]
+    assert temps[True] == temps[False]
+
+    # aggressive termination: one chunk searched either way; the in-flight
+    # lookahead chunk is discarded without leaving state behind
+    for la in (True, False):
+        conf = VectorIndexConf(
+            dim=8, termination_lower_bound=0.0, termination_factor=1e9,
+            termination_threshold=1.0, segments_per_job=3, chunk_lookahead=la,
+        )
+        searcher = SegmentSearcher(st, conf)
+        searcher.search(q, k=2)
+        assert len(searcher.temperature) == 3, la

@@ -1,13 +1,15 @@
-"""A/B the SegmentSearcher job granularity (r11 VERDICT #1 receipt).
+"""A/B the SegmentSearcher job granularity + chunk lookahead (r11 VERDICT
+#1, r13 VERDICT #2 receipts).
 
 Builds ONE multi-segment store (the bench multiseg shape: embeddings table
-replayed 20x, cap = n/8 -> ~8-11 segments, IVF sidecars), then times the
+replayed 20x, cap = n/nseg -> ~nseg segments, IVF sidecars), then times the
 SAME query batch at segments_per_job = 1 (the r11 job-per-segment shape),
-the default 4, and all-at-once — best-of-N each, identical results
-asserted. Prints one JSON line; prose quoting these numbers should name
-the sf_dir and commit.
+the default 4, and all-at-once, each with the C4 prefetch-analog chunk
+lookahead on and off — best-of-N each, identical results asserted. Prints
+one JSON line; prose quoting these numbers should name the sf_dir and
+commit.
 
-Usage: python tools/segjob_ab.py [sf_dir] [reps]   (default sf0.1, 4)
+Usage: python tools/segjob_ab.py [sf_dir] [reps] [nseg]  (default sf0.1, 4, 10)
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ from vstream_spark.storage.segments import SegmentStore  # noqa: E402
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    nseg_target = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     spark = get_spark("segjob-ab")
     tmp = tempfile.mkdtemp(prefix="segjob-ab-")
     try:
@@ -51,7 +54,8 @@ def main() -> None:
         )
         n_vec = emb.count() * 20
         store = SegmentStore(
-            spark, tmp + "/store", max_rows_per_segment=max(1, -(-n_vec // 8))
+            spark, tmp + "/store",
+            max_rows_per_segment=max(1, -(-n_vec // nseg_target)),
         )
         store.upsert_batch(big)
         store.build_segment_indexes(store.segments(), metric="l2", kind="ivf")
@@ -63,7 +67,13 @@ def main() -> None:
 
         out = {"sf_dir": sf_dir, "segments": n_seg, "n_queries": n_q, "reps": reps}
         results = {}
-        for spj in (1, 4, n_seg):
+        # lookahead axis (r13 VERDICT #2): each granularity measured with the
+        # C4 prefetch-analog chunk lookahead ON (the default; suffix-free
+        # keys stay comparable to prior receipts where the loop was
+        # strictly sequential ~ lookahead off) and OFF (suffix _nola).
+        # spj=n_seg is one job for everything — lookahead is a no-op there.
+        variants = [(1, True), (1, False), (4, True), (4, False), (n_seg, True)]
+        for spj, la in variants:
             # termination disabled (lower_bound=1.0): every variant visits
             # every segment, so the A/B isolates job granularity alone and
             # results are rep-stable (a seeded C8 EMA would let reps 2+
@@ -71,6 +81,7 @@ def main() -> None:
             conf = VectorIndexConf(
                 metric="l2", k=10, index_kind="ivf", nprobe=32, ef_search=32,
                 segments_per_job=spj, termination_lower_bound=1.0,
+                chunk_lookahead=la,
             )
             searcher = SegmentSearcher(store, conf)
             best = None
@@ -80,10 +91,10 @@ def main() -> None:
                 pdf = searcher.search(queries, k=10, metric="l2")
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
-            results[spj] = set(
+            results[(spj, la)] = set(
                 zip(pdf["qid"], pdf["neighbor_id"], pdf["rank"])
             )
-            out[f"qps_spj{spj}"] = round(n_q / best, 1)
+            out[f"qps_spj{spj}{'' if la else '_nola'}"] = round(n_q / best, 1)
         # identical results at every granularity; equality on (qid,id,rank)
         vals = list(results.values())
         out["results_identical"] = all(v == vals[0] for v in vals[1:])

@@ -62,6 +62,14 @@ class VectorIndexConf:
     # multi-segment stores without changing results (a chunk searches a
     # superset of what one-at-a-time would before each termination check).
     segments_per_job: int = 4
+    # C4 block-prefetch analog (r13 VERDICT #2, hnsw_block_prefetcher.cc):
+    # submit chunk n+1's branch job from a lookahead thread WHILE chunk n's
+    # partials merge + the termination check round-trips, so executors never
+    # idle between chunks; a lookahead in flight when termination fires is
+    # discarded (at most one chunk of wasted work — the prefetcher's own
+    # trade). Pure job scheduling: results, temperature and EMA state are
+    # identical with it on or off.
+    chunk_lookahead: bool = True
     # FilterSeqTs parity toggle (hnswlib.h:135-146): move the freshness
     # bound INTO graph traversal — stale nodes route but never occupy ef
     # result slots, so a hard TTL can't under-fill k the way the post-hoc
