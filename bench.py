@@ -58,6 +58,7 @@ BENCH_QUERIES = [
         "knn_filtered_route_gate",
         "knn_filtered_store_gate",
         "knn_inindex_filter_gate",
+        "knn_streaming_filtered_gate",
         "text_bpe_gate",
     )
 ]

@@ -5322,6 +5322,168 @@ def q_knn_inindex_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Streaming filtered search + warm-state gate (r13 VERDICT #5 + #7) -------
+# StreamingVectorQuery is the streaming consumer surface of the segment loop:
+# per micro-batch, a searcher restores persisted C7/C8 state, answers, and
+# saves — and an attribute predicate travels with the stream the way the
+# reference's per-query options travel on the query record
+# (vector_options.h:79-95). Two pinned behaviors: (a) every micro-batch of a
+# filtered stream routes through search_filtered's in_index plan and the
+# drained union clears the recall floor; (b) an UNFILTERED lane's batch 1
+# seeds + saves the termination EMA and batch 2 restores WARM and
+# early-terminates on its first search.
+
+_STREAM_FILTERED_SRC: dict[str, str] = {}
+
+
+def _stream_filtered_source(spark: SparkSession, sf_dir: str) -> str:
+    """Two-file query stream (each file = one micro-batch): the filtered-
+    store query set split in half. Files cached per (process, sf_dir); the
+    stream itself runs fresh per invocation."""
+    import os
+    import shutil
+    import tempfile
+
+    src = _STREAM_FILTERED_SRC.get(sf_dir)
+    if src is not None and os.path.isdir(src):
+        return src
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<float>").alias("emb"),
+    )
+    src = tempfile.mkdtemp(prefix="stream-filtered-q-")
+    try:
+        queries.filter(F.col("qid") % 50 == 0).coalesce(1).write.parquet(
+            f"{src}/b000"
+        )
+        queries.filter(F.col("qid") % 50 != 0).coalesce(1).write.parquet(
+            f"{src}/b001"
+        )
+    except Exception:
+        shutil.rmtree(src, ignore_errors=True)
+        raise
+    _STREAM_FILTERED_SRC[sf_dir] = src
+    return src
+
+
+_STREAM_FILTERED_CASES: list[str] = ["filtered_in_index", "warm_restore_terminates"]
+
+_STREAM_FILTERED_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{c}', true)" for c in _STREAM_FILTERED_CASES)
+    + ") t(pred_case, case_ok)"
+)
+
+
+@register("knn_streaming_filtered_gate", _STREAM_FILTERED_ORACLE)
+def q_knn_streaming_filtered_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StreamingVectorQuery over the persisted filtered store: (a) a label
+    predicate + SQL hint rides every micro-batch through the in_index plan
+    and the drained results clear the 0.9 recall floor vs the exact
+    filtered scan; (b) warm C7/C8 restore is load-bearing — batch 2's
+    searcher early-terminates where batch 1 ran full depth
+    (streaming/pipeline.py, storage/search.py)."""
+    import os
+    import shutil
+    import sys
+    import tempfile
+    import uuid
+
+    from vstream_spark.config import VectorIndexConf
+    from vstream_spark.functions.metrics import mean_recall
+    from vstream_spark.storage.search import SegmentSearcher
+    from vstream_spark.streaming.pipeline import StreamingVectorQuery
+
+    store = _filtered_store(spark, sf_dir)
+    n_seg = len(store.segments())
+    src = _stream_filtered_source(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
+    )
+    state_path = os.path.join(store.base_dir, "_searcher_state.json")
+    rows = []
+    work = tempfile.mkdtemp(prefix=f"stream-filtered-{uuid.uuid4().hex[:8]}-")
+    try:
+        def _stream():
+            return (
+                spark.readStream.schema("qid long, emb array<float>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/*")
+            )
+
+        # (a) filtered lane: three-plan routing per micro-batch (in_index
+        # via the hint), cold state (no interference with case b)
+        pred = F.col("label") % 2 == 0
+        conf = VectorIndexConf(dim=64, m=16, ef_construction=128, ef_search=128)
+        svq = StreamingVectorQuery(
+            store, f"{work}/fres", index_conf=conf, k=10, metric="l2",
+            predicate=pred, predicate_expr="label % 2 = 0",
+            restore_state=False,
+        )
+        svq.start(_stream(), f"{work}/fckpt").awaitTermination()
+        got = spark.read.parquet(f"{work}/fres").select(
+            "qid", "neighbor_id", "distance", "rank"
+        )
+        exact = knn_exact(
+            SegmentSearcher(store, conf).visible().filter(pred).select("id", "emb"),
+            queries, k=10, metric="l2",
+        ).cache()
+        try:
+            exact.count()
+            r = mean_recall(got, exact, k=10)
+        finally:
+            exact.unpersist()
+        strategies = [s["strategy"] for s in svq.batch_stats]
+        print(
+            f"# streaming_filtered: batches={len(svq.batch_stats)} "
+            f"strategies={strategies} recall={r:.4f}",
+            file=sys.stderr,
+        )
+        rows.append((
+            "filtered_in_index",
+            bool(
+                len(svq.batch_stats) == 2
+                and all(s == "in_index" for s in strategies)
+                and r >= 0.9
+            ),
+        ))
+
+        # (b) warm-restore lane: aggressive EMA termination, spj=1 so the
+        # depth difference is observable per segment. Start from a clean
+        # state file (the fixture store is session-shared).
+        if os.path.exists(state_path):
+            os.remove(state_path)
+        conf2 = VectorIndexConf(
+            dim=64, m=16, ef_construction=128, ef_search=128,
+            termination_lower_bound=0.0, termination_factor=1e9,
+            segments_per_job=1,
+        )
+        svq2 = StreamingVectorQuery(
+            store, f"{work}/wres", index_conf=conf2, k=10, metric="l2",
+            restore_state=True,
+        )
+        svq2.start(_stream(), f"{work}/wckpt").awaitTermination()
+        stats = sorted(svq2.batch_stats, key=lambda s: s["batch_id"])
+        print(f"# streaming_warm_restore: stats={stats}", file=sys.stderr)
+        rows.append((
+            "warm_restore_terminates",
+            bool(
+                len(stats) == 2
+                and stats[0]["restored"] is False
+                and stats[0]["searched_segments"] == n_seg
+                and stats[1]["restored"] is True
+                and stats[1]["searched_segments"] < n_seg
+            ),
+        ))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        if os.path.exists(state_path):
+            os.remove(state_path)  # leave the shared fixture pristine
+    return spark.createDataFrame(rows, "pred_case string, case_ok boolean")
+
+
 # --- BPE merge-parity gate (r11 VERDICT #5) ----------------------------------
 # text_bpe_merges is iterative (rows-only by design); this gate turns its
 # correctness into a VALUES oracle: the distributed merge sequence must equal

@@ -418,6 +418,10 @@ class SegmentSearcher:
         self.termination_threshold = self.conf.termination_threshold
         # segment id -> temperature (C7); decayed on every search
         self.temperature: dict[str, float] = {}
+        # segment ids the most recent search actually visited (post-prune,
+        # post-termination) — the observable that lets callers/tests see C8
+        # early termination without instrumenting the loop
+        self.last_searched_ids: list[str] = []
         if restore_state:
             self.load_state()
 
@@ -753,6 +757,7 @@ class SegmentSearcher:
             queries, k, metric, min_event_time, max_event_time,
             ef_search, options, filter_expr,
         )
+        self.last_searched_ids = list(searched_ids)
         if merged is not None and filter_expr is not None and recheck_filter:
             merged = self._recheck_filter(
                 merged, filter_expr, min_event_time, max_event_time
@@ -811,6 +816,7 @@ class SegmentSearcher:
             queries, k, metric, min_event_time, max_event_time,
             ef_search, options, filter_expr,
         )
+        self.last_searched_ids = list(searched_ids)
         if merged is None:
             return None
         if filter_expr is not None and recheck_filter:

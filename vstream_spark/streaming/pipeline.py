@@ -270,6 +270,106 @@ class StreamingCurveIngest:
         routed.write.mode("append").partitionBy("partition_id").parquet(self.out_dir)
 
 
+class StreamingVectorQuery:
+    """Micro-batch index-backed query answering over a persisted
+    SegmentStore — the streaming consumer surface of the SegmentSearcher
+    loop (C4/C6/C7/C8), with two r14 additions:
+
+    - **Warm state (r13 VERDICT #5).** Each micro-batch's searcher is
+      constructed with ``restore_state=True`` and ``save_state()`` runs
+      after the batch, so the C7 temperature ordering and the C8
+      termination EMA accumulate ACROSS micro-batches and restarts — the
+      reference keeps the same stats in version metadata
+      (``util/metrics.h:77-109``); a per-batch searcher otherwise starts
+      cold every time and never early-terminates. ``restore_state=False``
+      opts back into the cold-per-batch behavior.
+    - **Per-stream attribute filtering (r13 VERDICT #7).** ``predicate``
+      (+ optional ``predicate_expr`` SQL hint) routes every micro-batch
+      through ``search_filtered``'s three physical plans (pre / in_index /
+      post) — the reference's per-query options travel on the query record
+      (``vector_options.h:79-95``); here they travel on the stream's
+      writer. Filtered searches never write the EMA (the contamination
+      guard inside ``search_filtered``), so restore still helps via C7
+      ordering + the persisted threshold from any unfiltered lanes.
+
+    Results append to ``out_dir`` as parquet (qid, neighbor_id, distance,
+    rank, batch_id); per-batch observability lands in ``batch_stats``
+    (batch_id, rows, segments searched, strategy, restored) on the driver
+    — O(batches) dicts, never data."""
+
+    _SCHEMA = (
+        "qid long, neighbor_id long, distance double, rank int, batch_id long"
+    )
+
+    def __init__(
+        self,
+        store: SegmentStore,
+        out_dir: str,
+        index_conf=None,
+        k: int = 10,
+        metric: str = "l2",
+        predicate=None,
+        predicate_expr: str | None = None,
+        restore_state: bool = True,
+    ):
+        from vstream_spark.config import VectorIndexConf
+
+        self.store = store
+        self.out_dir = out_dir
+        self.index_conf = index_conf or VectorIndexConf()
+        self.k = k
+        self.metric = metric
+        self.predicate = predicate
+        self.predicate_expr = predicate_expr
+        self.restore_state = restore_state
+        self.batch_stats: list[dict] = []
+
+    def start(self, queries_stream: DataFrame, checkpoint_dir: str):
+        return (
+            queries_stream.writeStream.foreachBatch(self._sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def _sink(self, batch_df: DataFrame, batch_id: int) -> None:
+        from vstream_spark.storage.search import SegmentSearcher
+
+        if batch_df.isEmpty():
+            return
+        searcher = SegmentSearcher(self.store, self.index_conf)
+        restored = searcher.load_state() if self.restore_state else False
+        strategy = None
+        if self.predicate is not None:
+            pdf, strategy, _sel = searcher.search_filtered(
+                batch_df.select("qid", "emb"),
+                self.predicate,
+                k=self.k,
+                metric=self.metric,
+                predicate_expr=self.predicate_expr,
+            )
+        else:
+            pdf = searcher.search(
+                batch_df.select("qid", "emb"), k=self.k, metric=self.metric
+            )
+        if self.restore_state:
+            searcher.save_state()
+        self.batch_stats.append(
+            {
+                "batch_id": int(batch_id),
+                "rows": int(len(pdf)),
+                "searched_segments": len(searcher.last_searched_ids),
+                "strategy": strategy,
+                "restored": bool(restored),
+            }
+        )
+        spark = batch_df.sparkSession
+        out = spark.createDataFrame(
+            pdf.assign(batch_id=int(batch_id)), self._SCHEMA
+        )
+        out.write.mode("append").parquet(self.out_dir)
+
+
 def search_store(
     store: SegmentStore,
     queries: DataFrame,
