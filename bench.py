@@ -37,6 +37,56 @@ class _SkipDerived(Exception):
     """Sentinel for SPARK_GRAFT_BENCH_SKIP_DERIVED (a real Ctrl-C must abort
     the run, not be mislabeled as an intentional skip — ADVICE r6)."""
 
+
+def is_latency_axis(axis: str) -> bool:
+    """Derived axes are throughputs (higher = better) EXCEPT latency axes
+    (suffix ``_latency_s``, lower = better) — best-known merges and the
+    degradation trigger must invert for them."""
+    return axis.endswith("_latency_s")
+
+
+def merge_best_known_axis(axis: str, *values: float) -> float:
+    """Cross-round best-known for one derived axis: max for throughputs,
+    min for latency axes."""
+    return min(values) if is_latency_axis(axis) else max(values)
+
+
+def degraded_derived_axes(
+    derived: dict, prev_derived: dict, ratio: float
+) -> list[str]:
+    """Axes that regressed more than ``ratio`` vs their best-known committed
+    value — the trigger for the fresh-session re-measure and (r13 VERDICT
+    #4, when still degraded after it) the prior-commit drift control. For a
+    throughput axis the regression is best_known > ratio * now; for a
+    latency axis, now > ratio * best_known."""
+    out = []
+    for a, v in derived.items():
+        if a not in prev_derived or v <= 0 or prev_derived[a] <= 0:
+            continue
+        if is_latency_axis(a):
+            if v > ratio * prev_derived[a]:
+                out.append(a)
+        elif prev_derived[a] > ratio * v:
+            out.append(a)
+    return out
+
+
+def suite_mover_queries(
+    timings: dict, prev_q: dict, ratio: float = 1.25, top: int = 3
+) -> list[tuple[str, float]]:
+    """Per-query timings that slowed more than ``ratio`` vs the previous
+    committed round, worst-first, capped at ``top`` — the drift-control
+    re-measure set."""
+    movers = sorted(
+        (
+            (q, round(timings[q] / prev_q[q], 3))
+            for q in timings
+            if q in prev_q and prev_q[q] > 0
+        ),
+        key=lambda kv: -kv[1],
+    )
+    return [(q, r) for q, r in movers if r > ratio][:top]
+
 # The headline workload: every declared query (vector + relational + LLM ops).
 # The two recall-gate meta-queries are correctness machinery (each one re-runs
 # a dozen ANN dataflows + the exact oracle) — excluded so the suite number
@@ -185,11 +235,12 @@ def main() -> None:
         for q, t in prev_doc.get("best_known", {}).items():
             prev_best[q] = min(prev_best.get(q, t), t)
         # derived axes are throughputs: best-known is the MAX across
-        # rounds (higher is better), min for the per-query seconds above
+        # rounds (higher is better; MIN for _latency_s axes), min for the
+        # per-query seconds above
         for a, v in prev_doc.get("derived", {}).items():
-            prev_derived[a] = max(prev_derived.get(a, v), v)
+            prev_derived[a] = merge_best_known_axis(a, prev_derived.get(a, v), v)
         for a, v in prev_doc.get("derived_best_known", {}).items():
-            prev_derived[a] = max(prev_derived.get(a, v), v)
+            prev_derived[a] = merge_best_known_axis(a, prev_derived.get(a, v), v)
     ratio = float(os.environ.get("SPARK_GRAFT_BENCH_OUTLIER_RATIO", "1.4"))
     top_slowest = int(os.environ.get("SPARK_GRAFT_BENCH_TOP_SLOWEST", "3"))
     suspects = [
@@ -396,17 +447,180 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"# multiseg axis: ERROR {e}", file=sys.stderr)
 
-        # Filtered-query axis (r13): the in-index allowlist path measured
-        # per-round, not just in the one-off A/B tool. A SEPARATE store
-        # persists a label attribute (the main ingest store's schema must
-        # stay byte-comparable across rounds) at an 8x replay / 4-segment
-        # rotation; the predicate sits in the mid-selectivity band (0.30,
-        # just above the 0.25 pre-filter threshold — the band where the
-        # r12 post_filter oversampled hardest) and the routing picks
-        # in_index from the supplied SQL hint. Recall is reported against
-        # the exact pre-filter anchor computed once, untimed. Own
-        # try/except: a filtered-axis failure must not discard the axes
-        # already measured.
+        # Warm-restore axis (r13 VERDICT #5 receipt): persisted C7/C8 state
+        # made load-bearing in a bench lane, on the workload those
+        # components target — a HOT segment holding the queries' true
+        # neighbors plus 7 far "cold" segments (recent-data skew). The
+        # replayed multiseg store can't exercise C8 at all: every query's
+        # kth distance is 0.0 against its own clones, so the EMA stays 0
+        # and the termination guard never opens. Here: a seed search
+        # establishes temperature (the hot segment wins every top-k slot)
+        # and the kth EMA, then save_state(); every timed rep constructs a
+        # FRESH searcher with restore_state=True — the per-micro-batch
+        # lifecycle StreamingVectorQuery runs — so it visits hottest-first
+        # and early-terminates after the first chunk at full recall (the
+        # cold segments contain no true neighbors). The cold twin (fresh
+        # searcher, no restore) runs the identical dataflow at full depth.
+        # termination_factor=1.2 is the per-collection knob for this lane:
+        # the default 0.8 demands the current batch beat the historical
+        # mean by 20%, which a steady workload never does.
+        try:
+            import dataclasses
+
+            hot = vectors  # the real embeddings: every true neighbor
+            storeh = SegmentStore(
+                spark, tmp + "/seghot",
+                max_rows_per_segment=max(n_emb // 20, 1) * 2,
+            )
+            storeh.upsert_batch(hot)
+            for j in range(1, 8):
+                cold_j = vectors.select(
+                    (F.col("id") + j * 10**9).alias("id"),
+                    F.transform(
+                        "emb", lambda x: x + F.lit(float(10 * j))
+                    ).cast("array<float>").alias("emb"),
+                    (F.col("event_time") + j * 10**9).alias("event_time"),
+                    "ttl", "op",
+                )
+                storeh.upsert_batch(cold_j)
+            storeh.build_segment_indexes(
+                storeh.segments(), metric="l2", kind="ivf"
+            )
+            iconf_h = dataclasses.replace(
+                idx_conf, termination_factor=1.2, segments_per_job=2
+            )
+            best_hc = None
+            for _ in range(d_reps):
+                searcher_hc = SegmentSearcher(storeh, iconf_h)
+                t0 = time.perf_counter()
+                searcher_hc.search(queries, k=10, metric="l2")
+                dt = time.perf_counter() - t0
+                best_hc = dt if best_hc is None else min(best_hc, dt)
+            derived["hotcold_query_per_s"] = round(n_q / best_hc, 1)
+            seed_searcher = SegmentSearcher(storeh, iconf_h)
+            seed_searcher.search(queries, k=10, metric="l2")
+            seed_searcher.save_state()
+            best_hw = None
+            outw = None
+            searched_w = 0
+            for _ in range(d_reps):
+                searcher_hw = SegmentSearcher(
+                    storeh, iconf_h, restore_state=True
+                )
+                t0 = time.perf_counter()
+                outw = searcher_hw.search(queries, k=10, metric="l2")
+                dt = time.perf_counter() - t0
+                searcher_hw.save_state()
+                searched_w = len(searcher_hw.last_searched_ids)
+                best_hw = dt if best_hw is None else min(best_hw, dt)
+            derived["hotcold_warm_query_per_s"] = round(n_q / best_hw, 1)
+            derived["hotcold_warm_segments_searched"] = float(searched_w)
+            derived["hotcold_segments"] = float(len(storeh.segments()))
+            # recall vs the exact scan over the whole hot+cold store (the
+            # cold segments hold no true neighbors, so full recall is the
+            # expected outcome OF the design, not an assumption)
+            exact_h = {}
+            stored_h = storeh.read().filter("op = 'I'").select("id", "emb")
+            for r in knn_exact(stored_h, sample_q, k=10, metric="l2").collect():
+                exact_h.setdefault(r["qid"], set()).add(r["neighbor_id"])
+            goth = outw[outw["qid"].isin(sample_qids)]
+            hitsh = sum(
+                len(set(g["neighbor_id"]) & exact_h.get(qid, set()))
+                for qid, g in goth.groupby("qid")
+            )
+            denom_h = sum(len(v) for v in exact_h.values())
+            derived["hotcold_warm_recall_at10_sample"] = round(
+                hitsh / max(1, denom_h), 4
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"# hotcold warm axis: ERROR {e}", file=sys.stderr)
+
+
+        # Production-shard multiseg point (r12 #5 carried through r13 #3):
+        # the amortization claim ("per-segment overhead shrinks as shards
+        # grow") needs a point at production shard size — >= 8 segments x
+        # >= 64k rows. That requires >= 512k vectors, so the axis self-
+        # gates on the table size (it runs on the sf1 lane; sf0.1's 40k
+        # replay can't reach the shape and skips loudly instead of
+        # committing a mislabeled point).
+        try:
+            prod_loops = 26
+            n_p = (n_emb // 20) * prod_loops  # n_emb is count*20 upstream
+            if n_p >= 8 * 64_000:
+                bigp = replay(
+                    vectors, prod_loops, event_time_col="event_time",
+                    advance=10**9,
+                )
+                bigp = bigp.withColumn(
+                    "id",
+                    F.col("id")
+                    + (F.col("event_time") / 10**9).cast("long") * 10**9,
+                )
+                storep = SegmentStore(
+                    spark, tmp + "/segprod", max_rows_per_segment=65_000
+                )
+                storep.upsert_batch(bigp)
+                storep.build_segment_indexes(
+                    storep.segments(), metric="l2", kind="ivf"
+                )
+                best_qp = None
+                outp = None
+                for _ in range(d_reps):
+                    searcherp = SegmentSearcher(storep, idx_conf)
+                    t0 = time.perf_counter()
+                    outp = searcherp.search(queries, k=10, metric="l2")
+                    dt = time.perf_counter() - t0
+                    best_qp = dt if best_qp is None else min(best_qp, dt)
+                segs_p = storep.segments()
+                derived["prodseg_segments"] = float(len(segs_p))
+                derived["prodseg_rows_per_segment"] = float(
+                    max(s["count"] for s in segs_p)
+                )
+                derived["prodseg_query_per_s"] = round(n_q / best_qp, 1)
+                # recall needs its own exact anchor (the prodseg store has
+                # 26 replay generations, not the main store's 20)
+                exact_p = {}
+                stored_p = storep.read().filter("op = 'I'").select("id", "emb")
+                for r in knn_exact(
+                    stored_p, sample_q, k=10, metric="l2"
+                ).collect():
+                    exact_p.setdefault(r["qid"], set()).add(r["neighbor_id"])
+                gotp = outp[outp["qid"].isin(sample_qids)]
+                hitsp = sum(
+                    len(set(g["neighbor_id"]) & exact_p.get(qid, set()))
+                    for qid, g in gotp.groupby("qid")
+                )
+                denom_p = sum(len(v) for v in exact_p.values())
+                derived["prodseg_recall_at10_sample"] = round(
+                    hitsp / max(1, denom_p), 4
+                )
+            else:
+                print(
+                    f"# prodseg axis: skipped (n={n_p} < 512k; runs on the "
+                    "sf1 lane)",
+                    file=sys.stderr,
+                )
+        except Exception as e:  # noqa: BLE001
+            print(f"# prodseg axis: ERROR {e}", file=sys.stderr)
+
+        # Filtered-query axis (r13; measurement fixed r14 — VERDICT r13
+        # wrong #1): the in-index allowlist path measured per-round. A
+        # SEPARATE store persists a label attribute (the main ingest
+        # store's schema must stay byte-comparable across rounds) at an 8x
+        # replay / 4-segment rotation; the predicate sits in the
+        # mid-selectivity band (0.30, just above the 0.25 pre-filter
+        # threshold — the band where the r12 post_filter oversampled
+        # hardest) and the routing picks in_index from the supplied SQL
+        # hint. r13 timed an ~|Q|/25 batch, so the committed 20.4 q/s was
+        # really per-call fixed cost divided by 8 queries — unreadable
+        # round-over-round. Now: filtered_query_per_s is measured on the
+        # SAME full n_q batch as the main query lane (amortizing the fixed
+        # cost the way any production batch would), and the per-call
+        # overhead is its own axis, filtered_call_latency_s, timed on a
+        # small |Q|/25 batch where it dominates by construction. Recall is
+        # reported against the exact pre-filter anchor computed once,
+        # untimed. Own try/except: a filtered-axis failure must not
+        # discard the axes already measured.
         try:
             loops_f = 8
             vec_lbl = emb.select(
@@ -428,8 +642,6 @@ def main() -> None:
             )
             storef.upsert_batch(bigf)
             storef.build_segment_indexes(storef.segments(), metric="l2", kind="hnsw")
-            qf = queries.filter(F.col("qid") % 25 == 0)
-            n_qf = qf.count()
             pred = F.col("label") < 30
             iconf_f = VectorIndexConf(
                 metric="l2", k=10, index_kind="hnsw", ef_search=128,
@@ -441,16 +653,33 @@ def main() -> None:
                 searcherf = SegmentSearcher(storef, iconf_f)
                 t0 = time.perf_counter()
                 outf, strat_f, _sel_f = searcherf.search_filtered(
-                    qf, pred, k=10, metric="l2", predicate_expr="label < 30"
+                    queries, pred, k=10, metric="l2", predicate_expr="label < 30"
                 )
                 dt = time.perf_counter() - t0
                 best_qf = dt if best_qf is None else min(best_qf, dt)
             derived["filtered_segments"] = float(len(storef.segments()))
-            derived["filtered_query_per_s"] = round(n_qf / best_qf, 1)
+            derived["filtered_query_per_s"] = round(n_q / best_qf, 1)
+            # per-call fixed-cost floor, timed where it dominates: a tiny
+            # |Q|/25 batch (the shape r13 mistakenly committed AS the
+            # throughput). Lower is better; derived_best_known tracks max,
+            # so this axis is recorded per-round but excluded from the
+            # max-merge semantics by its _s suffix reading (latency).
+            qf = queries.filter(F.col("qid") % 25 == 0)
+            n_qf = qf.count()
+            best_call = None
+            for _ in range(d_reps):
+                searcherf = SegmentSearcher(storef, iconf_f)
+                t0 = time.perf_counter()
+                searcherf.search_filtered(
+                    qf, pred, k=10, metric="l2", predicate_expr="label < 30"
+                )
+                dt = time.perf_counter() - t0
+                best_call = dt if best_call is None else min(best_call, dt)
+            derived["filtered_call_latency_s"] = round(best_call, 4)
             # recall vs the exact anchor (untimed; forced pre_filter is the
-            # brute scan over the predicate's survivors)
+            # brute scan over the predicate's survivors), on the full batch
             anchorf, _, _ = SegmentSearcher(storef, iconf_f).search_filtered(
-                qf, pred, k=10, metric="l2", force_strategy="pre_filter"
+                queries, pred, k=10, metric="l2", force_strategy="pre_filter"
             )
             a_pairs = set(zip(anchorf["qid"], anchorf["neighbor_id"]))
             g_pairs = set(zip(outf["qid"], outf["neighbor_id"]))
@@ -462,6 +691,12 @@ def main() -> None:
                     f"# filtered axis: unexpected strategy {strat_f}",
                     file=sys.stderr,
                 )
+            print(
+                f"# filtered axis: {derived['filtered_query_per_s']} q/s on "
+                f"n_q={n_q}; call latency {derived['filtered_call_latency_s']}s "
+                f"on n_qf={n_qf}",
+                file=sys.stderr,
+            )
         except Exception as e:  # noqa: BLE001
             print(f"# filtered axis: ERROR {e}", file=sys.stderr)
         return derived
@@ -474,6 +709,7 @@ def main() -> None:
     d_reps = max(repeats, 6)
     derived: dict[str, float] = {}
     derived_remeasured: dict[str, dict[str, float]] = {}
+    still_degraded: list[str] = []
     tmp = tempfile.mkdtemp(prefix="bench-seg-")
     try:  # noqa: SIM105
         if skip_derived:
@@ -487,11 +723,7 @@ def main() -> None:
         # committed value, re-measure BOTH axes in a fresh session and let
         # the better number stand; derived_best_known max-merges across
         # rounds so one degraded round can't poison the reference.
-        degraded = [
-            a
-            for a, v in derived.items()
-            if a in prev_derived and v > 0 and prev_derived[a] > ratio * v
-        ]
+        degraded = degraded_derived_axes(derived, prev_derived, ratio)
         if degraded:
             print(
                 f"# derived axes degraded vs best-known {degraded}: "
@@ -502,9 +734,15 @@ def main() -> None:
             spark = _fresh_session(sf_dir)
             redo = _measure_derived(spark, d_reps, tmp + "/redo")
             for a, v in redo.items():
-                derived_remeasured[a] = {"was": derived[a], "now": v}
-                if v > derived[a]:
+                derived_remeasured[a] = {"was": derived.get(a), "now": v}
+                if a not in derived or merge_best_known_axis(
+                    a, v, derived[a]
+                ) == v:
                     derived[a] = v
+            # axes STILL degraded after the fresh-session leg feed the
+            # prior-commit control below (r13 VERDICT #4: the sf1 lane had
+            # the fresh-session leg but no two-commit leg)
+            still_degraded = degraded_derived_axes(derived, prev_derived, ratio)
     except _SkipDerived:
         print("# derived axes skipped (SPARK_GRAFT_BENCH_SKIP_DERIVED)", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 - derived metrics are best-effort
@@ -516,8 +754,10 @@ def main() -> None:
     for a, v in derived.items():
         # recall fractions need 4 decimals — round(..., 1) would commit a
         # 0.96 sample as best-known 1.0 and mask every later regression
-        nd = 4 if "recall" in a else 1
-        derived_best_known[a] = round(max(v, derived_best_known.get(a, v)), nd)
+        nd = 4 if ("recall" in a or is_latency_axis(a)) else 1
+        derived_best_known[a] = round(
+            merge_best_known_axis(a, v, derived_best_known.get(a, v)), nd
+        )
 
     # Drift control (r11 VERDICT #6): when official per-query timings moved
     # vs the PREVIOUS committed round, re-measure the top movers AT THE
@@ -536,15 +776,7 @@ def main() -> None:
 
             with open(official_detail) as f:
                 prev_q = json.load(f).get("queries", {})
-            movers = sorted(
-                (
-                    (q, round(timings[q] / prev_q[q], 3))
-                    for q in timings
-                    if q in prev_q and prev_q[q] > 0
-                ),
-                key=lambda kv: -kv[1],
-            )
-            movers = [(q, r) for q, r in movers if r > 1.25][:3]
+            movers = suite_mover_queries(timings, prev_q, ratio=1.25, top=3)
             if movers:
                 commit = subprocess.run(
                     ["git", "log", "-n1", "--format=%H", "--", "BENCH_DETAIL.json"],
@@ -617,6 +849,91 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - control is evidence, not a gate
             drift_control = {"error": f"{type(e).__name__}: {e}"[:300]}
             print(f"# drift control: ERROR {drift_control['error']}", file=sys.stderr)
+
+    # Derived-axes drift control (r13 VERDICT #4): when a derived axis is
+    # STILL degraded >ratio vs best-known after the fresh-session
+    # re-measure, re-run the derived block AT THE PRIOR COMMIT of this
+    # run's own detail file — lane runs included (the r13 control was
+    # official-only, so the sf1 derived lane structurally never carried a
+    # two-commit receipt). The prior run executes ONE cheap suite query
+    # (ONLY=) with SKIP_DERIVED unset so only the derived axes are
+    # measured, in a worktree, with the current session stopped. Trigger
+    # logic is the module-level degraded_derived_axes (pinned in
+    # tests/test_bench_logic.py).
+    if (
+        still_degraded
+        and os.environ.get("SPARK_GRAFT_BENCH_DRIFT_CONTROL", "1") == "1"
+    ):
+        try:
+            import subprocess
+
+            detail_base = os.path.basename(detail_path)
+            tracked = (
+                subprocess.run(
+                    ["git", "ls-files", "--error-unmatch", detail_base],
+                    cwd=repo_dir, capture_output=True,
+                ).returncode
+                == 0
+                and os.path.dirname(os.path.realpath(detail_path))
+                == os.path.realpath(repo_dir)
+            )
+            ref_file = detail_base if tracked else "BENCH_DETAIL.json"
+            commit = subprocess.run(
+                ["git", "log", "-n1", "--format=%H", "--", ref_file],
+                cwd=repo_dir, capture_output=True, text=True, check=True,
+            ).stdout.strip()
+            if not commit:
+                raise RuntimeError(f"no prior commit touches {ref_file}")
+            wt = tempfile.mkdtemp(prefix="bench-prior-derived-")
+            subprocess.run(
+                ["git", "worktree", "add", "--detach", "--force", wt, commit],
+                cwd=repo_dir, capture_output=True, check=True,
+            )
+            try:
+                print(
+                    f"# derived drift control: re-measuring {still_degraded} "
+                    f"at prior commit {commit[:12]}",
+                    file=sys.stderr,
+                )
+                spark.stop()
+                env = dict(
+                    os.environ,
+                    SPARK_GRAFT_BENCH_ONLY="text_tokenize",
+                    SPARK_GRAFT_BENCH_DETAIL=os.path.join(wt, "drift_d.json"),
+                    SPARK_GRAFT_BENCH_DRIFT_CONTROL="0",
+                )
+                env.pop("SPARK_GRAFT_BENCH_SKIP_DERIVED", None)
+                subprocess.run(
+                    [sys.executable, "bench.py"], cwd=wt, env=env,
+                    capture_output=True, check=True, timeout=3600,
+                )
+                with open(os.path.join(wt, "drift_d.json")) as f:
+                    prior_d = json.load(f).get("derived", {})
+                drift_control["derived_movers"] = {
+                    "prior_commit": commit,
+                    "axes": {
+                        a: {
+                            "best_known": prev_derived.get(a),
+                            "now": derived.get(a),
+                            "at_prior_commit": prior_d.get(a),
+                        }
+                        for a in still_degraded
+                    },
+                }
+            finally:
+                subprocess.run(
+                    ["git", "worktree", "remove", "--force", wt],
+                    cwd=repo_dir, capture_output=True,
+                )
+        except Exception as e:  # noqa: BLE001 - control is evidence, not a gate
+            drift_control["derived_movers"] = {
+                "error": f"{type(e).__name__}: {e}"[:300]
+            }
+            print(
+                f"# derived drift control: ERROR "
+                f"{drift_control['derived_movers']['error']}",
+                file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 4)
     detail = {

@@ -1,0 +1,53 @@
+"""Pure-function pins for bench.py's drift-control trigger logic (r13
+VERDICT #4): the derived-axes degradation trigger (throughput vs latency
+inversion), the best-known merge direction, and the suite mover selection.
+No Spark session involved."""
+
+import bench
+
+
+def test_latency_axis_detection():
+    assert bench.is_latency_axis("filtered_call_latency_s")
+    assert not bench.is_latency_axis("filtered_query_per_s")
+    assert not bench.is_latency_axis("insert_vec_per_s")
+
+
+def test_best_known_merge_direction():
+    # throughput: higher is better -> max
+    assert bench.merge_best_known_axis("query_per_s", 100.0, 250.0) == 250.0
+    # latency: lower is better -> min
+    assert (
+        bench.merge_best_known_axis("filtered_call_latency_s", 0.5, 0.3) == 0.3
+    )
+
+
+def test_degraded_derived_axes_throughput_and_latency():
+    prev = {
+        "query_per_s": 1000.0,
+        "insert_vec_per_s": 30000.0,
+        "filtered_call_latency_s": 0.30,
+    }
+    now = {
+        "query_per_s": 600.0,        # 1000 > 1.4*600 -> degraded
+        "insert_vec_per_s": 25000.0,  # 30000 < 1.4*25000 -> fine
+        "filtered_call_latency_s": 0.50,  # 0.5 > 1.4*0.3 -> degraded (slower)
+        "new_axis": 42.0,             # no reference -> never triggers
+        "zero_axis": 0.0,             # non-positive -> never triggers
+    }
+    got = bench.degraded_derived_axes(now, prev, ratio=1.4)
+    assert sorted(got) == ["filtered_call_latency_s", "query_per_s"]
+    # a FASTER latency must not read as degraded
+    now2 = dict(now, filtered_call_latency_s=0.10)
+    assert bench.degraded_derived_axes(now2, prev, ratio=1.4) == ["query_per_s"]
+
+
+def test_suite_mover_queries_orders_and_caps():
+    prev = {"a": 1.0, "b": 2.0, "c": 1.0, "d": 1.0, "e": 1.0}
+    now = {"a": 2.0, "b": 2.1, "c": 1.9, "d": 1.5, "e": 1.2}
+    movers = bench.suite_mover_queries(now, prev, ratio=1.25, top=3)
+    # worst ratio first, >1.25 only, capped at 3 (e at 1.2 excluded;
+    # d at 1.5 loses the cap to the three worse movers)
+    assert movers == [("a", 2.0), ("c", 1.9), ("d", 1.5)]
+    assert bench.suite_mover_queries({"a": 1.1}, {"a": 1.0}) == []
+    # queries without a prior reference never appear
+    assert bench.suite_mover_queries({"x": 9.0}, {}) == []
