@@ -607,3 +607,70 @@ def test_zone_map_excludes_float_columns(spark, tmp_path):
     stats = seg.get("col_stats") or {}
     assert "label" in stats and "id" in stats  # integers still mapped
     assert "score" not in stats  # float column excluded
+
+
+def test_per_version_caches_reused_across_fresh_searchers(
+    spark, tmp_path, monkeypatch
+):
+    """r14: the per-version driver caches (SuperVersion-reuse analog,
+    db/version_set.cc) make a SECOND filtered search against an unchanged
+    store — from a FRESH searcher, the per-micro-batch streaming shape —
+    skip both the visible() snapshot rebuild and the selectivity probe:
+    visible() is not called again, and results are identical."""
+    from vstream_spark.storage.search import SegmentSearcher as SS
+
+    st = SegmentStore(spark, str(tmp_path / "cachestore"))
+    seg = st.append_segment(spark.createDataFrame(_rows(0, 80), SCHEMA))
+    st.build_segment_index(seg, metric="l2", m=16, ef_construction=128)
+    qdf = spark.createDataFrame(
+        [(r[0], r[1]) for r in _rows(0, 80)[:6]], "qid bigint, emb array<float>"
+    )
+    calls = {"n": 0}
+    orig = SS.visible
+
+    def counting(self, *a, **k):
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(SS, "visible", counting)
+    pred = F.col("label") < 7
+    r1, s1, sel1 = SS(st, CONF).search_filtered(
+        qdf, pred, k=K, predicate_expr="label < 7"
+    )
+    n_first = calls["n"]
+    assert n_first >= 1
+    r2, s2, sel2 = SS(st, CONF).search_filtered(
+        qdf, pred, k=K, predicate_expr="label < 7"
+    )
+    assert calls["n"] == n_first  # snapshot AND probe both cache-hit
+    assert (s1, sel1) == (s2, sel2)
+    assert sorted(zip(r1["qid"], r1["neighbor_id"], r1["rank"])) == sorted(
+        zip(r2["qid"], r2["neighbor_id"], r2["rank"])
+    )
+
+
+def test_per_version_caches_invalidated_by_store_mutation(spark, tmp_path):
+    """Any store mutation bumps the manifest version, so the next filtered
+    search rebuilds the snapshot and sees the new rows — a cache hit can
+    never serve a stale store state."""
+    st = SegmentStore(spark, str(tmp_path / "mutstore"))
+    seg = st.append_segment(spark.createDataFrame(_rows(0, 60), SCHEMA))
+    st.build_segment_index(seg, metric="l2", m=16, ef_construction=128)
+    q = _rows(0, 60)[7]  # query vector = row 7's embedding
+    qdf = spark.createDataFrame([(1, q[1])], "qid bigint, emb array<float>")
+    pred = F.col("label") >= 0  # matches everything -> in_index route
+    searcher = SegmentSearcher(st, CONF)
+    r1, _, _ = searcher.search_filtered(
+        qdf, pred, k=3, predicate_expr="label >= 0"
+    )
+    assert 7 in set(r1["neighbor_id"])
+    # mutate: insert an exact duplicate of the query vector under a new id
+    st.upsert_batch(
+        spark.createDataFrame([(9999, q[1], 5, 10**9, 10**12, "I")], SCHEMA)
+    )
+    st.build_segment_indexes(st.segments(), metric="l2")
+    r2, _, _ = SegmentSearcher(st, CONF).search_filtered(
+        qdf, pred, k=3, predicate_expr="label >= 0"
+    )
+    got = list(r2.sort_values("rank")["neighbor_id"])
+    assert 9999 in got  # distance 0 duplicate must appear post-mutation

@@ -72,6 +72,47 @@ _ALLOW_CACHE: OrderedDict[str, np.ndarray] = OrderedDict()
 _ALLOW_CACHE_MAX_BYTES = 64 * 1024 * 1024
 _ALLOW_CACHE_BYTES = 0
 
+# Driver-side PER-VERSION caches — the SuperVersion-reuse analog
+# (``db/version_set.cc``: a RocksDB read pins the current Version and its
+# precomputed per-file stats instead of rebuilding them per Get). A
+# filtered search pays two per-call fixed costs that are pure functions of
+# the STORE VERSION, not the query batch: the LWW-resolved visible()
+# snapshot (one shuffle over the whole pruned store) and the selectivity
+# probe (one aggregation over it). The streaming consumer
+# (StreamingVectorQuery) re-pays both EVERY micro-batch against an
+# unchanged store — that fixed cost IS the 0.39 s/call floor r13's bench
+# axis measured. Keyed by (Spark appId, store root, manifest version,
+# snapshot bounds): every store mutation bumps the manifest version
+# (log-structured, monotonic), so a stale hit is impossible; a session
+# restart changes the appId, so a dead session's DataFrame handles are
+# never reused. Snapshot entries are Spark-cached (MEMORY_AND_DISK —
+# spills, never OOMs); eviction unpersists, and a NEW version of the same
+# store eagerly evicts its predecessors (they can never be hit again).
+_SNAPSHOT_CACHE: "OrderedDict[tuple, DataFrame | None]" = OrderedDict()
+_SNAPSHOT_CACHE_MAX = 4
+_PROBE_CACHE: "OrderedDict[tuple, tuple[int, int]]" = OrderedDict()
+_PROBE_CACHE_MAX = 256
+
+
+def _snapshot_cache_put(key: tuple, df: "DataFrame | None") -> None:
+    """Insert with predecessor-eviction: same (appId, root, bounds) at an
+    OLDER manifest version unpersists immediately; then LRU-bound."""
+    stale = [
+        k for k in _SNAPSHOT_CACHE
+        if k[0] == key[0] and k[1] == key[1] and k[3:] == key[3:]
+        and k[2] != key[2]
+    ]
+    for k in stale + (
+        list(_SNAPSHOT_CACHE)[: max(0, len(_SNAPSHOT_CACHE) + 1 - _SNAPSHOT_CACHE_MAX)]
+    ):
+        old = _SNAPSHOT_CACHE.pop(k, None)
+        if old is not None:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+    _SNAPSHOT_CACHE[key] = df
+
 # Pushdown-safe hint grammar (the DSv2-filter-pushdown discipline): the
 # hint string is evaluated by TWO engines — Spark (the driver's implication
 # guard) and duckdb (the executor allowlists) — so only constructs whose
@@ -702,11 +743,13 @@ class SegmentSearcher:
         visible attributes fail the filter, at the stale vector's distance.
         One broadcast-friendly semi-join against the ids whose
         LWW-resolved visible row satisfies the expr removes exactly those
-        hits. The hit side is |Q| x k (tiny); the visible scan is
-        column-pruned to id/event_time/op + the expr's columns."""
+        hits. The hit side is |Q| x k (tiny); the visible frame rides the
+        per-version snapshot cache (repeated filtered calls against an
+        unchanged store re-check against the already-materialized
+        snapshot instead of re-running the LWW shuffle)."""
         from pyspark.sql import functions as F
 
-        vis = self.visible(min_event_time, max_event_time)
+        vis = self._visible_cached(min_event_time, max_event_time)
         if vis is None:
             return merged
         keep = vis.filter(F.expr(filter_expr)).select(
@@ -891,6 +934,43 @@ class SegmentSearcher:
             df = df.filter(F.col("event_time") >= min_event_time)
         return df
 
+    def _version_key(
+        self, min_event_time: int | None, max_event_time: int | None
+    ) -> tuple:
+        """Cache key for per-version driver caches: (appId, store root,
+        manifest version, snapshot bounds). Monotone manifest version =
+        any mutation invalidates; appId = a restarted session never sees
+        the old session's DataFrame handles."""
+        return (
+            self.store.spark.sparkContext.applicationId,
+            self.store.base_dir,
+            self.store.manifest.version(),
+            min_event_time,
+            max_event_time,
+        )
+
+    def _visible_cached(
+        self,
+        min_event_time: int | None = None,
+        max_event_time: int | None = None,
+    ) -> DataFrame | None:
+        """:meth:`visible` through the per-version snapshot cache: the
+        LWW-resolved frame is Spark-cached (MEMORY_AND_DISK) and REUSED by
+        every later search against the same store version + bounds — the
+        per-micro-batch streaming consumer stops re-shuffling the whole
+        store once per batch. First call pays visible() + cache
+        materialization; mutation bumps the manifest version and the next
+        call rebuilds (the predecessor unpersists eagerly)."""
+        key = self._version_key(min_event_time, max_event_time)
+        if key in _SNAPSHOT_CACHE:
+            _SNAPSHOT_CACHE.move_to_end(key)
+            return _SNAPSHOT_CACHE[key]
+        vis = self.visible(min_event_time, max_event_time)
+        if vis is not None:
+            vis = vis.cache()
+        _snapshot_cache_put(key, vis)
+        return vis
+
     def search_filtered(
         self,
         queries: DataFrame,
@@ -949,10 +1029,14 @@ class SegmentSearcher:
         allowlist-inflated kth distance must not seed the C8 EMA a later
         plain search terminates against).
 
-        The visible() snapshot is cache()d for the call and unpersisted
-        before returning. Returns ``(result, strategy, selectivity)``;
-        result is the pandas (qid, neighbor_id, distance, rank) frame of
-        :meth:`search`.
+        The visible() snapshot and the probe aggregates ride the
+        PER-VERSION driver caches (:func:`_snapshot_cache_put`): repeated
+        filtered searches against an unchanged store — the streaming
+        consumer's shape — skip both the snapshot shuffle and the probe
+        job entirely; any store mutation bumps the manifest version and
+        the next call rebuilds. Returns ``(result, strategy,
+        selectivity)``; result is the pandas (qid, neighbor_id, distance,
+        rank) frame of :meth:`search`.
         """
         from pyspark.sql import Window
         from pyspark.sql import functions as F
@@ -979,22 +1063,31 @@ class SegmentSearcher:
             {"qid": "int64", "neighbor_id": "int64", "distance": "float64",
              "rank": "int32"}
         )
-        vis = self.visible(min_event_time, max_event_time)
+        vis = self._visible_cached(min_event_time, max_event_time)
         if vis is None:
             return empty, "pre_filter", 0.0
-        vis = vis.cache()
-        try:
-            # one column-pruned probe: total + survivors (+ the hint
-            # implication guard when an expr rides along) in a single
-            # aggregation (no emb read); at deployment scale this comes
-            # free from catalog stats
+        # one column-pruned probe: total + survivors (+ the hint
+        # implication guard when an expr rides along) in a single
+        # aggregation (no emb read); cached per (store version,
+        # predicate, hint) — only cached on SUCCESS, so a hit also
+        # certifies the implication guard passed at this version; at
+        # deployment scale this comes free from catalog stats
+        probe_key = self._version_key(min_event_time, max_event_time) + (
+            str(predicate),
+            predicate_expr,
+        )
+        hit = _PROBE_CACHE.get(probe_key)
+        if hit is not None:
+            _PROBE_CACHE.move_to_end(probe_key)
+            n_total, n_match = hit
+        else:
             aggs = [
                 F.count(F.lit(1)).alias("n"),
                 F.count_if(predicate).alias("m"),
             ]
             if predicate_expr is not None:
-                # predicate => expr: a matching row whose expr is false OR
-                # null would be invisible to the in-index allowlist
+                # predicate => expr: a matching row whose expr is false
+                # OR null would be invisible to the in-index allowlist
                 aggs.append(
                     F.count_if(
                         predicate
@@ -1011,114 +1104,117 @@ class SegmentSearcher:
                     "Pass an equal-or-weaker SQL hint (or none, to use the "
                     "oversampled post_filter branch)."
                 )
-            selectivity = (n_match / n_total) if n_total else 0.0
-            strategy = force_strategy or (
-                "pre_filter"
-                if selectivity <= selectivity_threshold
-                else ("in_index" if predicate_expr is not None else "post_filter")
-            )
+            while len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+                _PROBE_CACHE.popitem(last=False)
+            _PROBE_CACHE[probe_key] = (n_total, n_match)
+        selectivity = (n_match / n_total) if n_total else 0.0
+        strategy = force_strategy or (
+            "pre_filter"
+            if selectivity <= selectivity_threshold
+            else ("in_index" if predicate_expr is not None else "post_filter")
+        )
 
-            def _finish(pdf: pd.DataFrame) -> pd.DataFrame:
-                pdf = pdf.sort_values(
-                    ["qid", "distance", "neighbor_id"], kind="stable"
-                ).reset_index(drop=True)
-                pdf["rank"] = pdf.groupby("qid").cumcount().astype("int32") + 1
-                return pdf[["qid", "neighbor_id", "distance", "rank"]]
+        def _finish(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(
+                ["qid", "distance", "neighbor_id"], kind="stable"
+            ).reset_index(drop=True)
+            pdf["rank"] = pdf.groupby("qid").cumcount().astype("int32") + 1
+            return pdf[["qid", "neighbor_id", "distance", "rank"]]
 
-            pred_vis = vis.filter(predicate)
-            if strategy == "pre_filter":
-                out = knn_exact(
-                    pred_vis.select("id", "emb"), queries, k=k, metric=metric
-                )
-                return (
-                    _finish(
-                        out.select("qid", "neighbor_id", "distance").toPandas()
-                    ),
-                    strategy,
-                    selectivity,
-                )
-
-            if strategy == "in_index":
-                k_search, expr = k, predicate_expr
-            else:
-                k_search, expr = (
-                    compute_k_over(
-                        k, oversample, selectivity, n_total, max_oversample_k
-                    ),
-                    None,
-                )
-            res = self.search_df(
-                queries,
-                k=k_search,
-                metric=metric,
-                min_event_time=min_event_time,
-                max_event_time=max_event_time,
-                ef_search=max(ef_search or self.conf.ef_search, k_search),
-                update_termination=False,
-                filter_expr=expr,
-                # the predicate re-check below is at least as strict as the
-                # expr re-check (predicate => expr), so the generic
-                # _recheck_filter join would be pure overhead here
-                recheck_filter=False,
+        pred_vis = vis.filter(predicate)
+        if strategy == "pre_filter":
+            out = knn_exact(
+                pred_vis.select("id", "emb"), queries, k=k, metric=metric
             )
-            spark = queries.sparkSession
-            if res is None:
-                res = spark.createDataFrame(
-                    [], "qid bigint, neighbor_id bigint, distance double"
-                )
-            # predicate re-check: the |Q| x k' hit frame (small by
-            # construction) joins the column-pruned match-id scan — AQE
-            # broadcasts the hit side; the big side never shuffles. Then k
-            # best per query, all on the cluster.
-            keep = pred_vis.select(F.col("id").alias("neighbor_id"))
-            w_rank = Window.partitionBy("qid").orderBy(
-                F.col("distance").asc(), F.col("neighbor_id").asc()
-            )
-            got = (
-                res.join(keep, "neighbor_id")
-                .withColumn("_r", F.row_number().over(w_rank))
-                .filter(F.col("_r") <= k)
-                .drop("_r")
-                .localCheckpoint()
-            )
-            # deficiency against the FULL query frame (a query whose every
-            # hit was tombstoned/filtered away must escalate, not vanish);
-            # the deficient-qid set stays a DataFrame — only its COUNT
-            # reaches the driver (same contract as knn_filtered_adaptive)
-            qcnt = (
-                queries.select("qid")
-                .join(
-                    got.groupBy("qid").agg(F.count(F.lit(1)).alias("m")),
-                    "qid",
-                    "left",
-                )
-                .select("qid", F.coalesce(F.col("m"), F.lit(0)).alias("m"))
-            )
-            deficient = (
-                qcnt.filter(F.col("m") < k).select("qid").localCheckpoint()
-            )
-            n_deficient = deficient.count()
-            out = (
-                got.join(F.broadcast(deficient), "qid", "left_anti")
-                if n_deficient
-                else got
-            )
-            if n_deficient:
-                esc = knn_exact(
-                    pred_vis.select("id", "emb"),
-                    queries.join(F.broadcast(deficient), "qid", "left_semi"),
-                    k=k,
-                    metric=metric,
-                ).select("qid", "neighbor_id", "distance")
-                out = out.unionByName(esc)
-            # the FINAL |Q| x k result is the only driver materialization
             return (
-                _finish(out.select("qid", "neighbor_id", "distance").toPandas()),
+                _finish(
+                    out.select("qid", "neighbor_id", "distance").toPandas()
+                ),
                 strategy,
                 selectivity,
             )
-        finally:
-            vis.unpersist()
+
+        if strategy == "in_index":
+            k_search, expr = k, predicate_expr
+        else:
+            k_search, expr = (
+                compute_k_over(
+                    k, oversample, selectivity, n_total, max_oversample_k
+                ),
+                None,
+            )
+        res = self.search_df(
+            queries,
+            k=k_search,
+            metric=metric,
+            min_event_time=min_event_time,
+            max_event_time=max_event_time,
+            ef_search=max(ef_search or self.conf.ef_search, k_search),
+            update_termination=False,
+            filter_expr=expr,
+            # the predicate re-check below is at least as strict as the
+            # expr re-check (predicate => expr), so the generic
+            # _recheck_filter join would be pure overhead here
+            recheck_filter=False,
+        )
+        spark = queries.sparkSession
+        if res is None:
+            res = spark.createDataFrame(
+                [], "qid bigint, neighbor_id bigint, distance double"
+            )
+        # predicate re-check: the |Q| x k' hit frame (small by
+        # construction) joins the column-pruned match-id scan — AQE
+        # broadcasts the hit side; the big side never shuffles. Then k
+        # best per query, all on the cluster.
+        keep = pred_vis.select(F.col("id").alias("neighbor_id"))
+        w_rank = Window.partitionBy("qid").orderBy(
+            F.col("distance").asc(), F.col("neighbor_id").asc()
+        )
+        got = (
+            res.join(keep, "neighbor_id")
+            .withColumn("_r", F.row_number().over(w_rank))
+            .filter(F.col("_r") <= k)
+            .drop("_r")
+            .localCheckpoint()
+        )
+        # deficiency against the FULL query frame (a query whose every
+        # hit was tombstoned/filtered away must escalate, not vanish);
+        # the deficient-qid set stays a DataFrame — only its COUNT
+        # reaches the driver (same contract as knn_filtered_adaptive)
+        qcnt = (
+            queries.select("qid")
+            .join(
+                got.groupBy("qid").agg(F.count(F.lit(1)).alias("m")),
+                "qid",
+                "left",
+            )
+            .select("qid", F.coalesce(F.col("m"), F.lit(0)).alias("m"))
+        )
+        deficient = (
+            qcnt.filter(F.col("m") < k).select("qid").localCheckpoint()
+        )
+        n_deficient = deficient.count()
+        out = (
+            got.join(F.broadcast(deficient), "qid", "left_anti")
+            if n_deficient
+            else got
+        )
+        if n_deficient:
+            esc = knn_exact(
+                pred_vis.select("id", "emb"),
+                queries.join(F.broadcast(deficient), "qid", "left_semi"),
+                k=k,
+                metric=metric,
+            ).select("qid", "neighbor_id", "distance")
+            out = out.unionByName(esc)
+        # the FINAL |Q| x k result is the only driver materialization
+        # (the cached snapshot stays persisted for the NEXT call at
+        # this store version; eviction, not call exit, unpersists it)
+        return (
+            _finish(out.select("qid", "neighbor_id", "distance").toPandas()),
+            strategy,
+            selectivity,
+        )
 
     def _tombstones(
         self, min_event_time: int | None, max_event_time: int | None
