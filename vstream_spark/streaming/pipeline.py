@@ -189,6 +189,13 @@ def streaming_enrich(
     )
 
 
+# Debug observable: the per-micro-batch progress (durationMs /
+# stateOperators) of the most recent run_stream_to_memory drain. The
+# walCommit/stateCommit fixed costs only surface here — tools/
+# profile_queries.py reads it to attribute streaming query time.
+LAST_QUERY_PROGRESS: list[dict] = []
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain a streaming DF with availableNow into an in-memory table; returns
     the query handle after completion (test/debug sink)."""
@@ -200,6 +207,9 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "co
         .start()
     )
     q.awaitTermination()
+    import json as _json
+
+    LAST_QUERY_PROGRESS[:] = [_json.loads(p.json) for p in q.recentProgress]
     return q
 
 
