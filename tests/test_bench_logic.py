@@ -51,3 +51,38 @@ def test_suite_mover_queries_orders_and_caps():
     assert bench.suite_mover_queries({"a": 1.1}, {"a": 1.0}) == []
     # queries without a prior reference never appear
     assert bench.suite_mover_queries({"x": 9.0}, {}) == []
+
+
+def test_stream_state_partitions_derivation(tmp_path):
+    """The state-partition count derives from input bytes (ceil/target),
+    floored for residual parallelism and capped at 2x defaultParallelism —
+    partition-count changes never change results (oracle-gated), but the
+    derivation itself is pinned here."""
+    from vstream_spark.streaming.pipeline import stream_state_partitions
+
+    class _SC:
+        defaultParallelism = 8
+
+    class _Spark:
+        sparkContext = _SC()
+
+    spark = _Spark()
+    small = tmp_path / "small.parquet"
+    small.write_bytes(b"x" * 1024)
+    # tiny input -> the floor, not the session's static shuffle partitions
+    assert stream_state_partitions(spark, str(small)) == 4
+    # scales with bytes: 80 MB at 16 MB/partition -> 5
+    big = tmp_path / "big"
+    big.mkdir()
+    (big / "part-0").write_bytes(b"x" * (40 << 20))
+    (big / "part-1").write_bytes(b"x" * (40 << 20))
+    # dotted/underscore metadata files are not data
+    (big / "_SUCCESS").write_bytes(b"x" * (1 << 30))
+    assert stream_state_partitions(spark, str(big)) == 5
+    # capped at 2x defaultParallelism however large the input
+    (big / "part-2").write_bytes(b"\0" * (1 << 20))
+    assert (
+        stream_state_partitions(spark, str(big), target_bytes=1024) == 16
+    )
+    # floor is a knob (a compute-heavy stream can keep more parallelism)
+    assert stream_state_partitions(spark, str(small), floor=6) == 6

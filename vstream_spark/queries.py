@@ -1062,6 +1062,7 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vstream_spark.streaming.pipeline import (
         read_event_stream,
         run_stream_to_memory,
+        stream_state_partitions,
         streaming_event_rollup,
     )
 
@@ -1071,7 +1072,11 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("sum_value"), 4).cast("double").alias("sum_value"),
     )
-    run_stream_to_memory(roll, "_streaming_rollup_result")
+    run_stream_to_memory(
+        roll, "_streaming_rollup_result",
+        state_partitions=stream_state_partitions(
+            spark, f"{sf_dir}/events.parquet"),
+    )
     return spark.table("_streaming_rollup_result")
 
 
@@ -1087,13 +1092,18 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vstream_spark.streaming.pipeline import (
         read_event_stream,
         run_stream_to_memory,
+        stream_state_partitions,
         streaming_dedup_keys,
     )
 
     ded = streaming_dedup_keys(
         read_event_stream(spark, sf_dir), ["user_id", "event_type"]
     )
-    run_stream_to_memory(ded, "_streaming_dedup_result", output_mode="append")
+    run_stream_to_memory(
+        ded, "_streaming_dedup_result", output_mode="append",
+        state_partitions=stream_state_partitions(
+            spark, f"{sf_dir}/events.parquet"),
+    )
     return spark.table("_streaming_dedup_result")
 
 
@@ -1214,7 +1224,12 @@ def q_knn_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{src}/*")
     )
     partials = stateful_exact_vector_search(stream, k=10, metric="l2")
-    run_stream_to_memory(partials, name, output_mode="append")
+    from vstream_spark.streaming.pipeline import stream_state_partitions
+
+    run_stream_to_memory(
+        partials, name, output_mode="append",
+        state_partitions=stream_state_partitions(spark, src),
+    )
     # data ids are unreplicated (one partition each) -> (qid, id) unique
     return topk(spark.table(name), 10, dedup=False).select(
         "qid", "neighbor_id", "distance", "rank"
@@ -1932,7 +1947,12 @@ def q_streaming_late_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     roll = streaming_event_rollup(stream, watermark=f"{_LATE_DELAY_S} seconds")
     name = f"_late_rollup_{uuid.uuid4().hex[:8]}"
-    run_stream_to_memory(roll, name, output_mode="append")
+    from vstream_spark.streaming.pipeline import stream_state_partitions
+
+    run_stream_to_memory(
+        roll, name, output_mode="append",
+        state_partitions=stream_state_partitions(spark, src),
+    )
     return spark.table(name).select(
         "window_start",
         "event_type",
@@ -2085,7 +2105,12 @@ def q_knn_streaming_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     iconf = VectorIndexConf(dim=64, m=16, ef_construction=128, ef_search=128)
     partials = stateful_vector_search(stream, iconf, k=10, metric="l2")
-    run_stream_to_memory(partials, name, output_mode="append")
+    from vstream_spark.streaming.pipeline import stream_state_partitions
+
+    run_stream_to_memory(
+        partials, name, output_mode="append",
+        state_partitions=stream_state_partitions(spark, src),
+    )
     ann = topk(spark.table(name), 10, dedup=False)
     # batch exact ground truth under the same visibility rules: deletes
     # (ids ≡3 mod 10) applied, TTL window [1000, 20_000_000] on event_time
@@ -2606,6 +2631,7 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vstream_spark.streaming.pipeline import (
         read_event_stream,
         run_stream_to_memory,
+        stream_state_partitions,
         streaming_interval_join,
     )
 
@@ -2613,7 +2639,11 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase")
     clicks = ev.filter(F.col("event_type") == "click")
     j = streaming_interval_join(purchases, clicks, lookback="1 hour")
-    run_stream_to_memory(j, "_streaming_ij_result", output_mode="append")
+    run_stream_to_memory(
+        j, "_streaming_ij_result", output_mode="append",
+        state_partitions=stream_state_partitions(
+            spark, f"{sf_dir}/events.parquet"),
+    )
     return spark.table("_streaming_ij_result")
 
 
@@ -3157,6 +3187,7 @@ def q_streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vstream_spark.streaming.pipeline import (
         read_event_stream,
         run_stream_to_memory,
+        stream_state_partitions,
         streaming_sliding_rollup,
     )
 
@@ -3166,7 +3197,11 @@ def q_streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("sum_value"), 4).cast("double").alias("sum_value"),
     )
-    run_stream_to_memory(roll, "_streaming_sliding_result")
+    run_stream_to_memory(
+        roll, "_streaming_sliding_result",
+        state_partitions=stream_state_partitions(
+            spark, f"{sf_dir}/events.parquet"),
+    )
     return spark.table("_streaming_sliding_result")
 
 
@@ -3633,6 +3668,7 @@ def q_streaming_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vstream_spark.streaming.pipeline import (
         read_event_stream,
         run_stream_to_memory,
+        stream_state_partitions,
         streaming_dedup_keys_bounded,
     )
 
@@ -3640,7 +3676,11 @@ def q_streaming_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_event_stream(spark, sf_dir), ["user_id", "event_type"],
         watermark="40 days",
     ).select("user_id", "event_type")
-    run_stream_to_memory(ded, "_streaming_dedup_bounded", output_mode="append")
+    run_stream_to_memory(
+        ded, "_streaming_dedup_bounded", output_mode="append",
+        state_partitions=stream_state_partitions(
+            spark, f"{sf_dir}/events.parquet"),
+    )
     return spark.table("_streaming_dedup_bounded")
 
 
@@ -4711,6 +4751,7 @@ def q_streaming_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch bucket join, unrolled over time."""
     from vstream_spark.streaming.pipeline import (
         run_stream_to_memory,
+        stream_state_partitions,
         streaming_set_similarity,
     )
 
@@ -4722,7 +4763,10 @@ def q_streaming_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     pairs = streaming_set_similarity(stream, threshold=0.5)
-    run_stream_to_memory(pairs, "_streaming_mhlsh", output_mode="append")
+    run_stream_to_memory(
+        pairs, "_streaming_mhlsh", output_mode="append",
+        state_partitions=stream_state_partitions(spark, src),
+    )
     return spark.table("_streaming_mhlsh")
 
 
@@ -4744,6 +4788,7 @@ def q_streaming_minhash_lsh_bounded(spark: SparkSession, sf_dir: str) -> DataFra
     order is pinned by file mtimes)."""
     from vstream_spark.streaming.pipeline import (
         run_stream_to_memory,
+        stream_state_partitions,
         streaming_set_similarity,
     )
 
@@ -4757,7 +4802,10 @@ def q_streaming_minhash_lsh_bounded(spark: SparkSession, sf_dir: str) -> DataFra
     pairs = streaming_set_similarity(
         stream, threshold=0.5, ttl=10, event_time_col="et"
     )
-    run_stream_to_memory(pairs, "_streaming_mhlsh_bounded", output_mode="append")
+    run_stream_to_memory(
+        pairs, "_streaming_mhlsh_bounded", output_mode="append",
+        state_partitions=stream_state_partitions(spark, src),
+    )
     return spark.table("_streaming_mhlsh_bounded")
 
 
