@@ -1823,12 +1823,18 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     at flush/scan (bitwise-identical IEEE ops, so this hash-match IS the
     codec's search-accuracy contract). Full-precision queries, compressed
     collection — the asymmetric setup every SQ deployment runs."""
-    from vstream_spark.operators.quantize import quantize_expr
+    from vstream_spark.operators.quantize import quantize_expr, scale_expr
 
     emb = load_table(spark, sf_dir, "embeddings")
-    scale, codes = quantize_expr(F.col("embedding"))
-    deq = F.transform(codes, lambda x: (x.cast("double") * scale).cast("float"))
-    vectors = emb.select(F.col("vec_id").alias("id"), deq.alias("emb"))
+    # same scale-hoisting as knn_rerank: column first, lambdas second
+    pre = emb.select(
+        "vec_id", "embedding", scale_expr(F.col("embedding")).alias("_s")
+    )
+    _, codes = quantize_expr(F.col("embedding"), scale=F.col("_s"))
+    deq = F.transform(
+        codes, lambda x: (x.cast("double") * F.col("_s")).cast("float")
+    )
+    vectors = pre.select(F.col("vec_id").alias("id"), deq.alias("emb"))
     queries = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
     )
@@ -3387,12 +3393,20 @@ def q_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank join touches only Q x 50 rows — the expensive exact fold runs on
     0.1% of the pairs the one-stage exact search would."""
     from vstream_spark.operators.knn import topk
-    from vstream_spark.operators.quantize import quantize_expr
+    from vstream_spark.operators.quantize import quantize_expr, scale_expr
 
     emb = load_table(spark, sf_dir, "embeddings")
-    scale, codes = quantize_expr(F.col("embedding"))
-    deq = F.transform(codes, lambda x: (x.cast("double") * scale).cast("float"))
-    coarse = emb.select(F.col("vec_id").alias("id"), deq.alias("emb"))
+    # scale materialized as a column BEFORE the code/dequantize lambdas
+    # reference it: inlined, the max-abs fold re-evaluates per array element
+    # (quantize.py scale_expr; same values, measured ~3x on this shape)
+    pre = emb.select(
+        "vec_id", "embedding", scale_expr(F.col("embedding")).alias("_s")
+    )
+    _, codes = quantize_expr(F.col("embedding"), scale=F.col("_s"))
+    deq = F.transform(
+        codes, lambda x: (x.cast("double") * F.col("_s")).cast("float")
+    )
+    coarse = pre.select(F.col("vec_id").alias("id"), deq.alias("emb"))
     queries = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("emb")
     )
@@ -4682,22 +4696,33 @@ def q_events_ts_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w8"),
     ).filter(~F.array_contains(F.transform(F.col("w8"), lambda x: x.isNull()), True))
 
+    # m and sd hoisted to COLUMNS before the z-normalize lambda references
+    # them: inlined, Catalyst re-evaluates the mean fold 6x and the m2 fold
+    # 4x PER ARRAY ELEMENT (higher-order functions are interpreted and never
+    # CSE'd inside a lambda) — the same pathology quantize.py documents.
+    # Identical IEEE values: the folds, the CASE, and the summation order
+    # are unchanged; only the evaluation count per row drops.
+    w8c = F.col("w8")
+    m_col = F.aggregate(w8c, F.lit(0.0), lambda a, x: a + x) / w
+    m2_col = F.aggregate(w8c, F.lit(0.0), lambda a, x: a + x * x) / w
+    pre = wins.select("user_id", "start_idx", "w8",
+                      m_col.alias("_m"), m2_col.alias("_m2"))
+    var = F.col("_m2") - F.col("_m") * F.col("_m")
+    pre = pre.select("user_id", "start_idx", "w8", "_m",
+                     F.when(var > 0, F.sqrt(var)).otherwise(F.lit(1.0)).alias("_sd"))
+
     def dist_expr():
-        w8 = F.col("w8")
-        m = F.aggregate(w8, F.lit(0.0), lambda a, x: a + x) / w
-        m2 = F.aggregate(w8, F.lit(0.0), lambda a, x: a + x * x) / w
-        var = m2 - m * m
-        sd = F.when(var > 0, F.sqrt(var)).otherwise(F.lit(1.0))
+        m, sd = F.col("_m"), F.col("_sd")
         return F.round(
             F.aggregate(
-                F.zip_with(w8, qz, lambda x, q: ((x - m) / sd - q) * ((x - m) / sd - q)),
+                F.zip_with(w8c, qz, lambda x, q: ((x - m) / sd - q) * ((x - m) / sd - q)),
                 F.lit(0.0),
                 lambda a, x: a + x,
             ),
             6,
         ).cast("double")
 
-    scored = wins.select("user_id", "start_idx", dist_expr().alias("dist"))
+    scored = pre.select("user_id", "start_idx", dist_expr().alias("dist"))
     top = scored.orderBy(
         F.col("dist").asc(), F.col("user_id").asc(), F.col("start_idx").asc()
     ).limit(10)

@@ -319,13 +319,16 @@ class SegmentStore:
         """Apply the store codec to the at-rest surface (C5 int8: per-vector
         symmetric scalar quantization); identity for the float codec."""
         if self.codec == "int8" and "emb" in vectors.columns:
-            from vstream_spark.operators.quantize import quantize_expr
+            # scale hoisted to a column first: inlined in the code lambda it
+            # re-evaluates the max-abs fold per array element (quantize.py)
+            from vstream_spark.operators.quantize import quantize_expr, scale_expr
 
-            scale, q = quantize_expr(F.col("emb"))
             others = [c for c in vectors.columns if c != "emb"]
             vectors = vectors.select(
-                *others, scale.alias("emb_scale"), q.alias("emb_q")
+                *others, "emb", scale_expr(F.col("emb")).alias("emb_scale")
             )
+            _, q = quantize_expr(F.col("emb"), scale=F.col("emb_scale"))
+            vectors = vectors.select(*others, "emb_scale", q.alias("emb_q"))
         return vectors
 
     def _write_time_ranged(
@@ -791,13 +794,17 @@ class SegmentStore:
             out_codec = self.codec
             df = self._read_segments(segs)
             if out_codec == "int8" and "emb" in df.columns:
-                from vstream_spark.operators.quantize import quantize_expr
+                from vstream_spark.operators.quantize import (
+                    quantize_expr,
+                    scale_expr,
+                )
 
-                scale, q = quantize_expr(F.col("emb"))
                 others = [c for c in df.columns if c != "emb"]
                 df = df.select(
-                    *others, scale.alias("emb_scale"), q.alias("emb_q")
+                    *others, "emb", scale_expr(F.col("emb")).alias("emb_scale")
                 )
+                _, q = quantize_expr(F.col("emb"), scale=F.col("emb_scale"))
+                df = df.select(*others, "emb_scale", q.alias("emb_q"))
         total = df.count()
         n_out = max(1, -(-total // max_rows_per_segment))
         old_paths = [s["path"] for s in segs]
