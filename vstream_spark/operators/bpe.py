@@ -82,6 +82,14 @@ def train_bpe(
         "n", _chars(F.col("word")).alias("syms")
     ).localCheckpoint()  # O(word-vocab) rows; truncates the growing fold lineage
     merges: list[tuple[str, str, int]] = []
+    # Checkpoint every few merges, not every merge: a per-iteration eager
+    # localCheckpoint is a full extra job + materialization per merge, while
+    # letting a small chain of _apply_merge folds ride INTO the next pair
+    # count just re-evaluates a few cheap array folds over the (word-vocab)
+    # rows inside the same job (guide §1.2: fewer passes; lineage still
+    # bounded). 16 jobs -> ~10 for 8 merges, identical merge sequence.
+    checkpoint_every = 4
+    pending = 0
     for _ in range(num_merges):
         ln = F.size("syms")
         pairs = symbolized.filter(ln >= 2).select(
@@ -108,7 +116,11 @@ def train_bpe(
         merges.append((a, b, c))
         symbolized = symbolized.select(
             "n", _apply_merge(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint()
+        )
+        pending += 1
+        if pending >= checkpoint_every:
+            symbolized = symbolized.localCheckpoint()
+            pending = 0
     return merges
 
 

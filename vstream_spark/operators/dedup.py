@@ -554,6 +554,10 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_comp"))
         )
+        # carry a per-row changed flag through the SAME pass instead of
+        # re-joining new against old afterwards: the convergence check is
+        # then one count over the already-checkpointed frame — no extra
+        # join, no extra shuffle per round (guide §2.4)
         new = (
             comp.join(nbr_min, comp.doc_id == nbr_min.src, "left")
             .select(
@@ -561,16 +565,14 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("nbr_comp", "component")
                 ).alias("component"),
+                (
+                    F.coalesce("nbr_comp", "component") < F.col("component")
+                ).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(comp.alias("o"), "doc_id")
-            .filter("n.component != o.component")
-            .count()
-        )
-        comp = new
+        changed = new.filter("_chg").count()
+        comp = new.drop("_chg")
         if changed == 0:
             break
     return comp

@@ -5006,11 +5006,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.withColumn("r", F.lit(1.0 / n_nodes))
     damp = 0.85
     for _ in range(3):
-        contrib = (
-            edges.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(deg, "src")
-            .select("dst", (F.col("r") / F.col("d")).alias("c"))
+        # attach r/d at NODE cardinality first, then do the single
+        # edge-cardinality join: one edge-scale shuffle per iteration
+        # instead of two (guide §2.4 — same per-edge c, same sum)
+        rd = (
+            ranks.join(deg.withColumnRenamed("src", "id"), "id")
+            .select(
+                F.col("id").alias("src"), (F.col("r") / F.col("d")).alias("c")
+            )
         )
+        contrib = edges.join(rd, "src").select("dst", "c")
         ranks = contrib.groupBy(F.col("dst").alias("id")).agg(
             F.round(
                 F.lit((1.0 - damp) / n_nodes) + F.lit(damp) * F.sum("c"), 9
