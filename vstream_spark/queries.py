@@ -4734,25 +4734,35 @@ def q_events_ts_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Streaming set-similarity join (cross-batch LSH state) -------------------
 
-_DOCS_STREAM_SRC: dict[str, str] = {}
+_DOCS_STREAM_SRC: dict[str, tuple[str, int]] = {}
 
 
-def _docs_stream_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """documents split into 3 parquet files (doc_id % 3) so the file stream
-    replays 3 micro-batches; files cached per (process, sf_dir). Each row
-    carries an event time ``et = (doc_id % 3) * 10`` — constant within a
-    batch, advancing 10 per batch — so the TTL-bounded variant has a
-    SQL-expressible freshness window (|slot diff| <= 1 at ttl=10). Writes
-    sleep between slots so file mtimes order the replay deterministically
-    (the bounded mode's output depends on arrival order by design: an
+def _docs_stream_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """documents split into 3 micro-batch slots (doc_id % 3), each slot
+    written as ``files_per_slot`` parquet files so the source stage of every
+    micro-batch has file-level parallelism (a single file per trigger
+    serialized the whole signature UDF chain onto one task — guide §2.6;
+    a real stream delivers many files per trigger, the fixture should too).
+    Returns ``(src, files_per_slot)``; readers must pass
+    ``maxFilesPerTrigger=files_per_slot`` so one trigger == one slot.
+    Files cached per (process, sf_dir). Each row carries an event time
+    ``et = (doc_id % 3) * 10`` — constant within a batch, advancing 10 per
+    batch — so the TTL-bounded variant has a SQL-expressible freshness
+    window (|slot diff| <= 1 at ttl=10). Writes sleep between slots so file
+    mtimes order the replay deterministically: every slot file predates
+    every later-slot file, so the K oldest unseen files are exactly one
+    slot (the bounded mode's output depends on arrival order by design: an
     arrival looks BACK ttl units, it cannot see forward)."""
     import os
     import tempfile
     import time as _time
 
-    src = _DOCS_STREAM_SRC.get(sf_dir)
-    if src is not None and os.path.isdir(src):
-        return src
+    cached = _DOCS_STREAM_SRC.get(sf_dir)
+    if cached is not None and os.path.isdir(cached[0]):
+        return cached
+    files_per_slot = max(
+        1, min(16, spark.sparkContext.defaultParallelism // 4)
+    )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", ((F.col("doc_id") % 3) * 10).cast("long").alias("et")
     )
@@ -4760,11 +4770,11 @@ def _docs_stream_fixture(spark: SparkSession, sf_dir: str) -> str:
     for slot in range(3):
         if slot:
             _time.sleep(1.05)  # distinct mtimes => deterministic batch order
-        docs.filter(F.col("doc_id") % 3 == slot).coalesce(1).write.mode(
-            "append"
-        ).parquet(out)
-    _DOCS_STREAM_SRC[sf_dir] = out
-    return out
+        d = docs.filter(F.col("doc_id") % 3 == slot)
+        (d.repartition(files_per_slot) if files_per_slot > 1 else d.coalesce(1)
+         ).write.mode("append").parquet(out)
+    _DOCS_STREAM_SRC[sf_dir] = (out, files_per_slot)
+    return out, files_per_slot
 
 
 @register("streaming_minhash_lsh", _minhash_lsh_oracle())
@@ -4780,11 +4790,11 @@ def q_streaming_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_set_similarity,
     )
 
-    src = _docs_stream_fixture(spark, sf_dir)
+    src, files_per_slot = _docs_stream_fixture(spark, sf_dir)
     schema = "doc_id bigint, text string"
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_slot)
         .parquet(src)
     )
     pairs = streaming_set_similarity(stream, threshold=0.5)
@@ -4817,11 +4827,11 @@ def q_streaming_minhash_lsh_bounded(spark: SparkSession, sf_dir: str) -> DataFra
         streaming_set_similarity,
     )
 
-    src = _docs_stream_fixture(spark, sf_dir)
+    src, files_per_slot = _docs_stream_fixture(spark, sf_dir)
     schema = "doc_id bigint, text string, et bigint"
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_slot)
         .parquet(src)
     )
     pairs = streaming_set_similarity(
