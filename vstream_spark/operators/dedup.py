@@ -154,6 +154,11 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         F.col(id_col).alias("doc_id"), _shingles(text_col, n).alias("shingles")
     ).withColumn("n_shingles", F.size("shingles"))
+    # the shingle UDF subtree is referenced FIVE times downstream (df_tbl,
+    # both prefix self-join sides, both verification sides): pin it so the
+    # normalize+shingle Arrow chain runs once per action, not once per
+    # branch (same persist-before-self-join pattern as the minhash sigs pin)
+    sh = sh.localCheckpoint(eager=True)
     ex = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
     # global rarest-first order: document frequency asc, shingle text tiebreak
     df_tbl = ex.groupBy("shingle").agg(F.count("*").alias("_df"))
