@@ -1024,7 +1024,9 @@ SELECT qid, neighbor_id, distance, rank FROM ranked WHERE rank <= {k}
 @register("text_embed_knn", _embed_knn_oracle())
 def q_text_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    emb = embed_text(docs, dim=64)
+    # emb feeds both the vector side and the query side of the kNN: pin it
+    # so the embed pipeline runs once per action, not once per join side
+    emb = embed_text(docs, dim=64).localCheckpoint(eager=True)
     vectors = emb.selectExpr("doc_id as id", "emb")
     qs = emb.filter(F.col("doc_id") % 50 == 0).selectExpr("doc_id as qid", "emb")
     return knn_exact(vectors, qs, k=5, metric="cosine")
@@ -4210,7 +4212,12 @@ def q_knn_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     qdoc = spark.createDataFrame([(-1, _HYBRID_QTEXT)], "doc_id long, text string")
-    emb_all = embed_text(docs.select("doc_id", "text").unionByName(qdoc), dim=64)
+    # emb_all feeds BOTH the query-vector filter and the corpus scoring
+    # side: pin it so the tokenize→hash→aggregate embed pipeline (2
+    # exchanges) runs once per action instead of once per branch
+    emb_all = embed_text(
+        docs.select("doc_id", "text").unionByName(qdoc), dim=64
+    ).localCheckpoint(eager=True)
     qemb = emb_all.filter(F.col("doc_id") == -1).select(F.col("emb").alias("qemb"))
     # widen the streamed side: the embed pipeline ends in an aggregation
     # whose AQE-coalesced output would serialize the scoring loop (the same
@@ -4934,7 +4941,12 @@ def q_knn_sparse_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # tf is computed for the vocab collect() below AND re-derived by the
+    # main scoring job: pin it so the tokenize+explode+aggregate pass runs
+    # once — the collect() was already paying for it in full
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).localCheckpoint(
+        eager=True
+    )
     vocab = (
         tf.groupBy("tok")
         .agg(F.sum("tf").alias("c"))
