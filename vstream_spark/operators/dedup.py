@@ -300,7 +300,9 @@ def minhash_signatures(
                         hv, starts, axis=1
                     ).T.astype(np.int64)
             sig[nz] = out_nz
-        return pd.Series([row.tolist() for row in sig])
+        # hand Arrow the int64 rows directly — per-row .tolist() built
+        # B x num_perm Python ints per batch for no value change
+        return pd.Series(list(sig))
 
     return with_ids.select(
         "doc_id", minhash(F.col("shingle_ids")).alias("sig"), *keep

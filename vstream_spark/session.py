@@ -45,6 +45,15 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.shuffle.partitions": "32",
+    # InferFiltersFromGenerate rewrites explode(udf(x)) into
+    # Filter(size(udf(x))>0) + explode(udf(x)) and the Python-UDF extraction
+    # then evaluates the UDF TWICE (one ArrowEvalPython for the filter, one
+    # for the generator input) — a duplicated whole-corpus Python pass in
+    # every partitioner-dispatch and shingle-explode plan. Generate already
+    # skips empty/null arrays, so the inferred filter buys nothing here;
+    # excluding the rule halves the ArrowEvalPython nodes in those plans.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.ui.enabled": "false",
     "spark.driver.host": "127.0.0.1",
 }

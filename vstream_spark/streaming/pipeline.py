@@ -640,8 +640,11 @@ def streaming_set_similarity(
             b_keys = np.asarray(pdf["band_key"].tolist(), dtype=np.str_)
             b_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             b_ets = pdf["et"].to_numpy(dtype=np.int64)
-            b_mat = np.array(
-                [list(s) for s in pdf["sig"]], dtype=np.int64
+            # rows arrive as numpy arrays inside an object column: stack is
+            # a single C-level copy; the old per-row list() materialized
+            # rows x num_perm Python ints per shard per batch
+            b_mat = np.stack(pdf["sig"].to_numpy()).astype(
+                np.int64, copy=False
             ).reshape(len(pdf), num_perm)
             order = np.argsort(b_keys, kind="stable")
             b_keys, b_ids, b_ets, b_mat = (
