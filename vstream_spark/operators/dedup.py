@@ -580,7 +580,10 @@ def connected_components(
         # carry a per-row changed flag through the SAME pass instead of
         # re-joining new against old afterwards: the convergence check is
         # then one count over the already-checkpointed frame — no extra
-        # join, no extra shuffle per round (guide §2.4)
+        # join, no extra shuffle per round (guide §2.4). The checkpoint is
+        # LAZY: the count() action below computes the frame exactly once
+        # and materializes the checkpoint as a side effect — one job per
+        # round instead of checkpoint-job + count-job
         new = (
             comp.join(nbr_min, comp.doc_id == nbr_min.src, "left")
             .select(
@@ -592,7 +595,7 @@ def connected_components(
                     F.coalesce("nbr_comp", "component") < F.col("component")
                 ).alias("_chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new.filter("_chg").count()
         comp = new.drop("_chg")
