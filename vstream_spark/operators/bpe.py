@@ -80,7 +80,8 @@ def train_bpe(
     wc = word_counts(docs, text_col)
     symbolized = wc.select(
         "n", _chars(F.col("word")).alias("syms")
-    ).localCheckpoint()  # O(word-vocab) rows; truncates the growing fold lineage
+    ).localCheckpoint(eager=False)  # O(word-vocab) rows; truncates the growing
+    # fold lineage; LAZY: the first merge's pair-count materializes it in-job
     merges: list[tuple[str, str, int]] = []
     # Checkpoint every few merges, not every merge: a per-iteration eager
     # localCheckpoint is a full extra job + materialization per merge, while
@@ -119,7 +120,8 @@ def train_bpe(
         )
         pending += 1
         if pending >= checkpoint_every:
-            symbolized = symbolized.localCheckpoint()
+            # lazy: the next merge's pair-count job materializes it
+            symbolized = symbolized.localCheckpoint(eager=False)
             pending = 0
     return merges
 

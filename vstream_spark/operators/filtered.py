@@ -175,7 +175,8 @@ def knn_filtered_adaptive(
     # executor loss invalidates them and fails the caller's later actions —
     # acceptable for this interactive search path (re-issue the query); a
     # long-lived pipeline would persist() to replicated storage instead.
-    matched = ann.drop("rank").join(keep, "neighbor_id").localCheckpoint()
+    # lazy: the deficiency count below is the single materializing action
+    matched = ann.drop("rank").join(keep, "neighbor_id").localCheckpoint(eager=False)
 
     # Per-query exact top-up: if a query keeps >= k matches inside its
     # (exact) global top-k', its filtered top-k is provably exact — any
@@ -191,7 +192,9 @@ def knn_filtered_adaptive(
         .join(matched.groupBy("qid").agg(F.count(F.lit(1)).alias("m")), "qid", "left")
         .select("qid", F.coalesce(F.col("m"), F.lit(0)).alias("m"))
     )
-    deficient = qcnt.filter(F.col("m") < k).select("qid").localCheckpoint()
+    deficient = qcnt.filter(F.col("m") < k).select("qid").localCheckpoint(
+        eager=False
+    )
     n_deficient = deficient.count()
     out = topk(
         matched.join(F.broadcast(deficient), "qid", "left_anti")

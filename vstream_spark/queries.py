@@ -2791,7 +2791,8 @@ def q_text_quality_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f["x3"]).alias("x3"),
         F.expr(f["y"]).alias("y"),
     )
-    feats = feats.localCheckpoint()  # 3 iterations + scoring reuse the scan
+    # lazy: the first gradient agg materializes it; later passes reuse it
+    feats = feats.localCheckpoint(eager=False)
     xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
     w = [0.0, 0.0, 0.0, 0.0]
     for _ in range(3):
@@ -5021,7 +5022,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cand.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    edges = edges.localCheckpoint()  # the candidate pipeline feeds every iteration
+    # lazy: nodes.count() below materializes it in the same job; every
+    # later iteration then reads the checkpoint
+    edges = edges.localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("id")).distinct()
     n_nodes = nodes.count()
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))

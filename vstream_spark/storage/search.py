@@ -1175,7 +1175,8 @@ class SegmentSearcher:
             .withColumn("_r", F.row_number().over(w_rank))
             .filter(F.col("_r") <= k)
             .drop("_r")
-            .localCheckpoint()
+            # lazy: deficient.count() below materializes this in one job
+            .localCheckpoint(eager=False)
         )
         # deficiency against the FULL query frame (a query whose every
         # hit was tombstoned/filtered away must escalate, not vanish);
@@ -1191,7 +1192,8 @@ class SegmentSearcher:
             .select("qid", F.coalesce(F.col("m"), F.lit(0)).alias("m"))
         )
         deficient = (
-            qcnt.filter(F.col("m") < k).select("qid").localCheckpoint()
+            qcnt.filter(F.col("m") < k).select("qid")
+            .localCheckpoint(eager=False)
         )
         n_deficient = deficient.count()
         out = (
