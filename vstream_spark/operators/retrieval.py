@@ -43,7 +43,12 @@ def bm25(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("tok"),
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # dl is consumed twice — the avgdl scalar below and the scored join: pin
+    # it (lazily; the avgdl collect materializes it) so the token explode
+    # runs once for both, not once per consumer
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl")).localCheckpoint(
+        eager=False
+    )
     # avgdl from exact integer sums -> identical double in any engine
     tot = dl.agg(F.sum("dl").alias("s"), F.count("*").alias("c")).collect()[0]
     avgdl = float(tot["s"]) / float(tot["c"])
