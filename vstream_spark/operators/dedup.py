@@ -271,38 +271,26 @@ def minhash_signatures(
 
     @F.pandas_udf("array<bigint>")
     def minhash(sids: pd.Series) -> pd.Series:
-        # Whole-batch vectorization (guide §4.2): concatenate every row's
-        # shingle ids into ONE flat uint64 vector and min-reduce per row with
-        # np.minimum.reduceat instead of allocating a (num_perm, n_shingles)
-        # matrix per document. Same multiply-shift hash, same uint64
-        # wraparound (== mod 2^64), same >> 4 (keeps values < 2^60,
-        # BIGINT-safe for the oracle) — bit-identical signatures, one big
-        # matrix op per perm-chunk instead of B small ones. Perm chunking
-        # bounds the hv scratch at CH x total_shingles x 8 bytes per task.
-        arrs = [np.asarray(v, dtype=np.uint64) for v in sids]
-        n_rows = len(arrs)
-        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=n_rows)
-        sig = np.full((n_rows, num_perm), (1 << 60) - 1, dtype=np.int64)
-        nz = lens > 0
-        if nz.any():
-            x_all = np.concatenate([x for x in arrs if len(x)])
-            starts = np.zeros(int(nz.sum()), dtype=np.int64)
-            np.cumsum(lens[nz][:-1], out=starts[1:])
-            out_nz = np.empty((int(nz.sum()), num_perm), dtype=np.int64)
-            ch = max(1, min(num_perm, (1 << 23) // max(1, len(x_all))))
-            with np.errstate(over="ignore"):
-                for p0 in range(0, num_perm, ch):
-                    hv = (
-                        a[p0 : p0 + ch, None] * x_all[None, :]
-                        + b[p0 : p0 + ch, None]
-                    ) >> np.uint64(4)
-                    out_nz[:, p0 : p0 + ch] = np.minimum.reduceat(
-                        hv, starts, axis=1
-                    ).T.astype(np.int64)
-            sig[nz] = out_nz
+        # Per-document (num_perm x n_shingles) hash matrix, min over axis=1.
+        # A whole-batch np.minimum.reduceat variant was tried in r14 and
+        # REVERTED: ~10-20% slower single-threaded (reduceat segment loop)
+        # and its ~64 MB hv scratch per perm-chunk displaced cache under
+        # 32-way task contention, vs ~76 KB per row here. Same multiply-
+        # shift hash, same uint64 wraparound (== mod 2^64), same >> 4
+        # (keeps values < 2^60, BIGINT-safe for the oracle).
+        out = []
+        empty = np.full(num_perm, (1 << 60) - 1, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for v in sids:
+                x = np.asarray(v, dtype=np.uint64)
+                if len(x) == 0:
+                    out.append(empty)
+                    continue
+                hv = (a[:, None] * x[None, :] + b[:, None]) >> np.uint64(4)
+                out.append(hv.min(axis=1).astype(np.int64))
         # hand Arrow the int64 rows directly — per-row .tolist() built
         # B x num_perm Python ints per batch for no value change
-        return pd.Series(list(sig))
+        return pd.Series(out)
 
     return with_ids.select(
         "doc_id", minhash(F.col("shingle_ids")).alias("sig"), *keep
