@@ -48,6 +48,57 @@ def test_relational_pushdown_and_broadcast(spark):
     assert "PushedFilters: []" != plan.split("PushedFilters: ")[1].split("\n")[0]
 
 
+def test_load_table_plan_cache(spark, tmp_path):
+    """load_table memoizes the LOGICAL PLAN per (session, file-stat, filter)
+    — repeated loads skip the footer/schema round trips — and invalidates
+    when the file changes (mtime/size key), so a rewritten table can never
+    serve a stale plan. Plan-handle reuse only: every action still scans
+    parquet."""
+    import os
+    import shutil
+
+    from vstream_spark.sources.tables import load_table
+
+    a = load_table(spark, SF, "embeddings")
+    assert load_table(spark, SF, "embeddings") is a  # cache hit
+    assert load_table(spark, SF, "documents") is not a
+    # a raw_filter variant is a distinct cache entry
+    f = load_table(spark, SF, "lineitem", raw_filter="l_shipdate >= 0",
+                   raw_filter_col="l_shipdate")
+    assert load_table(spark, SF, "lineitem") is not f
+    # file mutation invalidates: copy table to a tmp dir, load, touch, reload
+    d = str(tmp_path)
+    shutil.copy(f"{SF}/embeddings.parquet", f"{d}/embeddings.parquet")
+    b1 = load_table(spark, d, "embeddings")
+    assert load_table(spark, d, "embeddings") is b1
+    os.utime(f"{d}/embeddings.parquet", ns=(1, 1))
+    assert load_table(spark, d, "embeddings") is not b1
+
+
+def test_relational_date_predicates_reach_scan(spark):
+    """The ship-date predicates are written against the DERIVED timestamp
+    column (timestamp_micros(raw DIV 1000)), which Spark cannot push to the
+    parquet scan; the raw-nanos preimage refinement (r14) must restore
+    PushedFilters on l_shipdate — and, being redundant with the query's own
+    WHERE, must leave results bit-identical."""
+    from vstream_spark.queries import REGISTRY, _make_relational, _RELATIONAL
+
+    for name in ("rel_pricing_summary", "rel_revenue_forecast"):
+        fn, _ = REGISTRY[name]
+        df = fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pushed = [
+            ln for ln in plan.splitlines()
+            if "PushedFilters" in ln and "l_shipdate" in ln
+        ]
+        assert pushed, f"{name}: no pushed l_shipdate filter\n{plan}"
+        # results identical to the unrefined query (raw preimage is exact)
+        plain = _make_relational(_RELATIONAL[name])(spark, SF)
+        assert sorted(map(tuple, df.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+
+
 def test_hashed_tf_partial_aggregation(spark):
     from vstream_spark.operators.embed import hashed_tf
     from vstream_spark.sources.tables import load_table

@@ -280,16 +280,59 @@ FROM ranked WHERE rank <= 3
 }
 
 
-def _make_relational(sql: str) -> QueryFn:
+# Pushdown refinements for the date predicates above (guide §6): the views'
+# timestamp columns are DERIVED (timestamp_micros(raw DIV 1000) over the
+# int64-nanos parquet column), so Catalyst cannot push the WHERE clauses to
+# the scan — at 100 TB that forfeits all row-group/page skipping on the
+# ship-date, the most selective predicate in the family. Each entry below
+# re-registers one view with the EXACT raw-nanos preimage of the query's own
+# predicate applied BEFORE the conversion, where it reaches PushedFilters.
+#
+# Equivalence proof (ts = timestamp_micros(CAST(raw DIV 1000 AS BIGINT)),
+# m = unix_micros(T) > 0 for every literal here, BIGINT DIV truncates toward
+# zero):
+#   ts <= T  <=>  raw DIV 1000 <= m  <=>  raw <= m*1000 + 999
+#     (raw >= 0: truncating DIV = floor; raw < 0: both sides true since m>0)
+#   ts >= T  <=>  raw DIV 1000 >= m  <=>  raw >= m*1000
+#     (raw < 0: raw DIV 1000 <= 0 < m and raw < 0 < m*1000 — both false)
+#   ts <  T  <=>  raw DIV 1000 <= m-1  <=>  raw <= m*1000 - 1
+# The refinement is additionally REDUNDANT (the query's own WHERE still
+# applies downstream), so results are identical even by inspection.
+_RELATIONAL_RAW_PUSHDOWN: dict[str, dict[str, tuple[str, str]]] = {
+    "rel_pricing_summary": {
+        "lineitem": (
+            "l_shipdate",
+            "l_shipdate <= unix_micros(TIMESTAMP '2024-09-01 00:00:00') * 1000 + 999",
+        ),
+    },
+    "rel_revenue_forecast": {
+        "lineitem": (
+            "l_shipdate",
+            "l_shipdate >= unix_micros(TIMESTAMP '2024-01-01 00:00:00') * 1000"
+            " AND l_shipdate <= unix_micros(TIMESTAMP '2025-01-01 00:00:00') * 1000 - 1",
+        ),
+    },
+}
+
+
+def _make_relational(
+    sql: str, raw_pushdown: dict[str, tuple[str, str]] | None = None
+) -> QueryFn:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
+        for tbl, (col, pred) in (raw_pushdown or {}).items():
+            load_table(
+                spark, sf_dir, tbl, raw_filter=pred, raw_filter_col=col
+            ).createOrReplaceTempView(tbl)
         return spark.sql(sql)
 
     return fn
 
 
 for _name, _sql in _RELATIONAL.items():
-    register(_name, _sql)(_make_relational(_sql))
+    register(_name, _sql)(
+        _make_relational(_sql, _RELATIONAL_RAW_PUSHDOWN.get(_name))
+    )
 
 
 # --- Partitioned pipeline (P1 exchange + co-located search + M1 merge) ------

@@ -24,6 +24,8 @@ Fixture scheme (seeded by vec_id, N = count(embeddings)):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -81,15 +83,76 @@ _NANO_TS_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Plan cache for the table loaders. Every ``spark.read.parquet`` pays a
+# driver round trip of file listing + footer schema inference, and the
+# nanos->timestamp conversion below adds schema analysis + expression
+# parsing; the bench suite builds each table's reader hundreds of times per
+# session (one per query x repeat, and the relational queries register all
+# ten views each call), so the repeated metadata work is pure per-query
+# fixed cost. Cached handles hold only the LOGICAL PLAN — every action
+# still scans parquet — so this is metadata reuse (Spark's own
+# FileIndex-caching discipline), not result caching. Keyed by
+# (applicationId, realpath, mtime_ns, size, raw_filter): a session restart
+# or a rewritten file can never hit a stale entry.
+_TABLE_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _table_cache_key(
+    spark: SparkSession, path: str, raw_filter: str | None
+) -> tuple | None:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None  # directory-shaped or remote: no cache
+    sc = spark.sparkContext
+    app_id = getattr(sc, "_vstream_app_id", None)
+    if app_id is None:
+        app_id = sc.applicationId
+        sc._vstream_app_id = app_id  # one py4j round trip per session
+    return (app_id, os.path.realpath(path), st.st_mtime_ns, st.st_size, raw_filter)
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    raw_filter: str | None = None,
+    raw_filter_col: str | None = None,
+) -> DataFrame:
+    """Load one testdata table, converting TIMESTAMP(NANOS) columns.
+
+    ``raw_filter`` is an optional SQL predicate evaluated against the RAW
+    int64-nanos columns BEFORE the timestamp conversion, so it reaches the
+    parquet scan as a pushable plain-column comparison (PushedFilters) —
+    the converted column is a derived expression Spark cannot push. Callers
+    must pass a predicate IMPLIED by the query's own filters (see the
+    relational queries), so results are unchanged. ``raw_filter_col`` guards
+    the application: the filter is applied only when that column reads as
+    int64 (nanosAsLong) — against a session that reads real timestamps the
+    int64 bound would be a DIFFERENT predicate, so it is skipped (skipping
+    is always sound: the filter is redundant with the query's own WHERE).
+    """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = _table_cache_key(spark, path, raw_filter)
+    if key is not None:
+        cached = _TABLE_PLAN_CACHE.get(key)
+        if cached is not None:
+            return cached
+    df = spark.read.parquet(path)
+    kinds = dict(df.dtypes)
+    if raw_filter and (raw_filter_col is None or kinds.get(raw_filter_col) == "bigint"):
+        df = df.filter(raw_filter)
     for col in _NANO_TS_COLS.get(name, ()):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+        if kinds.get(col) == "bigint":
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"CAST({col} DIV 1000 AS BIGINT)"))
             )
+    if key is not None:
+        if len(_TABLE_PLAN_CACHE) >= 256:
+            _TABLE_PLAN_CACHE.clear()  # dead-session bound; entries are tiny
+        _TABLE_PLAN_CACHE[key] = df
     return df
 
 
@@ -99,13 +162,29 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def _fixture_plan(spark: SparkSession, sf_dir: str, tag: str, sql: str) -> DataFrame:
+    """Analyze a fixture's SQL once per (session, embeddings file): the SQL
+    text is a constant and the resolved plan only references the embeddings
+    scan, so the same plan-cache discipline as ``load_table`` applies (the
+    parse + analyze of the scalar-subquery SQL is pure per-call driver
+    cost). The temp view is still (re-)registered on a miss."""
+    key = _table_cache_key(spark, f"{sf_dir}/embeddings.parquet", tag)
+    if key is not None:
+        cached = _TABLE_PLAN_CACHE.get(key)
+        if cached is not None:
+            return cached
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    df = spark.sql(sql)
+    if key is not None:
+        _TABLE_PLAN_CACHE[key] = df
+    return df
+
+
 def vectors_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 vector stream (id, emb, event_time, ttl, op) derived from embeddings."""
-    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
-    return spark.sql(VECTORS_FIXTURE_SQL)
+    return _fixture_plan(spark, sf_dir, "::vectors_fixture", VECTORS_FIXTURE_SQL)
 
 
 def queries_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 query stream (qid, emb, event_time, ttl, k) derived from embeddings."""
-    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
-    return spark.sql(QUERIES_FIXTURE_SQL)
+    return _fixture_plan(spark, sf_dir, "::queries_fixture", QUERIES_FIXTURE_SQL)
