@@ -134,8 +134,22 @@ def _fresh_session(sf_dir: str):
     return spark
 
 
+def resolve_sf_dir(sf_dir: str) -> str:
+    """Absolutize the bench data dir and re-export it. Both drift controls
+    re-run bench.py in a PRIOR-COMMIT WORKTREE (different cwd) with the
+    inherited environment, so a relative ``SPARK_GRAFT_SF_DIR`` (the sf1
+    lane scripts pass ``.localdata/sf1``) made the child bench die on a
+    missing path — the exact ``CalledProcessError`` recorded in the r14
+    sf1 lane's ``drift_control`` block. Resolving once here and writing
+    the absolute path back into the env fixes every downstream consumer
+    (children inherit the resolved path)."""
+    sf_dir = os.path.realpath(sf_dir)
+    os.environ["SPARK_GRAFT_SF_DIR"] = sf_dir
+    return sf_dir
+
+
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf_dir = resolve_sf_dir(os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)

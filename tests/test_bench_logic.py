@@ -86,3 +86,21 @@ def test_stream_state_partitions_derivation(tmp_path):
     )
     # floor is a knob (a compute-heavy stream can keep more parallelism)
     assert stream_state_partitions(spark, str(small), floor=6) == 6
+
+
+def test_resolve_sf_dir_absolutizes_and_exports(tmp_path, monkeypatch):
+    """The drift controls re-run bench.py in a prior-commit worktree
+    (different cwd) with the inherited env — a relative SPARK_GRAFT_SF_DIR
+    must be resolved AND written back so the child inherits a path that
+    still exists from any cwd (the r14 sf1-lane drift control failed on
+    exactly this)."""
+    import os
+
+    from bench import resolve_sf_dir
+
+    d = tmp_path / "sfX"
+    d.mkdir()
+    monkeypatch.chdir(tmp_path)
+    out = resolve_sf_dir("sfX")
+    assert os.path.isabs(out) and os.path.samefile(out, d)
+    assert os.environ["SPARK_GRAFT_SF_DIR"] == out
