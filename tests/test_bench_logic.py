@@ -53,6 +53,30 @@ def test_suite_mover_queries_orders_and_caps():
     assert bench.suite_mover_queries({"x": 9.0}, {}) == []
 
 
+def test_cpus_guard_blocks_nondefault_core_runs(monkeypatch):
+    """r14 VERDICT #2: a run at a core count other than the committed
+    official detail's must not be official (the r14 8-core scaling run
+    overwrote BENCH_DETAIL.json and poisoned best_known). Pre-cpus-field
+    details accept any run (the first post-upgrade run stamps the ref)."""
+    assert bench.cpus_match_official(32, 32)
+    assert not bench.cpus_match_official(32, 8)
+    assert bench.cpus_match_official(None, 8)  # legacy detail: accept
+    # bench_cpus reads $SPARK_GRAFT_CPUS when numeric
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    assert bench.bench_cpus() == 8
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "*")
+    assert bench.bench_cpus() >= 1
+
+
+def test_queries_set_hash_is_order_independent():
+    """The stdout line carries a hash of the timed-query NAME SET so the
+    driver can distinguish top-8 churn from genuinely dropped queries."""
+    a = bench.queries_set_hash(["x", "y", "z"])
+    assert a == bench.queries_set_hash(["z", "x", "y"])
+    assert a != bench.queries_set_hash(["x", "y"])
+    assert len(a) == 12
+
+
 def test_stream_state_partitions_derivation(tmp_path):
     """The state-partition count derives from input bytes (ceil/target),
     floored for residual parallelism and capped at 2x defaultParallelism —
@@ -86,6 +110,33 @@ def test_stream_state_partitions_derivation(tmp_path):
     )
     # floor is a knob (a compute-heavy stream can keep more parallelism)
     assert stream_state_partitions(spark, str(small), floor=6) == 6
+
+
+def test_batch_shuffle_partitions_derivation(tmp_path, monkeypatch):
+    """r14 VERDICT #7: the session's shuffle width derives from input size
+    (ceil bytes/128MB), floored at the core count — identical to the old
+    static 32 on the 32-core harness at rehearsal SFs — and capped at
+    2x cores (the documented cluster rule of thumb)."""
+    from vstream_spark.session import batch_shuffle_partitions
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    (d / "t.parquet").write_bytes(b"x" * 1024)
+    # tiny input -> core-count floor
+    assert batch_shuffle_partitions(str(d), cores=32) == 32
+    # 40 cores' worth of 128MB targets on 16 cores -> capped at 32
+    (d / "big").write_bytes(b"x" * (40 * 128 << 20))
+    assert batch_shuffle_partitions(str(d), cores=16) == 32
+    # between floor and cap: width follows bytes (40 full targets + the
+    # 1 KB file above tip the ceil to 41)
+    assert batch_shuffle_partitions(str(d), cores=30) == 41
+    # metadata files excluded
+    (d / "_SUCCESS").write_bytes(b"x" * (1 << 30))
+    assert batch_shuffle_partitions(str(d), cores=30) == 41
+    # no data dir -> cores (env fallback exercised via monkeypatch)
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "12")
+    assert batch_shuffle_partitions() == 12
 
 
 def test_resolve_sf_dir_absolutizes_and_exports(tmp_path, monkeypatch):
