@@ -357,3 +357,49 @@ def test_curve_partitioner_full_replication_is_exact_under_ttl(spark):
     assert set(zip(got["qid"], got["neighbor_id"])) == set(
         zip(want["qid"], want["neighbor_id"])
     )
+
+
+def test_fit_cache_reuses_and_invalidates(spark, tmp_path):
+    """The fitted-state memo (r15: _FIT_CACHE) returns the SAME centroids
+    object for an identical (session, plan, file mtime, params) fit, keys
+    distinct params separately, and misses after the input file changes —
+    the plan-cache staleness discipline applied to partitioner fits."""
+    import os
+    import time
+
+    from vstream_spark.partitioners.dispatch import _FIT_CACHE, fit_partitioner
+
+    rng = np.random.RandomState(3)
+    p = str(tmp_path / "vec.parquet")
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.rand(8)]) for i in range(120)],
+        "id bigint, emb array<double>",
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    conf = PartitionerConf(kind="kmeans", num_partitions=3, replication_factor=1)
+    n0 = len(_FIT_CACHE)
+    c1 = fit_partitioner(conf, df).centroids
+    assert len(_FIT_CACHE) == n0 + 1
+    c2 = fit_partitioner(conf, df).centroids
+    assert c2 is c1  # exact reuse, not a refit
+    # different fit params -> its own entry
+    conf4 = PartitionerConf(kind="kmeans", num_partitions=4, replication_factor=1)
+    c4 = fit_partitioner(conf4, df).centroids
+    assert c4 is not c1 and len(_FIT_CACHE) == n0 + 2
+    # rewriting the file invalidates (mtime/size key component)
+    time.sleep(0.05)
+    os.utime(next(
+        os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+    ))
+    df2 = spark.read.parquet(p)
+    c5 = fit_partitioner(conf, df2).centroids
+    assert c5 is not c1
+    # non-file inputs (local relations) skip the cache rather than risk
+    # an unsound key
+    local = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.rand(8)]) for i in range(60)],
+        "id bigint, emb array<double>",
+    )
+    n_before = len(_FIT_CACHE)
+    fit_partitioner(conf, local)
+    assert len(_FIT_CACHE) == n_before

@@ -99,6 +99,58 @@ def test_relational_date_predicates_reach_scan(spark):
         )
 
 
+def test_events_ts_preimage_reaches_scan_on_nanos_vintage(spark, tmp_path):
+    """r15 (VERDICT #3): the streaming_late_rollup fixture's split predicate
+    gets the same raw-nanos preimage treatment as the rel family. On a
+    NANOS-vintage events table (int64 ts under nanosAsLong) the preimage
+    must reach PushedFilters, and the sliced row sets must equal the
+    unrefined converted-column filter's — boundary values included."""
+    from datetime import datetime, timezone
+
+    from vstream_spark.queries import _LATE_SPLIT
+    from vstream_spark.sources.tables import load_table
+
+    m = int(
+        datetime.strptime(_LATE_SPLIT, "%Y-%m-%d %H:%M:%S")
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+    # nanos straddling the split: strictly below, the 3 ns values that
+    # truncate INTO the split microsecond (ts == T, so NOT < T), and above
+    ns_vals = [m * 1000 - 1, m * 1000, m * 1000 + 999, m * 1000 + 1000,
+               m * 1000 - 3_600_000_000_000]
+    sf = tmp_path / "sfnanos"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(ns_vals)],
+        "event_id bigint, ts bigint",
+    ).write.parquet(str(sf / "events.parquet"))
+    expr = f"unix_micros(TIMESTAMP '{_LATE_SPLIT}')"
+    pre = load_table(
+        spark, str(sf), "events",
+        raw_filter=f"ts <= {expr} * 1000 - 1", raw_filter_col="ts",
+    )
+    post = load_table(
+        spark, str(sf), "events",
+        raw_filter=f"ts >= {expr} * 1000", raw_filter_col="ts",
+    )
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PushedFilters" in ln and "ts" in ln and "LessThanOrEqual" in ln
+        for ln in plan.splitlines()
+    ), f"no pushed ts preimage\n{plan}"
+    import pyspark.sql.functions as F
+
+    plain = load_table(spark, str(sf), "events")
+    want_pre = {r.event_id for r in plain.filter(F.col("ts") < _LATE_SPLIT).collect()}
+    want_post = {r.event_id for r in plain.filter(~(F.col("ts") < _LATE_SPLIT)).collect()}
+    got_pre = {r.event_id for r in pre.filter(F.col("ts") < _LATE_SPLIT).collect()}
+    got_post = {r.event_id for r in post.filter(~(F.col("ts") < _LATE_SPLIT)).collect()}
+    assert got_pre == want_pre == {0, 4}
+    assert got_post == want_post == {1, 2, 3}
+
+
 def test_hashed_tf_partial_aggregation(spark):
     from vstream_spark.operators.embed import hashed_tf
     from vstream_spark.sources.tables import load_table

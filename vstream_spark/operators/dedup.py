@@ -322,13 +322,21 @@ def minhash_lsh_candidates(
     # shingle+minhash pass runs once per action, not once per join side
     # (standard persist-before-self-join; one row per doc)
     sigs = sigs.localCheckpoint(eager=True)
+    # band key = the RAW signature slice (array<bigint>), not a decimal
+    # string: the old concat_ws key paid 64 interpreted long->string
+    # conversions + a concat per doc per evaluation and shuffled ~40-80
+    # string bytes per (doc, band) where 4 longs suffice. Equality of the
+    # slice IS equality of the old string (non-negative int64, ','-joined
+    # decimal is injective), so the candidate set — and therefore the
+    # result — is bit-identical. No hashing of the key is involved anywhere
+    # (the join is on the values), so no collision risk is introduced.
     banded = sigs.select(
         "doc_id",
         "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.concat_ws(",", F.slice("sig", i * rows + 1, rows)),
+                lambda i: F.slice("sig", i * rows + 1, rows),
             )
         ).alias("band", "band_key"),
     )

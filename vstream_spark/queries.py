@@ -1974,14 +1974,28 @@ def q_streaming_late_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _LATE_ROLLUP_SRC.get(sf_dir)
     if src is None or not __import__("os").path.isdir(src):
-        ev = load_table(spark, sf_dir, "events")
+        # raw-nanos preimages of the split predicate (guide §6, same proof
+        # as _RELATIONAL_RAW_PUSHDOWN: ts < T <=> raw <= unix_micros(T)*1000
+        # - 1; ts >= T <=> raw >= unix_micros(T)*1000). On nanos-vintage
+        # parquet the converted-column filter below cannot reach the scan;
+        # the preimage does, and is redundant with it — identical slices by
+        # construction. load_table skips it on micros-vintage data.
+        m = f"unix_micros(TIMESTAMP '{_LATE_SPLIT}')"
+        ev_pre = load_table(
+            spark, sf_dir, "events",
+            raw_filter=f"ts <= {m} * 1000 - 1", raw_filter_col="ts",
+        )
+        ev_post = load_table(
+            spark, sf_dir, "events",
+            raw_filter=f"ts >= {m} * 1000", raw_filter_col="ts",
+        )
         on_time = F.col("event_id") % 7 != 3
         pre = F.col("ts") < _LATE_SPLIT
         src = tempfile.mkdtemp(prefix="late-rollup-")
         try:
-            ev.filter(pre & on_time).coalesce(1).write.parquet(f"{src}/b000")
-            ev.filter(~pre).coalesce(1).write.parquet(f"{src}/b001")
-            ev.filter(pre & ~on_time).coalesce(1).write.parquet(f"{src}/b002")
+            ev_pre.filter(pre & on_time).coalesce(1).write.parquet(f"{src}/b000")
+            ev_post.filter(~pre).coalesce(1).write.parquet(f"{src}/b001")
+            ev_pre.filter(pre & ~on_time).coalesce(1).write.parquet(f"{src}/b002")
         except Exception:
             shutil.rmtree(src, ignore_errors=True)
             raise

@@ -44,7 +44,6 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.parquet.columnarReaderBatchSize": "4096",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
-    "spark.sql.shuffle.partitions": "32",
     # InferFiltersFromGenerate rewrites explode(udf(x)) into
     # Filter(size(udf(x))>0) + explode(udf(x)) and the Python-UDF extraction
     # then evaluates the UDF TWICE (one ArrowEvalPython for the filter, one
@@ -57,6 +56,41 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.ui.enabled": "false",
     "spark.driver.host": "127.0.0.1",
 }
+
+
+def batch_shuffle_partitions(
+    data_dir: str | None = None,
+    cores: int | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Scale-derived ``spark.sql.shuffle.partitions`` (guide §2.2; r14
+    VERDICT #7): ``clamp(ceil(input_bytes / 128MB), cores, 2*cores)`` — the
+    static 32 replaced by the same sizing rule ``stream_state_partitions``
+    applies to state stores. At rehearsal SFs (input << 128 MB) the floor is
+    the core count, so the local bench plan width is unchanged vs the old
+    constant on a 32-core harness; at 100 TB the width rises to the 2x-cores
+    rule of thumb and AQE coalescing still owns the downsizing per stage.
+    ``data_dir`` defaults to $SPARK_GRAFT_SF_DIR (the harness contract);
+    ``cores`` to $SPARK_GRAFT_CPUS, else the machine."""
+    if cores is None:
+        raw = os.environ.get("SPARK_GRAFT_CPUS", "")
+        try:
+            cores = int(raw)
+        except ValueError:
+            cores = os.cpu_count() or 1
+    cores = max(1, cores)
+    if data_dir is None:
+        data_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "")
+    total = 0
+    if data_dir and os.path.isdir(data_dir):
+        for root, _, files in os.walk(data_dir):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith((".", "_"))
+            )
+    width = -(-total // max(1, target_bytes))  # ceil
+    return int(max(cores, min(2 * cores, width)) if width else cores)
 
 
 def get_spark(
@@ -74,6 +108,7 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(batch_shuffle_partitions())
     if extra_conf:
         conf.update(extra_conf)
     for key, value in conf.items():
