@@ -490,6 +490,44 @@ def test_set_similarity_shards_track_parallelism(spark, tmp_path):
     from vstream_spark.streaming.pipeline import derived_state_shards
 
     assert derived_state_shards(spark) == dp
+    # data-aware variant (r15): with source paths, groups track input bytes
+    # (ceil bytes/1MB, floor 4, cap 4x parallelism) — per-group pandas-state
+    # invocation cost is paid per trigger regardless of arrivals
+    assert derived_state_shards(spark, src) == 4  # tiny source -> floor
+    import os
+
+    big = str(tmp_path / "big-src")
+    os.makedirs(big)
+    with open(os.path.join(big, "part-0"), "wb") as f:
+        f.write(b"x" * (6 << 20))
+    assert derived_state_shards(spark, big) == 6
+    assert (
+        derived_state_shards(spark, big, target_bytes=1) == 4 * dp
+    )  # cap
+
+
+def test_set_similarity_min_band_exactly_once(spark, tmp_path):
+    """r15 min-band emission: a pair that collides in EVERY band (identical
+    docs) is emitted exactly once, and the plan carries NO downstream
+    dedup operator — exactly-once is decided inside the keyed state from
+    the two signatures (smallest colliding band wins)."""
+    from vstream_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_set_similarity,
+    )
+
+    schema = "doc_id bigint, text string"
+    src = str(tmp_path / "src-minband")
+    spark.createDataFrame(
+        [(1, "x y z w v u"), (2, "x y z w v u"), (3, "p q r s t")], schema
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    pairs = streaming_set_similarity(stream, threshold=0.5, state_shards=3)
+    plan = pairs._jdf.queryExecution().analyzed().toString()
+    assert "Deduplicate" not in plan and "dropDuplicates" not in plan
+    run_stream_to_memory(pairs, "minband_once", output_mode="append")
+    rows = spark.sql("select * from minband_once").collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard_est) for r in rows] == [(1, 2, 1.0)]
 
 
 def test_stateful_state_survives_query_restart(spark, tmp_path):

@@ -4850,6 +4850,7 @@ def q_streaming_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the BATCH MinHash-LSH oracle — cross-batch bucket state is exactly the
     batch bucket join, unrolled over time."""
     from vstream_spark.streaming.pipeline import (
+        derived_state_shards,
         run_stream_to_memory,
         stream_state_partitions,
         streaming_set_similarity,
@@ -4862,7 +4863,13 @@ def q_streaming_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", files_per_slot)
         .parquet(src)
     )
-    pairs = streaming_set_similarity(stream, threshold=0.5)
+    # data-derived shard count (r15): every (band, shard) group pays a fixed
+    # pandas-state invocation cost per trigger, so groups track input bytes,
+    # not cores — 512 -> 64 groups at sf0.1, measured 6.05 -> 4.02 s for the
+    # identical pair set (shard-count-independence is oracle-gated)
+    pairs = streaming_set_similarity(
+        stream, threshold=0.5, state_shards=derived_state_shards(spark, src)
+    )
     run_stream_to_memory(
         pairs, "_streaming_mhlsh", output_mode="append",
         state_partitions=stream_state_partitions(spark, src),
@@ -4887,6 +4894,7 @@ def q_streaming_minhash_lsh_bounded(spark: SparkSession, sf_dir: str) -> DataFra
     <= 1 — exact because event times are batch-constant and the replay
     order is pinned by file mtimes)."""
     from vstream_spark.streaming.pipeline import (
+        derived_state_shards,
         run_stream_to_memory,
         stream_state_partitions,
         streaming_set_similarity,
@@ -4899,8 +4907,12 @@ def q_streaming_minhash_lsh_bounded(spark: SparkSession, sf_dir: str) -> DataFra
         .option("maxFilesPerTrigger", files_per_slot)
         .parquet(src)
     )
+    # data-derived shard count (r15) — see q_streaming_minhash_lsh; results
+    # are shard-independent (eviction is lazy bookkeeping; the symmetric
+    # |et diff| <= ttl check at pair time is the semantic filter)
     pairs = streaming_set_similarity(
-        stream, threshold=0.5, ttl=10, event_time_col="et"
+        stream, threshold=0.5, ttl=10, event_time_col="et",
+        state_shards=derived_state_shards(spark, src),
     )
     run_stream_to_memory(
         pairs, "_streaming_mhlsh_bounded", output_mode="append",
