@@ -83,6 +83,17 @@ def train_bpe(
     ).localCheckpoint(eager=False)  # O(word-vocab) rows; truncates the growing
     # fold lineage; LAZY: the first merge's pair-count materializes it in-job
     merges: list[tuple[str, str, int]] = []
+    # AQE pinned OFF for the merge loop (r15; guide §1.2): with AQE on,
+    # every pair-count's exchange materializes as its OWN job before the
+    # TakeOrdered job — a statusTracker receipt measured 19 jobs for 8
+    # merges where 9-10 suffice, and per-JOB driver fixed cost is this
+    # query's floor (the word-vocab frame is tiny; AQE has nothing to
+    # re-optimize here). Results identical: the aggregation and the
+    # deterministic (count desc, pair asc) take are plan-shape-independent.
+    # Restored in the finally so batch queries in the session are untouched.
+    spark = docs.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     # Checkpoint every few merges, not every merge: a per-iteration eager
     # localCheckpoint is a full extra job + materialization per merge, while
     # letting a small chain of _apply_merge folds ride INTO the next pair
@@ -91,38 +102,41 @@ def train_bpe(
     # bounded). 16 jobs -> ~10 for 8 merges, identical merge sequence.
     checkpoint_every = 4
     pending = 0
-    for _ in range(num_merges):
-        ln = F.size("syms")
-        pairs = symbolized.filter(ln >= 2).select(
-            "n",
-            F.explode(
-                F.zip_with(
-                    F.slice("syms", 1, ln - 1),
-                    F.slice("syms", 2, ln - 1),
-                    lambda x, y: F.struct(x.alias("l"), y.alias("r")),
-                )
-            ).alias("p"),
-        )
-        best = (
-            pairs.groupBy("p")
-            .agg(F.sum("n").alias("c"))
-            .orderBy(F.col("c").desc(), F.col("p.l").asc(), F.col("p.r").asc())
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        row = best[0]
-        a, b, c = row["p"]["l"], row["p"]["r"], int(row["c"])
-        merges.append((a, b, c))
-        symbolized = symbolized.select(
-            "n", _apply_merge(F.col("syms"), a, b).alias("syms")
-        )
-        pending += 1
-        if pending >= checkpoint_every:
-            # lazy: the next merge's pair-count job materializes it
-            symbolized = symbolized.localCheckpoint(eager=False)
-            pending = 0
+    try:
+        for _ in range(num_merges):
+            ln = F.size("syms")
+            pairs = symbolized.filter(ln >= 2).select(
+                "n",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, ln - 1),
+                        F.slice("syms", 2, ln - 1),
+                        lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            best = (
+                pairs.groupBy("p")
+                .agg(F.sum("n").alias("c"))
+                .orderBy(F.col("c").desc(), F.col("p.l").asc(), F.col("p.r").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            row = best[0]
+            a, b, c = row["p"]["l"], row["p"]["r"], int(row["c"])
+            merges.append((a, b, c))
+            symbolized = symbolized.select(
+                "n", _apply_merge(F.col("syms"), a, b).alias("syms")
+            )
+            pending += 1
+            if pending >= checkpoint_every:
+                # lazy: the next merge's pair-count job materializes it
+                symbolized = symbolized.localCheckpoint(eager=False)
+                pending = 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return merges
 
 
