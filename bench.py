@@ -215,7 +215,11 @@ def main() -> None:
             with open(os.path.join(repo_dir, "BENCH_DETAIL.json")) as f:
                 _doc = json.load(f)
             if str(_doc.get("sf")) == str(sf_val):
-                canary_ref = _doc.get("best_known", {})
+                # prefer the prior run's own canary samples (cold-vs-cold,
+                # like-for-like); best_known (warm best-of-3) only as the
+                # first-run fallback, where the threshold over-fires — the
+                # flag is advisory either way
+                canary_ref = _doc.get("canary") or _doc.get("best_known", {})
         except (OSError, ValueError):
             pass
         for name in ("knn_exact_l2", "similarity_join_exact"):
